@@ -1,0 +1,522 @@
+"""Event-stream operator coverage on the `events` table.
+
+These queries exercise the reference's core event-processing operator
+shapes — change-point detection, gaps-and-islands sessionization,
+request↔confirmation correlation, temporal-tolerance full-outer joins,
+interval joins, 15-minute bucketing, partial/final (mergeable) aggregation —
+over the driver's `events` table (event_id, ts, user_id, event_type, value,
+props).
+
+Determinism: every window orders by (ts, event_id) — a total order; time
+arithmetic uses integer epoch microseconds/seconds so both engines compute
+identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kwwhat_spark.functions.core import bucket_15min, datediff_boundary
+from kwwhat_spark.operators.windows import change_points, sessionize
+from kwwhat_spark.queries.catalog import query
+from kwwhat_spark.sources.testdata import load_table
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+_W_USER = lambda: W.partitionBy("user_id").orderBy("ts", "event_id")  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# §2.5 — lag/lead change-point detection (int_status_changes.sql:164-205):
+# keep rows where the tracked attribute changed vs the previous row.
+# ---------------------------------------------------------------------------
+@query(
+    "change_points",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS previous_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT user_id, event_id, event_type, previous_type, next_type
+    FROM w
+    WHERE previous_type IS NULL OR previous_type <> event_type
+    """,
+    cite="int_status_changes.sql:164-205 (lag/lead change points)",
+    headline=True,
+)
+def q_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = change_points(
+        _events(spark, sf_dir),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        tracked="event_type",
+    )
+    return out.select(
+        "user_id", "event_id", "event_type",
+        F.col("previous_event_type").alias("previous_type"),
+        F.col("next_event_type").alias("next_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2/§2.5 — latest-snapshot (int_connector_latest_status.sql:33):
+# the most recent row per key.
+# ---------------------------------------------------------------------------
+@query(
+    "latest_snapshot",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    cite="int_connector_latest_status.sql:30-33 (latest row per key)",
+)
+def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5/§2.12 — gaps-and-islands sessionization (int_faulted_outages.sql:147-185;
+# fact_visits.sql:57-116): 300 s inactivity gap splits sessions; running sum
+# of new-session flags assigns island ids; rollup per island.
+# ---------------------------------------------------------------------------
+@query(
+    "sessionize_gaps",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 300000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM islands
+    GROUP BY user_id, session_seq
+    """,
+    cite="int_faulted_outages.sql:147-185; fact_visits.sql:57-116 (sessionization)",
+    headline=True,
+)
+def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = sessionize(
+        _events(spark, sf_dir),
+        partition_by=["user_id"],
+        ts_col="ts",
+        order_by=["ts", "event_id"],
+        gap_seconds=300,
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — request↔confirmation correlation (int_status_changes.sql:80-84):
+# left-join each request to its first response within [0, +15 s].
+# Here: each 'click' to the user's first 'purchase' within 15 s.
+# ---------------------------------------------------------------------------
+@query(
+    "request_response_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id,
+           MIN(p.ts) AS first_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND epoch_us(p.ts) - epoch_us(c.ts) <= 15000000
+    GROUP BY c.event_id, c.user_id
+    """,
+    cite="int_status_changes.sql:80-84 (request↔confirmation within 15 s)",
+)
+def request_response_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (purchases.p_user == clicks.user_id)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (F.unix_micros(purchases.p_ts) - F.unix_micros(clicks.c_ts) <= 15_000_000)
+    )
+    return (
+        clicks.join(purchases, cond, "left")
+        .groupBy("click_id", "user_id")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — full-outer join with temporal tolerance
+# (fact_charge_attempts.sql:132-143): equi key + ±300 s band, null-safe.
+# Views ⟗ purchases per user.
+# ---------------------------------------------------------------------------
+@query(
+    "full_outer_temporal",
+    oracle="""
+    SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+           v.event_id AS view_id, p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= 300000000
+    """,
+    cite="fact_charge_attempts.sql:132-143 (full-outer temporal-tolerance join)",
+)
+def full_outer_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (views.v_user == purchases.p_user) & (
+        F.abs(F.unix_micros(views.v_ts) - F.unix_micros(purchases.p_ts)) <= 300_000_000
+    )
+    return (
+        views.join(purchases, cond, "full_outer")
+        .select(
+            F.coalesce("v_user", "p_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — interval join: events inside a session window
+# (int_transactions.sql:159-172 — StatusNotifications during transaction).
+# Count 'error' events inside each user session.
+# ---------------------------------------------------------------------------
+@query(
+    "interval_join_errors",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 300000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM islands GROUP BY user_id, session_seq
+    )
+    SELECT s.user_id, s.session_seq, COUNT(err.ts) AS error_count
+    FROM sessions s
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') err
+      ON err.user_id = s.user_id AND err.ts >= s.session_start AND err.ts <= s.session_end
+    GROUP BY s.user_id, s.session_seq
+    """,
+    cite="int_transactions.sql:159-172 (events-during-interval join)",
+)
+def interval_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    sessions = (
+        sessionize(e, ["user_id"], "ts", ["ts", "event_id"], gap_seconds=300)
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"))
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    cond = (
+        (errors.e_user == sessions.user_id)
+        & (errors.e_ts >= sessions.session_start)
+        & (errors.e_ts <= sessions.session_end)
+    )
+    return (
+        sessions.join(errors, cond, "left")
+        .groupBy("user_id", "session_seq")
+        .agg(F.count("e_ts").alias("error_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — boundary-crossing datediff (SURVEY §7 risk 1): per-user message
+# gaps in minutes, warehouse semantics (int_offline_outages.sql:72-81,178).
+# ---------------------------------------------------------------------------
+@query(
+    "datediff_minutes",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             date_diff('minute', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_minutes
+      FROM events
+    )
+    SELECT user_id,
+           SUM(gap_minutes) AS total_gap_minutes,
+           MAX(gap_minutes) AS max_gap_minutes,
+           COUNT(gap_minutes) AS gap_count
+    FROM gaps
+    GROUP BY user_id
+    """,
+    cite="int_offline_outages.sql:72-81,178 (gap detection, boundary datediff)",
+)
+def datediff_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    prev = F.lag("ts").over(_W_USER())
+    gaps = e.select(
+        "user_id",
+        datediff_boundary("minute", prev, F.col("ts")).alias("gap_minutes"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum("gap_minutes").alias("total_gap_minutes"),
+        F.max("gap_minutes").alias("max_gap_minutes"),
+        F.count("gap_minutes").alias("gap_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — 15-minute interval bucketing (int_meter_values.sql:156-160;
+# fact_interval_data.sql:190-220): avg/count per bucket × event_type.
+# ---------------------------------------------------------------------------
+@query(
+    "intervals_15min",
+    oracle="""
+    SELECT
+      date_trunc('minute', ts) - (CAST(EXTRACT(minute FROM ts) AS INT) % 15) * INTERVAL 1 MINUTE
+        AS interval_start_ts,
+      event_type,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS DOUBLE) AS avg_value,
+      COUNT(*) AS sample_count
+    FROM events
+    GROUP BY 1, 2
+    """,
+    cite="int_meter_values.sql:156-160; fact_interval_data.sql:190-220 (15-min buckets)",
+    headline=True,
+)
+def intervals_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            bucket_15min("ts").alias("interval_start_ts"),
+            "event_type",
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"))
+            .cast("double")
+            .alias("avg_value"),
+            F.count(F.lit(1)).alias("sample_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — array aggregation (int_transactions.sql:123-134): distinct sorted
+# collection per key, emitted as a string for cross-engine determinism.
+# ---------------------------------------------------------------------------
+@query(
+    "array_agg_distinct",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types,
+           COUNT(DISTINCT event_type) AS type_count
+    FROM events
+    GROUP BY user_id
+    """,
+    cite="int_transactions.sql:123-134 (array_agg + array_distinct state)",
+)
+def array_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
+        F.countDistinct("event_type").alias("type_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — min_by/max_by ordered aggregates (int_driver_aggregates.sql:33-56).
+# ---------------------------------------------------------------------------
+@query(
+    "driver_aggregates",
+    oracle="""
+    SELECT user_id,
+           MIN(ts) AS first_seen_ts,
+           MAX(ts) AS last_seen_ts,
+           arg_min(event_type, ts) AS first_event_type,
+           arg_max(event_type, ts) AS latest_event_type,
+           COUNT(*) AS event_count
+    FROM events
+    GROUP BY user_id
+    """,
+    cite="int_driver_aggregates.sql:33-56 (min_by/max_by driver rollup)",
+)
+def driver_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen_ts"),
+        F.max("ts").alias("last_seen_ts"),
+        F.min_by("event_type", "ts").alias("first_event_type"),
+        F.max_by("event_type", "ts").alias("latest_event_type"),
+        F.count(F.lit(1)).alias("event_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4/§2.8 — partial/final mergeable aggregation
+# (int_meter_values.sql:199-248 weighted-average recombination): split the
+# data into two "batches", keep (sum, count) state, recombine — must equal
+# the direct aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_merge",
+    oracle="""
+    SELECT user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS DOUBLE) AS avg_value,
+           COUNT(value) AS value_count
+    FROM events
+    GROUP BY user_id
+    """,
+    cite="int_meter_values.sql:199-248; fact_interval_data.sql:236-244 (weighted merge)",
+)
+def weighted_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    batch = e.withColumn("batch", (F.col("event_id") % 2))
+    partial = batch.groupBy("user_id", "batch").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.count("value").alias("cnt"),
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            (F.sum("sum_value").cast("double") / F.sum("cnt")).cast("double").alias("avg_value"),
+            F.sum("cnt").alias("value_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — JSON extraction (macros/json_extract.sql; payload extraction
+# family): typed scalar pull from a JSON column, aggregated.
+# ---------------------------------------------------------------------------
+@query(
+    "json_extract_agg",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(json_extract_string(props, '$.k')) AS k_count
+    FROM events
+    GROUP BY event_type
+    """,
+    cite="macros/json_extract.sql:1-38; payload_extractions.sql:1-132 (JSON scalar extraction)",
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("k_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — date spine (dim_dates.sql:8-14): generated calendar left-joined to
+# per-day activity; days with zero events must appear.
+# ---------------------------------------------------------------------------
+@query(
+    "date_spine_activity",
+    oracle="""
+    WITH spine AS (
+      SELECT UNNEST(generate_series(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 DAY)) AS d
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+    )
+    SELECT CAST(spine.d AS DATE) AS date_day, COALESCE(daily.n, 0) AS event_count
+    FROM spine LEFT JOIN daily ON CAST(spine.d AS DATE) = daily.d
+    """,
+    cite="dim_dates.sql:8-14 (date spine)",
+)
+def date_spine_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-03-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("date_day")
+    )
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(F.count(F.lit(1)).alias("n"))
+    return spine.join(daily, spine.date_day == daily.d, "left").select(
+        "date_day", F.coalesce("n", F.lit(0)).alias("event_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 — running sum, explicit ROWS frame (int_faulted_outages.sql:160-175).
+# ---------------------------------------------------------------------------
+@query(
+    "running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+           ) AS DOUBLE) AS running_value
+    FROM events
+    """,
+    cite="int_faulted_outages.sql:160-175 (running sum island ids)",
+)
+def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = _W_USER().rowsBetween(W.unboundedPreceding, W.currentRow)
+    return e.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — global watermark scalar (int_status_changes.sql:36-40: scalar
+# max(ingested_ts) appended to every row; here reduced to the scalar).
+# ---------------------------------------------------------------------------
+@query(
+    "batch_watermark",
+    oracle="""
+    SELECT MAX(ts) AS incremental_ts, MIN(ts) AS min_ts, COUNT(*) AS row_count FROM events
+    """,
+    cite="int_status_changes.sql:36-40,224 (batch watermark scalar)",
+)
+def batch_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.max("ts").alias("incremental_ts"),
+        F.min("ts").alias("min_ts"),
+        F.count(F.lit(1)).alias("row_count"),
+    )

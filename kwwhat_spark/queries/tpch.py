@@ -1,0 +1,317 @@
+"""Relational operator coverage on the TPC-H-ish testdata tables.
+
+Each query exercises one operator family from SURVEY.md §2 (scan/filter/
+project §2.2, joins §2.3, aggregations §2.4, set ops §2.6, scalars §2.7),
+re-expressed over the driver's tables. Citations point at the reference
+model whose operator shape the query mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kwwhat_spark.functions.core import surrogate_key
+from kwwhat_spark.queries.catalog import query
+from kwwhat_spark.sources.testdata import load_table
+
+
+def _dec(c, p=18, s=2):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§2.4 — scan → hash aggregation (flagship; TPC-H Q1 shape).
+# Mirrors the reference's transaction rollup (int_transactions.sql:118-145):
+# wide fact scan, group by low-cardinality keys, min/max/sum/avg/count.
+# Scale notes: pure map-side-combinable agg over a pruned 7-column scan;
+# shuffle carries only |flags|×|status| rows per partition.
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    cite="int_transactions.sql:118-145 (rollup agg family)",
+    headline=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price, disc, tax = (_dec("l_quantity"), _dec("l_extendedprice"),
+                             _dec("l_discount"), _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 — projection + selective predicate; must reach the parquet scan as
+# PushedFilters. Mirrors the action filter (int_status_changes.sql:54-56).
+# ---------------------------------------------------------------------------
+@query(
+    "filter_pushdown",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1995-01-01'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    cite="int_status_changes.sql:54-56; int_transactions.sql:10-13 (IN filter)",
+)
+def filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — broadcast dimension joins (charger→location resolution family,
+# int_transactions.sql:250-251). nation/region are tiny → broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS customer_count,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    cite="int_transactions.sql:247-251 (connector→port→location broadcast joins)",
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — large fact⋈fact equi-join (shuffle on key, AQE-managed).
+# ---------------------------------------------------------------------------
+@query(
+    "join_fact_fact",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(DISTINCT o.o_orderkey) AS order_count,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+    cite="int_meter_values.sql:110-116 (fact-to-fact key join)",
+    headline=True,
+)
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("order_count"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — anti-join (NOT EXISTS: chargers with no messages,
+# int_offline_outages.sql:113-124) → customers with no orders.
+# ---------------------------------------------------------------------------
+@query(
+    "anti_join_no_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    cite="int_offline_outages.sql:113-124 (NOT EXISTS anti-join)",
+)
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — count-distinct of composites (fact_location_capacity.sql:22-28).
+# ---------------------------------------------------------------------------
+@query(
+    "capacity_count_distinct",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(DISTINCT c.c_nationkey) AS nation_count,
+           COUNT(DISTINCT c.c_nationkey || '|' || CAST(o.o_orderstatus AS VARCHAR)) AS nation_status_count,
+           COUNT(*) AS row_count
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    cite="fact_location_capacity.sql:22-28 (composite count-distinct)",
+)
+def capacity_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("nation_count"),
+            F.countDistinct(
+                F.concat_ws("|", F.col("c_nationkey"), F.col("o_orderstatus"))
+            ).alias("nation_status_count"),
+            F.count(F.lit(1)).alias("row_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — surrogate keys: exact dbt_utils.generate_surrogate_key formula
+# (fact_charge_attempts.sql:232-241). Verified cross-engine via md5.
+# ---------------------------------------------------------------------------
+@query(
+    "surrogate_keys",
+    oracle="""
+    SELECT
+      md5(COALESCE(CAST(o_orderkey AS VARCHAR), '_dbt_utils_surrogate_key_null_')
+          || '-' ||
+          COALESCE(CAST(o_custkey AS VARCHAR), '_dbt_utils_surrogate_key_null_')
+          || '-' ||
+          COALESCE(CAST(o_orderstatus AS VARCHAR), '_dbt_utils_surrogate_key_null_')
+      ) AS order_key_hash,
+      o_orderkey
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+    cite="fact_charge_attempts.sql:232-241; fact_visits.sql:433-439 (surrogate keys)",
+)
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") < 1000)
+        .select(
+            surrogate_key("o_orderkey", "o_custkey", "o_orderstatus").alias("order_key_hash"),
+            "o_orderkey",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — union all + distinct (buffer∪new family, int_status_changes.sql:119).
+# ---------------------------------------------------------------------------
+@query(
+    "union_branches",
+    oracle="""
+    SELECT o_custkey, branch FROM (
+      SELECT DISTINCT o_custkey, 'urgent' AS branch FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT DISTINCT o_custkey, 'open' AS branch FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+    cite="int_status_changes.sql:119; fact_downtime_daily.sql:70-74 (union all)",
+)
+def union_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey").distinct()
+        .withColumn("branch", F.lit("urgent"))
+    )
+    open_ = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey").distinct()
+        .withColumn("branch", F.lit("open"))
+    )
+    return urgent.unionByName(open_)
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — calendar explosion: interval × day without a range join
+# (fact_downtime_daily.sql:76-83 rewritten as sequence+explode, SURVEY §4).
+# Order lifetime (orderdate → max shipdate) split per calendar month.
+# ---------------------------------------------------------------------------
+@query(
+    "calendar_explode",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey, o.o_orderdate,
+             greatest(MAX(l.l_shipdate), o.o_orderdate) AS last_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey < 300
+      GROUP BY o.o_orderkey, o.o_orderdate
+    )
+    SELECT CAST(d.day AS DATE) AS active_day, COUNT(*) AS active_orders
+    FROM spans, LATERAL (
+      SELECT UNNEST(generate_series(CAST(o_orderdate AS DATE), CAST(last_ship AS DATE), INTERVAL 1 DAY)) AS day
+    ) d
+    GROUP BY 1
+    """,
+    cite="fact_downtime_daily.sql:76-83; fact_charger_commissioned_daily.sql:30-41 (calendar explode)",
+)
+def calendar_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        o.filter(F.col("o_orderkey") < 300)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.greatest(F.max("l_shipdate"), F.first("o_orderdate")).alias("last_ship"))
+    )
+    return (
+        spans.select(
+            F.explode(
+                F.sequence(
+                    F.to_date("o_orderdate"), F.to_date("last_ship"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("active_day")
+        )
+        .groupBy("active_day")
+        .agg(F.count(F.lit(1)).alias("active_orders"))
+    )

@@ -1,0 +1,1 @@
+from kwwhat_spark.sources.testdata import TESTDATA_TABLES, load_table, load_tables  # noqa: F401
