@@ -1,0 +1,126 @@
+"""Model DAG framework — the Spark equivalent of the reference's dbt
+manifest (SURVEY §3.1).
+
+A *model* is a named function ``(Pipeline) -> DataFrame``. ``Pipeline``
+resolves ``ref()`` edges lazily with caching, so executing any mart pulls
+exactly its upstream subgraph — the topological order is implicit, like
+dbt's manifest DAG. Full-refresh semantics (every reference model's
+``is_incremental()=false`` branch); the incremental batch runner layers
+on top (kwwhat_spark/plans/incremental.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kwwhat_spark.config import VARS, PipelineVars
+
+MODELS: dict[str, Callable[["Pipeline"], DataFrame]] = {}
+
+# Reference materializations (dbt_project.yml:38-42 + per-model configs):
+# views stay lazy, everything else persists on first resolution.
+VIEW_MODELS = {
+    "stg_ocpp_logs",
+    "stg_chargers",
+    "stg_ports",
+    "stg_connectors",
+    "fact_uptime",
+    "fact_charger_commissioned_daily",
+}
+
+
+def model(name: str):
+    def deco(fn: Callable[["Pipeline"], DataFrame]):
+        MODELS[name] = fn
+        return fn
+
+    return deco
+
+
+@dataclass
+class Pipeline:
+    """Execution context: sources + lazy model resolution.
+
+    sources must provide: raw_ocpp_logs, raw_chargers, raw_ports,
+    raw_connectors (schemas in FIXTURES.md §1).
+    """
+
+    spark: SparkSession
+    sources: dict[str, DataFrame]
+    vars: PipelineVars = field(default_factory=lambda: VARS)
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+    # Models whose cached value should be replaced by a mock (unit tests
+    # inject upstream fixtures exactly like dbt unit tests do).
+    overrides: dict[str, DataFrame] = field(default_factory=dict)
+
+    def source(self, name: str) -> DataFrame:
+        return self.sources[name]
+
+    def ref(self, name: str) -> DataFrame:
+        if name in self.overrides:
+            return self.overrides[name]
+        if name not in self._cache:
+            df = MODELS[name](self)
+            # Non-view models are "materialized" (dbt tables / incremental
+            # tables): persist so downstream refs and driver-side scalar
+            # reads don't recompute the upstream subgraph. The reference's
+            # views (stg_*, fact_uptime, fact_charger_commissioned_daily)
+            # stay lazy and collapse into consumers.
+            if name not in VIEW_MODELS:
+                df = df.persist()
+            self._cache[name] = df
+        return self._cache[name]
+
+    def unpersist_all(self) -> None:
+        for df in self._cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._cache.clear()
+
+    # ------------------------------------------------------------------
+    # Batch-window computation (macros/incremental_date_range.sql).
+    # Full-refresh path: from = greatest(*caps), to = from + 3 months,
+    # buffer_from = from - buffer_minutes. Computed on the driver so the
+    # window filter is a literal predicate Catalyst can push into the scan
+    # (SURVEY §4: cleaner than scalar subqueries).
+    # ------------------------------------------------------------------
+    def full_refresh_window(
+        self,
+        extra_from_caps: list[DataFrame | object] = (),
+        buffer_minutes: int = 0,
+    ) -> tuple[object, object, object]:
+        import datetime as dt
+
+        caps = [dt.datetime.fromisoformat(self.vars.start_processing_date)]
+        for cap in extra_from_caps:
+            if cap is not None:
+                caps.append(cap)
+        from_ts = max(caps)
+        # dateadd(month, 3): calendar month arithmetic, like dbt.dateadd.
+        month = from_ts.month - 1 + self.vars.incremental_window_months
+        year = from_ts.year + month // 12
+        month = month % 12 + 1
+        import calendar
+
+        day = min(from_ts.day, calendar.monthrange(year, month)[1])
+        to_ts = from_ts.replace(year=year, month=month, day=day)
+        buffer_from = from_ts - dt.timedelta(minutes=buffer_minutes)
+        return from_ts, buffer_from, to_ts
+
+    def scalar(self, df: DataFrame, col: str):
+        row = df.agg(F.min(col).alias("v")).first()
+        return row["v"] if row else None
+
+    def scalar_max(self, df: DataFrame, col: str):
+        row = df.agg(F.max(col).alias("v")).first()
+        return row["v"] if row else None
+
+
+def run_model(pipeline: Pipeline, name: str) -> DataFrame:
+    return pipeline.ref(name)

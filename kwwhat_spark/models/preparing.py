@@ -1,0 +1,187 @@
+"""Preparing-anchor assembly: charge-attempt context around each
+connector 'Preparing' status change.
+
+Reference: int_connector_preparing.sql — take Preparing rows from
+int_status_changes, chain the charge-attempt actions whose ingestion falls
+in (coalesce(previous_ingested, ingested), coalesce(next_ingested,
+ingested)] on the same (charger, connector), correlate CALLRESULTs within
+45 s, extract identity/transaction fields, aggregate into arrays per
+anchor.
+
+Faithful quirk: only actions that carry connectorId (StatusNotification,
+StartTransaction, MeterValues, RemoteStartTransaction) can satisfy the
+connector equality — Authorize/Stop* rows have null connector_id and never
+chain (reference int_connector_preparing.sql:130-135 behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kwwhat_spark.models.base import Pipeline, model
+from kwwhat_spark.models.transactions import _extract
+
+
+@model("int_connector_preparing")
+def int_connector_preparing(p: Pipeline) -> DataFrame:
+    status_changes = p.ref("int_status_changes")
+    logs = p.ref("stg_ocpp_logs")
+    from_ts, buffer_from, to_ts = p.full_refresh_window(buffer_minutes=30)
+    # to_timestamp capped by upstream watermarks (int_connector_preparing.sql
+    # to_timestamp_caps).
+    caps = [
+        p.scalar_max(status_changes, "incremental_ts"),
+        p.scalar_max(logs, "ingested_timestamp"),
+    ]
+    to_ts = min([to_ts] + [c for c in caps if c is not None])
+
+    anchors = status_changes.filter(
+        (F.col("ingested_ts") >= F.lit(buffer_from))
+        & (F.col("ingested_ts") <= F.lit(to_ts))
+        & (F.col("status") == "Preparing")
+    ).select(
+        "charger_id",
+        "connector_id",
+        "unique_id",
+        "ingested_ts",
+        "payload_ts",
+        "status",
+        "previous_status",
+        "previous_ingested_ts",
+        "previous_payload_ts",
+        "next_status",
+        "next_ingested_ts",
+        "next_payload_ts",
+        "error_code",
+        "confirmation_ingested_ts",
+    )
+    incremental_ts = p.scalar_max(anchors, "ingested_ts")
+
+    ocpp_logs = logs.select(
+        "charger_id",
+        "action",
+        F.col("ingested_timestamp").alias("ingested_ts"),
+        "message_type_id",
+        "payload",
+        "unique_id",
+    ).filter(
+        (F.col("ingested_timestamp") >= F.lit(buffer_from))
+        & (F.col("ingested_timestamp") <= F.lit(to_ts))
+    )
+
+    events = ocpp_logs.filter(
+        F.col("action").isin(list(p.vars.preparing_actions))
+        & (F.col("message_type_id") == p.vars.call_message_type_id)
+    )
+    conf = ocpp_logs.filter(
+        F.col("message_type_id") == p.vars.callresult_message_type_id
+    ).select(
+        F.col("unique_id").alias("conf_unique_id"),
+        F.col("ingested_ts").alias("conf_ingested_ts"),
+        F.col("payload").alias("conf_payload"),
+    )
+    retry_s = p.vars.transaction_message_retry_interval_seconds
+    events_conf = events.join(
+        conf,
+        (F.col("conf_unique_id") == F.col("unique_id"))
+        & (F.col("conf_ingested_ts") >= F.col("ingested_ts"))
+        & (
+            F.col("conf_ingested_ts")
+            <= F.col("ingested_ts") + F.expr(f"interval {retry_s} seconds")
+        ),
+        "left",
+    ).select(
+        F.col("charger_id").alias("e_charger_id"),
+        "action",
+        F.col("ingested_ts").alias("e_ingested_ts"),
+        "payload",
+        "conf_payload",
+        _extract(
+            ["StatusNotification", "StartTransaction", "MeterValues", "RemoteStartTransaction"],
+            "connectorId",
+        ).cast("string").alias("e_connector_id"),
+    )
+
+    chained = anchors.join(
+        events_conf,
+        (F.col("e_charger_id") == F.col("charger_id"))
+        & (F.col("e_connector_id") == F.col("connector_id"))
+        & (
+            F.col("e_ingested_ts")
+            > F.coalesce(F.col("previous_ingested_ts"), F.col("ingested_ts"))
+        )
+        & (
+            F.col("e_ingested_ts")
+            <= F.coalesce(F.col("next_ingested_ts"), F.col("ingested_ts"))
+        ),
+        "left",
+    )
+
+    details = chained.select(
+        "charger_id",
+        "connector_id",
+        "unique_id",
+        "ingested_ts",
+        "previous_status",
+        "status",
+        "next_status",
+        "confirmation_ingested_ts",
+        "previous_ingested_ts",
+        "next_ingested_ts",
+        "previous_payload_ts",
+        "next_payload_ts",
+        "payload_ts",
+        _extract(["StartTransaction", "RemoteStartTransaction"], "idTag")
+        .cast("string").alias("id_tag"),
+        _extract(["StartTransaction", "Authorize"], "idTagInfo.status", "conf_payload")
+        .cast("string").alias("id_tag_status"),
+        _extract("Authorize", "idTagInfo.idTag", "conf_payload")
+        .cast("string").alias("parent_id_tag"),
+        F.coalesce(
+            _extract(["StopTransaction", "RemoteStopTransaction", "MeterValues"], "transactionId"),
+            _extract("StartTransaction", "transactionId", "conf_payload"),
+        ).cast("string").alias("transaction_id"),
+        _extract("StatusNotification", "errorCode").cast("string").alias("error_code"),
+    )
+
+    group_keys = [
+        "charger_id", "connector_id", "unique_id", "ingested_ts", "payload_ts",
+        "previous_status", "status", "next_status", "confirmation_ingested_ts",
+        "previous_ingested_ts", "next_ingested_ts", "previous_payload_ts",
+        "next_payload_ts",
+    ]
+    agg = details.groupBy(*group_keys).agg(
+        F.sort_array(F.collect_set("id_tag")).alias("id_tags"),
+        F.sort_array(F.collect_set("id_tag_status")).alias("id_tag_statuses"),
+        F.sort_array(F.collect_set("parent_id_tag")).alias("parent_id_tags"),
+        F.sort_array(F.collect_set("transaction_id")).alias("transaction_ids"),
+        F.sort_array(F.collect_set("error_code")).alias("error_codes"),
+    )
+
+    connectors = p.ref("int_connectors").select("charger_id", "connector_id", "port_id")
+    chargers = p.ref("int_chargers").select("charger_id", "location_id")
+    return (
+        agg.join(F.broadcast(connectors), ["charger_id", "connector_id"], "left")
+        .join(F.broadcast(chargers), ["charger_id"], "left")
+        .withColumn(
+            "transaction_id",
+            F.when(
+                F.col("transaction_ids").isNotNull() & (F.size("transaction_ids") > 0),
+                F.element_at("transaction_ids", 1),
+            ),
+        )
+        .withColumn("incremental_ts", F.lit(incremental_ts).cast("timestamp"))
+        .withColumn(
+            "_unique_transaction_count",
+            F.when(F.col("transaction_ids").isNotNull(), F.size("transaction_ids")).otherwise(0),
+        )
+        .select(
+            "charger_id", "connector_id", "port_id", "location_id", "unique_id",
+            "ingested_ts", "payload_ts", "previous_status", "status", "next_status",
+            "confirmation_ingested_ts", "previous_ingested_ts", "next_ingested_ts",
+            "previous_payload_ts", "next_payload_ts", "id_tags", "id_tag_statuses",
+            "parent_id_tags", "transaction_ids", "error_codes", "transaction_id",
+            "incremental_ts", "_unique_transaction_count",
+        )
+    )

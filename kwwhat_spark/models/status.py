@@ -1,0 +1,134 @@
+"""Status pipeline: connector status change-points + latest snapshot.
+
+Reference: int_status_changes.sql (change-point detection over
+StatusNotification CALLs with request↔confirmation correlation),
+int_connector_latest_status.sql (latest open row per connector).
+
+Spark shape: one scan of the windowed log batch feeds both the request
+set and the confirmation set (self-join on unique_id + [0,15 s] band);
+the lag → change-filter → lead chain shares a single (charger_id,
+connector_id) window partitioning, so the whole enrichment is one
+shuffle. int_connectors is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from kwwhat_spark.models.base import Pipeline, model
+
+
+def _payload_str(path: str, when_actions: list[str] | str):
+    actions = [when_actions] if isinstance(when_actions, str) else when_actions
+    return F.when(
+        F.col("action").isin(actions), F.get_json_object("payload", f"$.{path}")
+    ).cast("string")
+
+
+@model("int_status_changes")
+def int_status_changes(p: Pipeline) -> DataFrame:
+    logs = p.ref("stg_ocpp_logs")
+    from_ts, _, to_ts = p.full_refresh_window(
+        extra_from_caps=[p.scalar(logs, "ingested_timestamp")], buffer_minutes=30
+    )
+
+    ocpp_logs = logs.select(
+        "charger_id", "action", "ingested_timestamp", "message_type_id", "payload", "unique_id"
+    ).filter(
+        (F.col("ingested_timestamp") > F.lit(from_ts))
+        & (F.col("ingested_timestamp") <= F.lit(to_ts))
+    )
+    # Batch watermark over the WHOLE windowed batch (all actions), appended
+    # as a literal — int_status_changes.sql:36-40.
+    incremental_ts = p.scalar_max(ocpp_logs, "ingested_timestamp")
+
+    req = ocpp_logs.filter(
+        (F.col("action") == "StatusNotification")
+        & (F.col("message_type_id") == p.vars.call_message_type_id)
+    ).select(
+        "ingested_timestamp",
+        "charger_id",
+        "unique_id",
+        "action",
+        "payload",
+        _payload_str("connectorId", "StatusNotification").alias("connector_id"),
+        _payload_str("status", "StatusNotification").alias("status"),
+        _payload_str("errorCode", "StatusNotification").alias("error_code"),
+        _payload_str("timestamp", ["StatusNotification", "StartTransaction", "StopTransaction"])
+        .cast("timestamp")
+        .alias("payload_ts"),
+    )
+
+    connectors = p.ref("int_connectors").select("charger_id", "connector_id", "port_id")
+    conf = ocpp_logs.filter(
+        F.col("message_type_id") == p.vars.callresult_message_type_id
+    ).select(
+        F.col("unique_id").alias("conf_unique_id"),
+        F.col("ingested_timestamp").alias("confirmation_ingested_ts"),
+    )
+
+    with_conf = (
+        req.join(F.broadcast(connectors), ["charger_id", "connector_id"], "left")
+        .join(
+            conf,
+            (F.col("conf_unique_id") == F.col("unique_id"))
+            & (F.col("confirmation_ingested_ts") >= F.col("ingested_timestamp"))
+            & (
+                F.col("confirmation_ingested_ts")
+                <= F.col("ingested_timestamp") + F.expr("interval 15 seconds")
+            ),
+            "left",
+        )
+        .select(
+            "charger_id",
+            "connector_id",
+            "port_id",
+            F.col("ingested_timestamp").alias("ingested_ts"),
+            "unique_id",
+            "status",
+            "error_code",
+            "payload",
+            "payload_ts",
+            "confirmation_ingested_ts",
+        )
+    )
+
+    w = W.partitionBy("charger_id", "connector_id").orderBy("ingested_ts")
+    with_lag = with_conf.select(
+        "*",
+        F.lag("status").over(w).alias("previous_status"),
+        F.lag("ingested_ts").over(w).alias("previous_ingested_ts"),
+        F.lag("payload_ts").over(w).alias("previous_payload_ts"),
+    )
+    changes = with_lag.filter(
+        F.col("previous_status").isNull() | (F.col("previous_status") != F.col("status"))
+    )
+    # lead() over the CHANGE rows (not raw notifications) — next_* points at
+    # the next change (int_status_changes.sql:191-205).
+    with_lead = changes.select(
+        "*",
+        F.lead("status").over(w).alias("next_status"),
+        F.lead("ingested_ts").over(w).alias("next_ingested_ts"),
+        F.lead("payload_ts").over(w).alias("next_payload_ts"),
+    )
+    return with_lead.withColumn("incremental_ts", F.lit(incremental_ts).cast("timestamp"))
+
+
+@model("int_connector_latest_status")
+def int_connector_latest_status(p: Pipeline) -> DataFrame:
+    changes = p.ref("int_status_changes")
+    from_ts, _, _ = p.full_refresh_window()
+    source = changes.filter(
+        F.col("next_status").isNull() & (F.col("ingested_ts") >= F.lit(from_ts))
+    )
+    w_all = W.partitionBy()
+    return source.select(
+        "charger_id",
+        "connector_id",
+        "port_id",
+        F.col("status").alias("latest_status"),
+        F.col("error_code").alias("latest_error_code"),
+        F.col("ingested_ts").alias("latest_status_ts"),
+        F.max("ingested_ts").over(w_all).alias("incremental_ts"),
+    )

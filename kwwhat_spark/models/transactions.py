@@ -1,0 +1,168 @@
+"""Transaction assembly from OCPP message flows.
+
+Reference: int_transactions.sql — correlate the 5 transaction-related
+actions with their CALLRESULTs (unique_id + [0,15 s]), extract per-action
+payload fields, roll up to (transaction_id, charger_id) grain, attach
+StatusNotification error codes observed during the transaction, resolve
+port/location.
+
+Spark shape: the windowed log batch is scanned once; the rollup is a
+hash aggregate on (transaction_id, charger_id) with collect_set array
+state (= DuckDB array_distinct(array_agg(x)) which drops nulls — verified
+behavior); arrays are sort_array'd for deterministic order. Reference
+dims broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kwwhat_spark.models.base import Pipeline, model
+
+_NUMERIC = "decimal(28,6)"
+
+
+def _extract(action_set, path, src="payload"):
+    actions = [action_set] if isinstance(action_set, str) else action_set
+    return F.when(F.col("action").isin(actions), F.get_json_object(src, f"$.{path}"))
+
+
+@model("int_transactions")
+def int_transactions(p: Pipeline) -> DataFrame:
+    logs = p.ref("stg_ocpp_logs")
+    from_ts, _, to_ts = p.full_refresh_window()
+
+    ocpp_logs = logs.select(
+        "charger_id",
+        "action",
+        F.col("ingested_timestamp").alias("ingested_ts"),
+        "message_type_id",
+        "payload",
+        "unique_id",
+    ).filter(
+        (F.col("ingested_timestamp") > F.lit(from_ts))
+        & (F.col("ingested_timestamp") <= F.lit(to_ts))
+    )
+    incremental_ts = p.scalar_max(ocpp_logs, "ingested_ts")
+
+    tx_events = ocpp_logs.filter(F.col("action").isin(list(p.vars.transaction_actions))).select(
+        "*",
+        _extract(
+            ["StatusNotification", "StartTransaction", "MeterValues", "RemoteStartTransaction"],
+            "connectorId",
+        ).cast("string").alias("connector_id"),
+    )
+
+    conf = ocpp_logs.filter(
+        F.col("message_type_id") == p.vars.callresult_message_type_id
+    ).select(
+        F.col("unique_id").alias("conf_unique_id"),
+        F.col("ingested_ts").alias("conf_ingested_ts"),
+        F.col("payload").alias("conf_payload"),
+    )
+    events_conf = tx_events.join(
+        conf,
+        (F.col("conf_unique_id") == F.col("unique_id"))
+        & (F.col("conf_ingested_ts") >= F.col("ingested_ts"))
+        & (F.col("conf_ingested_ts") <= F.col("ingested_ts") + F.expr("interval 15 seconds")),
+        "left",
+    )
+
+    details = events_conf.select(
+        "charger_id",
+        "connector_id",
+        "ingested_ts",
+        # transactionId: CALLRESULT for StartTransaction, request payload for
+        # Stop/RemoteStop/MeterValues (payload_extractions.sql:67-75).
+        F.coalesce(
+            _extract(["StopTransaction", "RemoteStopTransaction", "MeterValues"], "transactionId"),
+            _extract("StartTransaction", "transactionId", "conf_payload"),
+        ).cast("string").alias("transaction_id"),
+        _extract(["StartTransaction", "RemoteStartTransaction"], "idTag")
+        .cast("string").alias("id_tag"),
+        _extract("StartTransaction", "idTagInfo.status", "conf_payload")
+        .cast("string").alias("id_tag_status"),
+        _extract("StartTransaction", "timestamp").cast("timestamp").alias("transaction_start_ts"),
+        _extract("StopTransaction", "timestamp").cast("timestamp").alias("transaction_stop_ts"),
+        # Reason omitted ⇒ 'Local' (payload_extractions.sql:57-65).
+        F.when(
+            F.col("action") == "StopTransaction",
+            F.coalesce(F.get_json_object("payload", "$.reason"), F.lit("Local")),
+        ).cast("string").alias("transaction_stop_reason"),
+        _extract("StartTransaction", "meterStart").cast(_NUMERIC).alias("meter_start"),
+        _extract("StopTransaction", "meterStop").cast(_NUMERIC).alias("meter_stop"),
+    )
+
+    transactions = (
+        details.filter(F.col("transaction_id").isNotNull())
+        .groupBy("transaction_id", "charger_id")
+        .agg(
+            F.sort_array(F.collect_set("connector_id")).alias("connector_ids"),
+            F.min("ingested_ts").alias("ingested_ts"),
+            F.min("transaction_start_ts").alias("transaction_start_ts"),
+            F.max("transaction_stop_ts").alias("transaction_stop_ts"),
+            F.max("ingested_ts").alias("last_ingested_ts"),
+            F.min("transaction_stop_reason").alias("transaction_stop_reason"),
+            F.sort_array(F.collect_set("id_tag")).alias("id_tags"),
+            F.sort_array(F.collect_set("id_tag_status")).alias("id_tag_statuses"),
+            F.min("meter_start").alias("meter_start_wh"),
+            F.max("meter_stop").alias("meter_stop_wh"),
+        )
+    )
+
+    status_notifications = ocpp_logs.filter(
+        (F.col("action") == "StatusNotification")
+        & (F.col("message_type_id") == p.vars.call_message_type_id)
+    ).select(
+        F.col("charger_id").alias("sn_charger_id"),
+        F.col("ingested_ts").alias("sn_ingested_ts"),
+        F.get_json_object("payload", "$.connectorId").cast("string").alias("sn_connector_id"),
+        F.get_json_object("payload", "$.errorCode").cast("string").alias("sn_error_code"),
+    )
+    tsn = (
+        transactions.alias("t")
+        .join(
+            status_notifications,
+            (F.col("sn_charger_id") == F.col("t.charger_id"))
+            & (F.col("sn_ingested_ts") >= F.col("t.transaction_start_ts"))
+            & (
+                F.col("sn_ingested_ts")
+                <= F.coalesce(F.col("t.transaction_stop_ts"), F.col("t.last_ingested_ts"))
+            )
+            & F.array_contains(F.col("t.connector_ids"), F.col("sn_connector_id")),
+            "left",
+        )
+        .groupBy("t.transaction_id", "t.charger_id")
+        .agg(F.sort_array(F.collect_set("sn_error_code")).alias("error_codes"))
+    )
+
+    final = (
+        transactions.join(tsn, ["transaction_id", "charger_id"], "left")
+        .withColumn(
+            "energy_transferred_kwh",
+            F.when(
+                F.col("meter_start_wh").isNotNull() & F.col("meter_stop_wh").isNotNull(),
+                (F.col("meter_stop_wh") - F.col("meter_start_wh")) / 1000.0,
+            ).cast(_NUMERIC),
+        )
+        .withColumn(
+            "connector_id",
+            F.when(
+                F.col("connector_ids").isNotNull() & (F.size("connector_ids") > 0),
+                F.element_at("connector_ids", 1),
+            ),
+        )
+        .withColumn(
+            "_unique_connectors_count",
+            F.when(F.col("connector_ids").isNotNull(), F.size("connector_ids")).otherwise(0),
+        )
+    )
+
+    connectors = p.ref("int_connectors").select("charger_id", "connector_id", "port_id")
+    chargers = p.ref("int_chargers").select("charger_id", "location_id")
+    return (
+        final.join(F.broadcast(connectors), ["charger_id", "connector_id"], "left")
+        .join(F.broadcast(chargers), ["charger_id"], "left")
+        .withColumn("incremental_ts", F.lit(incremental_ts).cast("timestamp"))
+    )
