@@ -1,0 +1,165 @@
+"""Text-analysis column expressions for LLM-data pipelines.
+
+All pure Column expressions (whole-stage codegen, no UDFs): shingling,
+token counting, quality scoring, language-ID heuristic, fingerprints.
+At 100 TB these run inside the scan stage — no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    """Tokens = non-empty whitespace-separated chunks."""
+    c = _col(text)
+    return F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Approximate BPE token count: words + punctuation runs + digit runs,
+    via a GPT-2-style pre-tokenizer regex."""
+    c = _col(text)
+    pattern = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def char_shingles(text: Column | str, k: int = 3) -> Column:
+    """All k-character shingles of the string (positional, with repeats)."""
+    c = _col(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(k)),
+    )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles (space-joined), for MinHash/Jaccard on documents."""
+    toks = F.filter(F.split(_col(text), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def punctuation_ratio(text: Column | str) -> Column:
+    c = _col(text)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return (punct / F.greatest(F.length(c), F.lit(1))).cast("double")
+
+
+def digit_ratio(text: Column | str) -> Column:
+    c = _col(text)
+    digits = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return (digits / F.greatest(F.length(c), F.lit(1))).cast("double")
+
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be it this that for on with as at by".split()
+)
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = F.filter(F.split(F.lower(_col(text)), r"\s+"), lambda t: t != "")
+    stops = F.filter(toks, lambda t: t.isin(_STOPWORDS))
+    return (F.size(stops) / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def mean_word_length(text: Column | str) -> Column:
+    toks = F.filter(F.split(_col(text), r"\s+"), lambda t: t != "")
+    return (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+        / F.greatest(F.size(toks), F.lit(1))
+    ).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite heuristic quality in [0,1]: length-normalized, penalizes
+    extreme punctuation/digit density, rewards stopword presence
+    (Gopher/C4-style rules, public heuristics)."""
+    c = _col(text)
+    length_term = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punctuation_ratio(c) * 4, F.lit(1.0))
+    digit_term = F.lit(1.0) - F.least(digit_ratio(c) * 4, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(c) * 5, F.lit(1.0))
+    return ((length_term + punct_term + digit_term + stop_term) / 4).cast("double")
+
+
+# Tiny per-language marker sets (public stopword lists); scored by marker
+# hits — a deterministic n-gram-style heuristic, not a trained model.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "los", "es", "de"],
+    "zh": ["的", "是", "不", "了", "在"],
+}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Marker-based language guess with deterministic tie-break (marker
+    count desc, then language code asc)."""
+    toks = F.split(F.lower(_col(text)), r"\s+")
+
+    # NB: closures, not default-arg lambdas — pyspark counts lambda params,
+    # so `lambda t, m=markers:` would be treated as an (element, index)
+    # lambda and silently bind m to the index column.
+    def marker_hits(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    scores = [
+        F.struct(
+            marker_hits(markers).alias("hits"),
+            F.lit(-1 * i).alias("tiebreak"),  # stable order by declaration
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, markers) in enumerate(_LANG_MARKERS.items())
+    ]
+    return F.greatest(*scores).getField("lang")
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """64-bit content fingerprint of whitespace/case-normalized text."""
+    normalized = F.lower(F.regexp_replace(_col(text), r"\s+", " "))
+    return F.xxhash64(normalized)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per seed i, min over shingles of xxhash64(s, i).
+    Pure expression — vectorized, no UDF."""
+    def seed_min(i):
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+
+    return F.array(*[seed_min(i) for i in range(num_hashes)])
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash over a token array: sign-sum per bit of xxhash64."""
+    h = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def bit_vote(mask):
+        return F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(x.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    bits = []
+    for b in range(64):
+        # Two's-complement literal: bit 63 is the sign bit of a long.
+        mask = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+        bits.append(F.when(bit_vote(mask) > 0, mask).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out

@@ -1,0 +1,185 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine — all
+expressed as DataFrame plans (no Python UDFs):
+
+- Exact: hash-groupBy on a content digest — one shuffle on the digest.
+- MinHash LSH: shingle → per-seed min-hash (map-side expressions) → band
+  buckets → self-join per bucket → exact Jaccard verify. The only shuffle
+  keys are (band_idx, band_hash) — at 100 TB the bucket join touches only
+  colliding candidates, never the full cross product.
+- SimHash: 64-bit sign-sum signature; candidates pair via 16-bit chunk
+  match (signatures within hamming distance 3 share ≥1 identical chunk —
+  pigeonhole), verified by bit_count(xor).
+- n-gram Jaccard: blocked pairwise — the exact (quadratic) baseline used
+  to validate the sketch-based paths on samples.
+- Embedding cosine: see operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kwwhat_spark.functions.text import minhash_signature, simhash64, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct content digest: keeper = min id, plus the
+    duplicate count (hash-groupBy exact dedup)."""
+    digest = F.md5(F.col(text_col))
+    return (
+        df.select(digest.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over k-word shingle SETS for all pairs
+    (within an optional blocking column). Pair via shared-shingle inverted
+    index, so only pairs with ≥1 common shingle are scored."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
+    ).withColumn("shingle_count", F.size("shingles"))
+
+    inverted = base.select("doc_id", "block", F.explode("shingles").alias("shingle"))
+    a = inverted.alias("a")
+    b = inverted.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    counts = base.select("doc_id", "shingle_count")
+    return (
+        shared.join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle_count", "count_a"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle_count", "count_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            (
+                F.col("intersection")
+                / (F.col("count_a") + F.col("count_b") - F.col("intersection"))
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, verified with exact
+    Jaccard on the shingle sets (standard shingle→minhash→band→bucket-join
+    pipeline)."""
+    rows = bands and num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+
+    banded = base.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws(",", *[F.col("sig")[i] for i in range(b * rows, (b + 1) * rows)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.withColumn("jaccard", (inter / union).cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit chunk blocking (pigeonhole-complete
+    for hamming ≤ 3), verified by bit_count(xor)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("doc_id"), simhash64(toks).alias("simhash"))
+
+    chunks = base.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: exact baseline. The dot products are
+  F.zip_with + F.aggregate expressions (JVM, codegen) — the cross join is
+  the cost; use only for small query sets or validation samples.
+- LSH (random hyperplanes): sign-bit bucket join — the scale path. Query
+  and corpus shuffle only on bucket keys; hyperplanes are deterministic
+  literals (seeded), so the plan is reproducible across runs/engines.
+- IVF-style coarse quantization: cells from a deterministic sample of
+  corpus vectors as centroids; probe the nearest cells only.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (dot(a, b) / (l2_norm(a) * l2_norm(b))).cast("double")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query (cross join + window)."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("c_vec"))
+    scored = q.crossJoin(c).select(
+        query_id,
+        corpus_id,
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature as a bigint bucket id."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        sign = F.when(dot(vec, lit_plane) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(sign)
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket; exact cosine
+    re-rank within the bucket. Recall grows with multi-probe (n_planes↓)
+    or multiple tables (seed sweep union)."""
+    from pyspark.sql import Window as W
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = q.join(c, "bucket").select(
+        query_id,
+        corpus_id,
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine_sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking + exact
+    verification (the embedding analogue of MinHash dedup)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,8 +1,286 @@
 """LLM-training-data pipeline operators over `documents` / `embeddings`.
 
-Populated incrementally: dedup (exact / minhash-LSH / simhash / n-gram
-Jaccard), similarity search (brute-force + LSH-bucketed cosine top-k),
-text analysis (lang-id, quality, token counts, fingerprints).
+Coverage (BASELINE.json north_star): exact dedup, n-gram Jaccard dedup,
+MinHash-LSH dedup, SimHash dedup, embedding-cosine near-dup, brute-force
+and LSH cosine top-k, text stats / quality / lang-id / fingerprints,
+multimodal feature plumbing. Oracles are provided wherever DuckDB can
+express the identical computation (including the LSH bucket path, whose
+hyperplanes are embedded as literals in generated SQL); hash-based
+sketches (xxhash64) have no DuckDB twin → rows-only checks.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kwwhat_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    whitespace_token_count,
+)
+from kwwhat_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from kwwhat_spark.operators.multimodal import extract_features, synthesize_media
+from kwwhat_spark.operators.similarity import (
+    _hyperplanes,
+    brute_force_topk,
+    cosine,
+    lsh_topk,
+)
+from kwwhat_spark.queries.catalog import query
+from kwwhat_spark.sources.testdata import load_table
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on content digest.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS copies
+    FROM documents GROUP BY md5(text)
+    """,
+    cite="LLM-ops: exact dedup (hash-groupBy)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (exact pairwise via shared-shingle inverted index).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in generate_series(1, len(t)-2)])
+                  ELSE [array_to_string(t, ' ')]
+             END AS shingles
+      FROM toks
+    ), counts AS (
+      SELECT doc_id, lang, shingles, len(shingles) AS shingle_count FROM sh
+    ), inverted AS (
+      SELECT doc_id, lang, UNNEST(shingles) AS shingle FROM counts
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM inverted a JOIN inverted b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.intersection AS DOUBLE)
+             / (ca.shingle_count + cb.shingle_count - s.intersection) AS jaccard
+    FROM shared s
+    JOIN counts ca ON ca.doc_id = s.doc_a
+    JOIN counts cb ON cb.doc_id = s.doc_b
+    WHERE CAST(s.intersection AS DOUBLE)
+             / (ca.shingle_count + cb.shingle_count - s.intersection) >= 0.5
+    """,
+    cite="LLM-ops: n-gram Jaccard near-dup (inverted-index pairing)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", block_col="lang", k=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH and SimHash near-dup (xxhash64 sketches → rows-only checks).
+# ---------------------------------------------------------------------------
+@query("dedup_minhash_lsh", oracle=None, cite="LLM-ops: MinHash+LSH near-dup", headline=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5)
+
+
+@query("dedup_simhash", oracle=None, cite="LLM-ops: SimHash near-dup (chunk blocking)")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: exact pairwise (oracle) — the LSH-blocked
+# variant is in similarity_lsh_topk.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cosine_exact",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.95
+    """,
+    cite="LLM-ops: embedding-cosine near-dup (exact)",
+)
+def dedup_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.95)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (exact baseline, oracle-checked).
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_topk",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cosine_sim
+      FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+      CROSS JOIN embeddings c
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, corpus_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    cite="LLM-ops: brute-force cosine top-k",
+    headline=True,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return brute_force_topk(queries, corpus, "query_id", "corpus_id", "embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# LSH cosine top-k — the scale path. The oracle replicates the bucket
+# computation exactly: the hyperplanes are deterministic literals embedded
+# into generated SQL.
+# ---------------------------------------------------------------------------
+_PLANES = _hyperplanes(dim=64, n_planes=8, seed=42)
+
+
+def _lsh_oracle() -> str:
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(_PLANES)
+    )
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, ({bucket_terms}) AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             round(list_cosine_similarity(q.emb, c.emb), 6) AS cosine_sim
+      FROM (SELECT * FROM bucketed WHERE vec_id < 20) q
+      JOIN bucketed c ON q.bucket = c.bucket
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, corpus_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@query(
+    "similarity_lsh_topk",
+    oracle=_lsh_oracle(),
+    cite="LLM-ops: LSH-bucketed cosine top-k (random hyperplanes)",
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return lsh_topk(
+        queries, corpus, "query_id", "corpus_id", "embedding",
+        k=5, dim=64, n_planes=8, seed=42,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text statistics (oracle-checked) and enrichment (heuristics, rows-only).
+# ---------------------------------------------------------------------------
+@query(
+    "text_stats",
+    oracle=r"""
+    SELECT lang, source,
+           COUNT(*) AS doc_count,
+           SUM(length(text)) AS total_chars,
+           SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS total_tokens,
+           CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    cite="LLM-ops: corpus token/char statistics",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(whitespace_token_count("text")).alias("total_tokens"),
+        (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@query(
+    "text_enrich",
+    oracle=None,
+    cite="LLM-ops: quality score, lang-id heuristic, fingerprint",
+)
+def text_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(quality_score("text"), 6).alias("quality"),
+        lang_id("text").alias("predicted_lang"),
+        doc_fingerprint("text").alias("fingerprint"),
+        whitespace_token_count("text").alias("token_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payloads → Arrow-batched feature extraction
+# (decode stubbed — no codecs in container; schema/batch path is real).
+# ---------------------------------------------------------------------------
+@query("multimodal_features", oracle=None, cite="LLM-ops: multimodal binary column plumbing")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(spark, n=64)
+    feats = extract_features(media, dim=16)
+    return feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("media_count"),
+        F.sum("payload_bytes").alias("total_bytes"),
+        F.countDistinct("content_sha256").alias("distinct_payloads"),
+        F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_feature_0"),
+    )

@@ -1,0 +1,102 @@
+"""Semantic checks for the LLM-data operators: the sketch paths must
+agree with their exact counterparts on planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kwwhat_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from kwwhat_spark.operators.multimodal import extract_features, synthesize_media
+from kwwhat_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup of 1
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "completely different content about spark query engines and shuffles ok"),
+        (6, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["keeper_id"]: r["copies"] for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert out[1] == 2  # docs 1 and 2 collapse
+    assert sum(out.values()) == 6
+
+
+def test_ngram_jaccard_finds_planted_pairs(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (4, 5) in pairs
+    assert not any(6 in p for p in pairs)
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    # LSH verification uses the same exact Jaccard → no false positives;
+    # banding with 8 bands of 4 has ~1 recall at jaccard ≥ 0.5 on these.
+    assert lsh <= exact
+    assert (1, 2) in lsh and (1, 3) in lsh
+
+
+def test_simhash_identical_docs_hamming_zero(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_lsh_topk_subset_of_brute_force_universe(spark, sf_dir):
+    from kwwhat_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    bf = brute_force_topk(q, c, k=5).collect()
+    lsh = lsh_topk(q, c, k=5).collect()
+    # Self-match is always rank 1 in both (cosine(v,v)=1, same bucket).
+    bf_self = {r["query_id"] for r in bf if r["rank"] == 1 and r["corpus_id"] == r["query_id"]}
+    lsh_self = {r["query_id"] for r in lsh if r["rank"] == 1 and r["corpus_id"] == r["query_id"]}
+    assert bf_self == {0, 1, 2, 3, 4}
+    assert lsh_self == {0, 1, 2, 3, 4}
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synthesize_media(spark, n=30)
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == 16
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+        assert len(r["content_sha256"]) == 64
+    # Determinism: same seed → same digests.
+    again = {r["media_id"]: r["content_sha256"] for r in extract_features(synthesize_media(spark, n=30), dim=16).collect()}
+    assert all(again[r["media_id"]] == r["content_sha256"] for r in feats)
