@@ -56,6 +56,36 @@ class Pipeline:
     # Models whose cached value should be replaced by a mock (unit tests
     # inject upstream fixtures exactly like dbt unit tests do).
     overrides: dict[str, DataFrame] = field(default_factory=dict)
+    # Incremental mode: prior state per model ("{{ this }}"). A model runs
+    # its is_incremental() branch iff its name is present here.
+    this_dfs: dict[str, DataFrame] = field(default_factory=dict)
+
+    def is_incremental(self, name: str) -> bool:
+        return name in self.this_dfs
+
+    def this(self, name: str) -> DataFrame:
+        return self.this_dfs[name]
+
+    def incremental_window(
+        self, name: str, buffer_minutes: int = 0
+    ) -> tuple[object, object, object]:
+        """Incremental batch window: from = max(incremental_ts of target),
+        to = from + 3 months, buffer_from = from - buffer
+        (macros/incremental_date_range.sql, is_incremental() path)."""
+        import datetime as dt
+
+        from_ts = self.scalar_max(self.this(name), "incremental_ts")
+        if from_ts is None:
+            from_ts = dt.datetime.fromisoformat(self.vars.start_processing_date)
+        import calendar
+
+        month = from_ts.month - 1 + self.vars.incremental_window_months
+        year = from_ts.year + month // 12
+        month = month % 12 + 1
+        day = min(from_ts.day, calendar.monthrange(year, month)[1])
+        to_ts = from_ts.replace(year=year, month=month, day=day)
+        buffer_from = from_ts - dt.timedelta(minutes=buffer_minutes)
+        return from_ts, buffer_from, to_ts
 
     def source(self, name: str) -> DataFrame:
         return self.sources[name]

@@ -23,9 +23,14 @@ from kwwhat_spark.models.base import Pipeline, model
 
 @model("fact_downtime_daily")
 def fact_downtime_daily(p: Pipeline) -> DataFrame:
-    from_ts, buffer_from, to_ts = p.full_refresh_window(
-        buffer_minutes=p.vars.downtime_buffer_minutes
-    )
+    if p.is_incremental("fact_downtime_daily"):
+        from_ts, buffer_from, to_ts = p.incremental_window(
+            "fact_downtime_daily", buffer_minutes=p.vars.downtime_buffer_minutes
+        )
+    else:
+        from_ts, buffer_from, to_ts = p.full_refresh_window(
+            buffer_minutes=p.vars.downtime_buffer_minutes
+        )
     ports = p.ref("int_ports").select("charger_id", "port_id")
     in_window = (F.col("incremental_ts") > F.lit(buffer_from)) & (
         F.col("incremental_ts") <= F.lit(to_ts)
@@ -198,7 +203,10 @@ def fact_uptime(p: Pipeline) -> DataFrame:
 @model("int_driver_aggregates")
 def int_driver_aggregates(p: Pipeline) -> DataFrame:
     attempts = p.ref("fact_charge_attempts")
-    from_ts, _, to_ts = p.full_refresh_window(buffer_minutes=30)
+    if p.is_incremental("int_driver_aggregates"):
+        from_ts, _, to_ts = p.incremental_window("int_driver_aggregates", buffer_minutes=30)
+    else:
+        from_ts, _, to_ts = p.full_refresh_window(buffer_minutes=30)
     att = attempts.filter(
         (F.col("incremental_ts") > F.lit(from_ts)) & (F.col("incremental_ts") <= F.lit(to_ts))
     ).select("id_tag", "id_tag_status", "charge_attempt_start_ts", "incremental_ts")
@@ -228,10 +236,46 @@ def int_driver_aggregates(p: Pipeline) -> DataFrame:
             "incremental_ts",
         )
     )
-    return known.select(
+    new_aggs = known.select(
         "id_tag", "first_seen_ts", "last_seen_ts",
         "first_authorization_status", "latest_authorization_status", "incremental_ts",
     ).unionByName(unknown)
+
+    if not p.is_incremental("int_driver_aggregates"):
+        return new_aggs
+
+    # Incremental recombination (int_driver_aggregates.sql final CTE):
+    # keep the older first-seen / newer last-seen and their statuses.
+    b = p.this("int_driver_aggregates").select(
+        F.col("id_tag").alias("b_id_tag"),
+        F.col("first_seen_ts").alias("b_first_seen_ts"),
+        F.col("last_seen_ts").alias("b_last_seen_ts"),
+        F.col("first_authorization_status").alias("b_first_status"),
+        F.col("latest_authorization_status").alias("b_latest_status"),
+    )
+    n = new_aggs.join(b, F.col("id_tag") == F.col("b_id_tag"), "left")
+    first_wins_new = F.col("b_first_seen_ts").isNull() | (
+        F.col("first_seen_ts") <= F.col("b_first_seen_ts")
+    )
+    last_wins_new = F.col("b_last_seen_ts").isNull() | (
+        F.col("last_seen_ts") >= F.col("b_last_seen_ts")
+    )
+    return n.select(
+        "id_tag",
+        F.when(first_wins_new, F.col("first_seen_ts")).otherwise(F.col("b_first_seen_ts")).alias(
+            "first_seen_ts"
+        ),
+        F.when(last_wins_new, F.col("last_seen_ts")).otherwise(F.col("b_last_seen_ts")).alias(
+            "last_seen_ts"
+        ),
+        F.when(first_wins_new, F.col("first_authorization_status"))
+        .otherwise(F.col("b_first_status"))
+        .alias("first_authorization_status"),
+        F.when(last_wins_new, F.col("latest_authorization_status"))
+        .otherwise(F.col("b_latest_status"))
+        .alias("latest_authorization_status"),
+        "incremental_ts",
+    )
 
 
 @model("dim_drivers")

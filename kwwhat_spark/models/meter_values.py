@@ -111,9 +111,12 @@ def _windowed_logs(p: Pipeline, from_ts, to_ts) -> DataFrame:
 @model("int_meter_values")
 def int_meter_values(p: Pipeline) -> DataFrame:
     logs = p.ref("stg_ocpp_logs")
-    from_ts, _, to_ts = p.full_refresh_window(
-        extra_from_caps=[p.scalar(logs, "ingested_timestamp")], buffer_minutes=30
-    )
+    if p.is_incremental("int_meter_values"):
+        from_ts, _, to_ts = p.incremental_window("int_meter_values", buffer_minutes=30)
+    else:
+        from_ts, _, to_ts = p.full_refresh_window(
+            extra_from_caps=[p.scalar(logs, "ingested_timestamp")], buffer_minutes=30
+        )
     windowed = _windowed_logs(p, from_ts, to_ts)
     incremental_ts = p.scalar_max(windowed, "ingested_ts")
 
@@ -164,6 +167,63 @@ def int_meter_values(p: Pipeline) -> DataFrame:
         )
     )
 
+    if p.is_incremental("int_meter_values"):
+        # Partial/final recombination with kept (avg, count) state —
+        # weighted average (int_meter_values.sql:199-248).
+        b = p.this("int_meter_values").select(
+            F.col("charger_id").alias("b_charger_id"),
+            F.col("connector_id").alias("b_connector_id"),
+            F.col("transaction_id").alias("b_transaction_id"),
+            F.col("ingested_ts").alias("b_ingested_ts"),
+            F.col("measurand").alias("b_measurand"),
+            F.col("unit").alias("b_unit"),
+            F.col("phase").alias("b_phase"),
+            F.col("first_measurement_ts").alias("b_first_ts"),
+            F.col("last_measurement_ts").alias("b_last_ts"),
+            F.col("min_value").alias("b_min"),
+            F.col("max_value").alias("b_max"),
+            F.col("avg_value").alias("b_avg"),
+            F.col("_count").alias("b_count"),
+        )
+        agg = (
+            agg.join(
+                b,
+                (F.col("charger_id") == F.col("b_charger_id"))
+                & (F.col("connector_id") == F.col("b_connector_id"))
+                & (F.col("transaction_id") == F.col("b_transaction_id"))
+                & (F.col("ingested_ts") == F.col("b_ingested_ts"))
+                & (F.col("measurand") == F.col("b_measurand"))
+                & (F.col("unit") == F.col("b_unit"))
+                & (F.col("phase") == F.col("b_phase")),
+                "left",
+            )
+            .select(
+                "charger_id", "transaction_id", "connector_id", "ingested_ts",
+                "measurand", "unit", "phase",
+                F.when(F.col("b_first_ts").isNull(), F.col("first_measurement_ts"))
+                .otherwise(F.least("first_measurement_ts", "b_first_ts"))
+                .alias("first_measurement_ts"),
+                F.when(F.col("b_last_ts").isNull(), F.col("last_measurement_ts"))
+                .otherwise(F.greatest("last_measurement_ts", "b_last_ts"))
+                .alias("last_measurement_ts"),
+                F.when(F.col("b_min").isNull(), F.col("min_value"))
+                .otherwise(F.least("min_value", "b_min"))
+                .alias("min_value"),
+                F.when(F.col("b_max").isNull(), F.col("max_value"))
+                .otherwise(F.greatest("max_value", "b_max"))
+                .alias("max_value"),
+                F.when(F.col("b_avg").isNull(), F.col("avg_value"))
+                .otherwise(
+                    (F.col("avg_value") * F.col("_count") + F.col("b_avg") * F.col("b_count"))
+                    / (F.col("_count") + F.col("b_count"))
+                )
+                .alias("avg_value"),
+                F.when(F.col("b_count").isNull(), F.col("_count"))
+                .otherwise(F.col("_count") + F.col("b_count"))
+                .alias("_count"),
+            )
+        )
+
     connectors = p.ref("int_connectors").select("charger_id", "connector_id", "port_id")
     chargers = p.ref("int_chargers").select("charger_id", "location_id")
     return (
@@ -183,9 +243,12 @@ def int_meter_values(p: Pipeline) -> DataFrame:
 def fact_interval_data(p: Pipeline) -> DataFrame:
     logs = p.ref("stg_ocpp_logs")
     imv = p.ref("int_meter_values")
-    from_ts, _, to_ts = p.full_refresh_window(
-        extra_from_caps=[p.scalar(logs, "ingested_timestamp")], buffer_minutes=30
-    )
+    if p.is_incremental("fact_interval_data"):
+        from_ts, _, to_ts = p.incremental_window("fact_interval_data", buffer_minutes=30)
+    else:
+        from_ts, _, to_ts = p.full_refresh_window(
+            extra_from_caps=[p.scalar(logs, "ingested_timestamp")], buffer_minutes=30
+        )
     cap = p.scalar_max(imv, "incremental_ts")
     if cap is not None:
         to_ts = min(to_ts, cap)
@@ -261,6 +324,48 @@ def fact_interval_data(p: Pipeline) -> DataFrame:
         F.avg(F.col("value").cast("float")).alias("avg_value"),
         F.count(F.lit(1)).alias("_count"),
     )
+
+    if p.is_incremental("fact_interval_data"):
+        b = p.this("fact_interval_data").select(
+            F.col("charger_id").alias("b_charger_id"),
+            F.col("connector_id").alias("b_connector_id"),
+            F.col("transaction_id").alias("b_transaction_id"),
+            F.col("ingested_ts").alias("b_ingested_ts"),
+            F.col("measurand").alias("b_measurand"),
+            F.col("unit").alias("b_unit"),
+            F.col("phase").alias("b_phase"),
+            F.col("meter_15min_interval_start").alias("b_interval_start"),
+            F.col("avg_value").alias("b_avg"),
+            F.col("_count").alias("b_count"),
+        )
+        agg = (
+            agg.join(
+                b,
+                (F.col("charger_id") == F.col("b_charger_id"))
+                & (F.col("connector_id") == F.col("b_connector_id"))
+                & (F.col("transaction_id") == F.col("b_transaction_id"))
+                & (F.col("ingested_ts") == F.col("b_ingested_ts"))
+                & (F.col("measurand") == F.col("b_measurand"))
+                & (F.col("unit") == F.col("b_unit"))
+                & (F.col("phase") == F.col("b_phase"))
+                & (F.col("meter_15min_interval_start") == F.col("b_interval_start")),
+                "left",
+            )
+            .select(
+                "charger_id", "transaction_id", "ingested_ts", "connector_id",
+                "port_id", "location_id", "measurand", "unit", "phase",
+                "meter_15min_interval_start", "meter_15min_interval_stop",
+                F.when(F.col("b_avg").isNull(), F.col("avg_value"))
+                .otherwise(
+                    (F.col("avg_value") * F.col("_count") + F.col("b_avg") * F.col("b_count"))
+                    / (F.col("_count") + F.col("b_count"))
+                )
+                .alias("avg_value"),
+                F.when(F.col("b_count").isNull(), F.col("_count"))
+                .otherwise(F.col("_count") + F.col("b_count"))
+                .alias("_count"),
+            )
+        )
 
     return agg.select(
         surrogate_key(

@@ -26,7 +26,10 @@ from kwwhat_spark.models.base import Pipeline, model
 def int_offline_outages(p: Pipeline) -> DataFrame:
     logs = p.ref("stg_ocpp_logs")
     chargers = p.ref("int_chargers")
-    from_ts, _, to_ts = p.full_refresh_window()
+    if p.is_incremental("int_offline_outages"):
+        from_ts, _, to_ts = p.incremental_window("int_offline_outages")
+    else:
+        from_ts, _, to_ts = p.full_refresh_window()
     cap = p.scalar_max(logs, "ingested_timestamp")
     if cap is not None:
         to_ts = min(to_ts, cap)
@@ -90,6 +93,31 @@ def int_offline_outages(p: Pipeline) -> DataFrame:
     )
 
     outages = leading.unionByName(between).unionByName(trailing).unionByName(silent)
+
+    if p.is_incremental("int_offline_outages"):
+        # Extend outages that ended exactly at the previous run boundary
+        # (int_offline_outages.sql:132-150).
+        prev = p.this("int_offline_outages").filter(
+            F.col("to_ts") == F.lit(from_ts)
+        ).select(
+            F.col("charger_id").alias("p_charger_id"),
+            F.col("from_ts").alias("p_from_ts"),
+            F.col("to_ts").alias("p_to_ts"),
+        )
+        outages = (
+            outages.join(
+                prev,
+                (F.col("charger_id") == F.col("p_charger_id"))
+                & (F.col("p_to_ts") == F.col("from_ts")),
+                "left",
+            )
+            .select(
+                "charger_id",
+                F.least(F.coalesce("p_from_ts", "from_ts"), F.col("from_ts")).alias("from_ts"),
+                F.greatest(F.coalesce("p_to_ts", "to_ts"), F.col("to_ts")).alias("to_ts"),
+            )
+        )
+
     duration_s = (
         F.unix_timestamp(F.date_trunc("second", F.col("to_ts")))
         - F.unix_timestamp(F.date_trunc("second", F.col("from_ts")))
@@ -110,7 +138,13 @@ def int_offline_outages(p: Pipeline) -> DataFrame:
 @model("int_faulted_outages")
 def int_faulted_outages(p: Pipeline) -> DataFrame:
     status_changes = p.ref("int_status_changes")
-    from_ts, _, to_ts = p.full_refresh_window()
+    if p.is_incremental("int_faulted_outages"):
+        from_ts, _, to_ts = p.incremental_window("int_faulted_outages")
+        cap = p.scalar_max(status_changes, "incremental_ts")
+        if cap is not None:
+            to_ts = min(to_ts, cap)
+    else:
+        from_ts, _, to_ts = p.full_refresh_window()
 
     windowed = status_changes.filter(
         (F.col("incremental_ts") > F.lit(from_ts)) & (F.col("incremental_ts") <= F.lit(to_ts))

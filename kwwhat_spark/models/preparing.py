@@ -27,7 +27,12 @@ from kwwhat_spark.models.transactions import _extract
 def int_connector_preparing(p: Pipeline) -> DataFrame:
     status_changes = p.ref("int_status_changes")
     logs = p.ref("stg_ocpp_logs")
-    from_ts, buffer_from, to_ts = p.full_refresh_window(buffer_minutes=30)
+    if p.is_incremental("int_connector_preparing"):
+        from_ts, buffer_from, to_ts = p.incremental_window(
+            "int_connector_preparing", buffer_minutes=30
+        )
+    else:
+        from_ts, buffer_from, to_ts = p.full_refresh_window(buffer_minutes=30)
     # to_timestamp capped by upstream watermarks (int_connector_preparing.sql
     # to_timestamp_caps).
     caps = [
@@ -158,6 +163,60 @@ def int_connector_preparing(p: Pipeline) -> DataFrame:
         F.sort_array(F.collect_set("transaction_id")).alias("transaction_ids"),
         F.sort_array(F.collect_set("error_code")).alias("error_codes"),
     )
+
+    if p.is_incremental("int_connector_preparing"):
+        # Merge with prior open anchors (b.next_status is null) on the full
+        # anchor key; coalesce precedence is asymmetric by design —
+        # new-wins for status/next_*, old-wins for previous_*
+        # (int_connector_preparing.sql:214-233).
+        from kwwhat_spark.functions.core import array_concat_nullaware
+
+        bcols = [
+            "charger_id", "connector_id", "unique_id", "ingested_ts",
+            "previous_status", "status", "next_status", "confirmation_ingested_ts",
+            "previous_ingested_ts", "next_ingested_ts", "previous_payload_ts",
+            "next_payload_ts", "id_tags", "id_tag_statuses", "parent_id_tags",
+            "transaction_ids", "error_codes",
+        ]
+        b = p.this("int_connector_preparing").filter(F.col("next_status").isNull()).select(
+            *[F.col(c).alias(f"b_{c}") for c in bcols]
+        )
+        agg = (
+            agg.join(
+                b,
+                (F.col("charger_id") == F.col("b_charger_id"))
+                & (F.col("connector_id") == F.col("b_connector_id"))
+                & (F.col("unique_id") == F.col("b_unique_id"))
+                & (F.col("ingested_ts") == F.col("b_ingested_ts")),
+                "left",
+            )
+            .select(
+                "charger_id", "connector_id", "unique_id", "ingested_ts", "payload_ts",
+                F.coalesce("previous_status", "b_previous_status").alias("previous_status"),
+                F.coalesce("status", "b_status").alias("status"),
+                F.coalesce("next_status", "b_next_status").alias("next_status"),
+                F.coalesce("confirmation_ingested_ts", "b_confirmation_ingested_ts").alias(
+                    "confirmation_ingested_ts"
+                ),
+                F.coalesce("b_previous_ingested_ts", "previous_ingested_ts").alias(
+                    "previous_ingested_ts"
+                ),
+                F.coalesce("next_ingested_ts", "b_next_ingested_ts").alias("next_ingested_ts"),
+                F.coalesce("b_previous_payload_ts", "previous_payload_ts").alias(
+                    "previous_payload_ts"
+                ),
+                F.coalesce("next_payload_ts", "b_next_payload_ts").alias("next_payload_ts"),
+                *[
+                    F.array_sort(
+                        F.array_distinct(
+                            array_concat_nullaware(F.col(c), F.col(f"b_{c}"))
+                        )
+                    ).alias(c)
+                    for c in ["id_tags", "id_tag_statuses", "parent_id_tags",
+                              "transaction_ids", "error_codes"]
+                ],
+            )
+        )
 
     connectors = p.ref("int_connectors").select("charger_id", "connector_id", "port_id")
     chargers = p.ref("int_chargers").select("charger_id", "location_id")

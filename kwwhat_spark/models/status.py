@@ -29,9 +29,14 @@ def _payload_str(path: str, when_actions: list[str] | str):
 @model("int_status_changes")
 def int_status_changes(p: Pipeline) -> DataFrame:
     logs = p.ref("stg_ocpp_logs")
-    from_ts, _, to_ts = p.full_refresh_window(
-        extra_from_caps=[p.scalar(logs, "ingested_timestamp")], buffer_minutes=30
-    )
+    if p.is_incremental("int_status_changes"):
+        from_ts, buffer_from, to_ts = p.incremental_window(
+            "int_status_changes", buffer_minutes=30
+        )
+    else:
+        from_ts, buffer_from, to_ts = p.full_refresh_window(
+            extra_from_caps=[p.scalar(logs, "ingested_timestamp")], buffer_minutes=30
+        )
 
     ocpp_logs = logs.select(
         "charger_id", "action", "ingested_timestamp", "message_type_id", "payload", "unique_id"
@@ -94,12 +99,48 @@ def int_status_changes(p: Pipeline) -> DataFrame:
         )
     )
 
+    # New rows carry null previous_*; in incremental mode the buffer
+    # (open rows from the prior state, next_status null, inside the
+    # look-back window) is unioned in WITH its stored previous_* so the
+    # lag window can stitch across the batch boundary
+    # (int_status_changes.sql:90-146).
+    base_cols = [
+        "charger_id", "connector_id", "port_id", "ingested_ts", "unique_id",
+        "status", "error_code", "payload", "payload_ts", "confirmation_ingested_ts",
+    ]
+    with_null_prev = with_conf.select(
+        *base_cols,
+        F.lit(None).cast("string").alias("previous_status"),
+        F.lit(None).cast("timestamp").alias("previous_ingested_ts"),
+        F.lit(None).cast("timestamp").alias("previous_payload_ts"),
+    )
+    if p.is_incremental("int_status_changes"):
+        buffer = (
+            p.this("int_status_changes")
+            .filter(
+                (F.col("ingested_ts") >= F.lit(buffer_from))
+                & (F.col("ingested_ts") <= F.lit(from_ts))
+                & F.col("next_status").isNull()
+            )
+            .select(
+                *base_cols,
+                "previous_status", "previous_ingested_ts", "previous_payload_ts",
+            )
+        )
+        statuses_with_buffer = with_null_prev.unionByName(buffer)
+    else:
+        statuses_with_buffer = with_null_prev
+
     w = W.partitionBy("charger_id", "connector_id").orderBy("ingested_ts")
-    with_lag = with_conf.select(
-        "*",
-        F.lag("status").over(w).alias("previous_status"),
-        F.lag("ingested_ts").over(w).alias("previous_ingested_ts"),
-        F.lag("payload_ts").over(w).alias("previous_payload_ts"),
+    with_lag = statuses_with_buffer.select(
+        *base_cols,
+        F.coalesce("previous_status", F.lag("status").over(w)).alias("previous_status"),
+        F.coalesce("previous_ingested_ts", F.lag("ingested_ts").over(w)).alias(
+            "previous_ingested_ts"
+        ),
+        F.coalesce("previous_payload_ts", F.lag("payload_ts").over(w)).alias(
+            "previous_payload_ts"
+        ),
     )
     changes = with_lag.filter(
         F.col("previous_status").isNull() | (F.col("previous_status") != F.col("status"))
@@ -118,12 +159,15 @@ def int_status_changes(p: Pipeline) -> DataFrame:
 @model("int_connector_latest_status")
 def int_connector_latest_status(p: Pipeline) -> DataFrame:
     changes = p.ref("int_status_changes")
-    from_ts, _, _ = p.full_refresh_window()
+    if p.is_incremental("int_connector_latest_status"):
+        from_ts, _, _ = p.incremental_window("int_connector_latest_status")
+    else:
+        from_ts, _, _ = p.full_refresh_window()
     source = changes.filter(
         F.col("next_status").isNull() & (F.col("ingested_ts") >= F.lit(from_ts))
     )
     w_all = W.partitionBy()
-    return source.select(
+    out = source.select(
         "charger_id",
         "connector_id",
         "port_id",
@@ -131,4 +175,18 @@ def int_connector_latest_status(p: Pipeline) -> DataFrame:
         F.col("error_code").alias("latest_error_code"),
         F.col("ingested_ts").alias("latest_status_ts"),
         F.max("ingested_ts").over(w_all).alias("incremental_ts"),
+    )
+    # One row per merge key (charger, connector, port): in incremental mode
+    # a stale open row from a prior batch (never closed because its
+    # successor fell outside the 30-min look-back buffer,
+    # int_status_changes.sql:90-109) can coexist with the current open row.
+    # The reference's MERGE would see two source rows for one key —
+    # nondeterministic; we resolve deterministically to the newest status.
+    w_latest = W.partitionBy("charger_id", "connector_id", "port_id").orderBy(
+        F.col("latest_status_ts").desc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w_latest))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )

@@ -19,14 +19,123 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from kwwhat_spark.functions.core import datediff_boundary, surrogate_key
+from kwwhat_spark.functions.core import (
+    array_concat_nullaware,
+    datediff_boundary,
+    surrogate_key,
+)
 from kwwhat_spark.models.base import Pipeline, model
+
+
+def _buffer_from(p: Pipeline):
+    return p.incremental_window("fact_visits", buffer_minutes=30)[1]
+
+
+def _merge_with_buffer(p: Pipeline, new_visits: DataFrame, buffer_from) -> DataFrame:
+    """Incremental visit extension (fact_visits.sql:277-405): pull back
+    recent visits, retro-infer id_tags from adjacent new authorized visits,
+    then extend buffered visits whose window reaches a new visit's start."""
+    vb_cols = [
+        "location_id", "charger_ids", "id_tag", "visit_start_ts", "visit_end_ts",
+        "charge_attempt_count", "charge_attempt_ids", "total_energy_transferred_kwh",
+        "first_charge_attempt_id", "first_charger_id", "first_port_id",
+        "last_charge_attempt_id", "last_charger_id", "last_port_id", "is_successful",
+    ]
+    buffer = p.this("fact_visits").filter(
+        F.col("visit_end_ts") >= F.lit(buffer_from)
+    ).select(*vb_cols)
+
+    # Retroactive id-tag inference: an unauthorized buffered visit followed
+    # (≤2 min, same charger+port) by a new authorized visit takes its tag.
+    auth = new_visits.filter(F.col("id_tag").isNotNull()).select(
+        F.col("id_tag").alias("auth_id_tag"),
+        F.col("first_charger_id").alias("auth_first_charger_id"),
+        F.col("first_port_id").alias("auth_first_port_id"),
+        F.col("visit_start_ts").alias("auth_visit_start_ts"),
+    )
+    buffer = (
+        buffer.join(
+            auth,
+            F.col("id_tag").isNull()
+            & (F.col("last_charger_id") == F.col("auth_first_charger_id"))
+            & (F.col("last_port_id") == F.col("auth_first_port_id"))
+            & (F.col("visit_end_ts") < F.col("auth_visit_start_ts"))
+            & (
+                F.unix_timestamp("auth_visit_start_ts")
+                <= F.unix_timestamp("visit_end_ts") + 2 * 60
+            ),
+            "left",
+        )
+        .select(
+            *[c for c in vb_cols if c != "id_tag"],
+            F.coalesce("id_tag", "auth_id_tag").alias("id_tag"),
+        )
+    )
+    buffer = buffer.select(
+        *[F.col(c).alias(f"b_{c}") for c in vb_cols],
+        F.when(
+            F.col("id_tag").isNotNull(),
+            F.concat_ws("_", "location_id", "id_tag"),
+        )
+        .otherwise(F.concat_ws("_", "location_id", "last_charger_id", "last_port_id"))
+        .alias("b_grouping_key"),
+    )
+
+    merged = new_visits.join(
+        buffer,
+        (F.col("b_grouping_key") == F.col("grouping_key"))
+        & (F.col("b_visit_end_ts") < F.col("visit_start_ts"))
+        & (
+            F.unix_timestamp("visit_start_ts")
+            <= F.unix_timestamp("b_visit_end_ts") + F.col("time_window_minutes") * 60
+        ),
+        "left",
+    )
+    return merged.select(
+        F.coalesce("b_location_id", "location_id").alias("location_id"),
+        F.coalesce("b_id_tag", "id_tag").alias("id_tag"),
+        F.coalesce("b_visit_start_ts", "visit_start_ts").alias("visit_start_ts"),
+        "visit_end_ts",
+        (F.coalesce("b_charge_attempt_count", F.lit(0)) + F.col("charge_attempt_count")).alias(
+            "charge_attempt_count"
+        ),
+        F.array_sort(
+            F.array_distinct(
+                array_concat_nullaware(
+                    F.col("b_charge_attempt_ids"), F.col("charge_attempt_ids")
+                )
+            )
+        ).alias("charge_attempt_ids"),
+        F.array_sort(
+            F.array_distinct(
+                array_concat_nullaware(F.col("b_charger_ids"), F.col("charger_ids"))
+            )
+        ).alias("charger_ids"),
+        (
+            F.coalesce("b_total_energy_transferred_kwh", F.lit(0))
+            + F.col("total_energy_transferred_kwh")
+        ).alias("total_energy_transferred_kwh"),
+        "is_successful",
+        F.coalesce("b_first_charge_attempt_id", "first_charge_attempt_id").alias(
+            "first_charge_attempt_id"
+        ),
+        "last_charge_attempt_id",
+        F.coalesce("b_first_charger_id", "first_charger_id").alias("first_charger_id"),
+        "last_charger_id",
+        F.coalesce("b_first_port_id", "first_port_id").alias("first_port_id"),
+        "last_port_id",
+        "grouping_key",
+        "time_window_minutes",
+    )
 
 
 @model("fact_visits")
 def fact_visits(p: Pipeline) -> DataFrame:
     attempts_src = p.ref("fact_charge_attempts")
-    from_ts, _, to_ts = p.full_refresh_window(buffer_minutes=30)
+    if p.is_incremental("fact_visits"):
+        from_ts, _, to_ts = p.incremental_window("fact_visits", buffer_minutes=30)
+    else:
+        from_ts, _, to_ts = p.full_refresh_window(buffer_minutes=30)
     cap = p.scalar_max(attempts_src, "incremental_ts")
     if cap is not None:
         to_ts = min(to_ts, cap)
@@ -183,6 +292,9 @@ def fact_visits(p: Pipeline) -> DataFrame:
         F.min(F.when(F.col("is_first_attempt"), F.col("port_id"))).alias("first_port_id"),
         F.max(F.when(F.col("is_last_attempt"), F.col("port_id"))).alias("last_port_id"),
     )
+
+    if p.is_incremental("fact_visits"):
+        new_visits = _merge_with_buffer(p, new_visits, buffer_from=_buffer_from(p))
 
     return new_visits.select(
         surrogate_key("location_id", "first_charger_id", "first_port_id", "visit_start_ts")

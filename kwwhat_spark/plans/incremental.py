@@ -1,0 +1,134 @@
+"""Incremental batch runner — the reference's per-batch lifecycle
+(SURVEY §3.2): window computation → windowed scan → buffer re-read →
+transform → MERGE upsert on the model's unique key.
+
+State store: versioned parquet directories (the container has no Delta;
+the merge is expressed as left_anti(old, key) ∪ new, which is exactly
+what Delta's MERGE whenMatched-update/whenNotMatched-insert produces for
+full-row updates). On a real deployment swap ParquetStateStore for a
+Delta/Iceberg-backed store and `MERGE INTO` — the runner contract is
+identical. Cluster-scale notes: each version write is a new directory
+(no in-place mutation → safe concurrent readers); the anti-join shuffles
+only on the unique key, and AQE handles key skew.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kwwhat_spark.models.base import MODELS, Pipeline
+
+# Merge keys per incremental model (reference per-model `unique_key`).
+UNIQUE_KEYS: dict[str, list[str]] = {
+    "int_status_changes": ["charger_id", "connector_id", "ingested_ts"],
+    "int_connector_latest_status": ["charger_id", "connector_id", "port_id"],
+    "int_connector_preparing": ["charger_id", "connector_id", "ingested_ts"],
+    "int_transactions": ["charger_id", "connector_id", "ingested_ts"],
+    "int_meter_values": [
+        "charger_id", "transaction_id", "ingested_ts", "connector_id",
+        "measurand", "unit", "phase",
+    ],
+    "int_driver_aggregates": ["id_tag"],
+    "int_faulted_outages": ["charger_id", "port_id", "from_ts"],
+    "int_offline_outages": ["charger_id", "from_ts"],
+    "fact_charge_attempts": ["charger_id", "connector_id", "charge_attempt_start_ts"],
+    "fact_visits": ["location_id", "first_charger_id", "first_port_id", "visit_start_ts"],
+    "fact_interval_data": [
+        "charger_id", "transaction_id", "ingested_ts", "connector_id",
+        "measurand", "unit", "phase", "meter_15min_interval_start",
+    ],
+    "fact_downtime_daily": ["date_id", "charger_id", "port_id", "reason"],
+}
+
+# Execution order for a batch (upstream before downstream).
+INCREMENTAL_ORDER = [
+    "int_status_changes",
+    "int_connector_latest_status",
+    "int_transactions",
+    "int_connector_preparing",
+    "fact_charge_attempts",
+    "fact_visits",
+    "int_driver_aggregates",
+    "int_faulted_outages",
+    "int_offline_outages",
+    "fact_downtime_daily",
+    "int_meter_values",
+    "fact_interval_data",
+]
+
+
+class ParquetStateStore:
+    """Versioned parquet state: state_dir/<model>/v<N>/ + _latest pointer."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _pointer(self, name: str) -> str:
+        return os.path.join(self.state_dir, name, "_latest.json")
+
+    def read(self, name: str) -> DataFrame | None:
+        ptr = self._pointer(name)
+        if not os.path.exists(ptr):
+            return None
+        version = json.load(open(ptr))["version"]
+        return self.spark.read.parquet(os.path.join(self.state_dir, name, f"v{version}"))
+
+    def write(self, name: str, df: DataFrame) -> None:
+        ptr = self._pointer(name)
+        version = (json.load(open(ptr))["version"] + 1) if os.path.exists(ptr) else 0
+        path = os.path.join(self.state_dir, name, f"v{version}")
+        df.write.mode("overwrite").parquet(path)
+        with open(ptr, "w") as f:
+            json.dump({"version": version}, f)
+        # Retire old versions (keep previous for debugging).
+        for old in range(version - 1):
+            shutil.rmtree(os.path.join(self.state_dir, name, f"v{old}"), ignore_errors=True)
+
+    def merge(self, name: str, new: DataFrame, keys: list[str]) -> None:
+        """MERGE semantics: rows in `new` replace state rows with the same
+        key; all other state rows are kept."""
+        existing = self.read(name)
+        if existing is None:
+            self.write(name, new)
+            return
+        keep = existing.join(new.select(*keys).distinct(), keys, "left_anti")
+        self.write(name, keep.unionByName(new.select(*existing.columns)))
+
+
+class IncrementalRunner:
+    """Executes incremental batches over a mutable source set."""
+
+    def __init__(self, spark: SparkSession, store: ParquetStateStore, vars=None):
+        from kwwhat_spark.config import VARS
+
+        self.spark = spark
+        self.store = store
+        self.vars = vars or VARS
+
+    def run_batch(self, sources: dict[str, DataFrame], models: list[str] | None = None) -> None:
+        models = models or INCREMENTAL_ORDER
+        this_dfs = {}
+        for name in models:
+            prior = self.store.read(name)
+            if prior is not None:
+                this_dfs[name] = prior
+        pipe = Pipeline(
+            spark=self.spark, sources=sources, vars=self.vars, this_dfs=this_dfs
+        )
+        for name in models:
+            out = pipe.ref(name)
+            self.store.merge(name, out, UNIQUE_KEYS[name])
+            # dbt semantics: downstream ref() of an incremental model sees
+            # the MERGED table, not just this batch's output rows.
+            pipe.overrides[name] = self.store.read(name)
+
+    def table(self, name: str) -> DataFrame:
+        df = self.store.read(name)
+        assert df is not None, f"no state for {name}"
+        return df

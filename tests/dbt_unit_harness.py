@@ -89,6 +89,22 @@ INPUT_SCHEMAS: dict[str, str] = {
         "duration_minutes double, incremental_ts timestamp"
     ),
     "dim_dates": "date_id date, date_day date",
+    "int_connector_latest_status": (
+        "charger_id string, connector_id string, port_id string, "
+        "latest_status string, latest_error_code string, latest_status_ts timestamp, "
+        "incremental_ts timestamp"
+    ),
+    "fact_visits": (
+        "visit_id string, location_key string, driver_key string, "
+        "first_port_key string, last_port_key string, location_id string, "
+        "charger_ids array<string>, id_tag string, visit_start_ts timestamp, "
+        "visit_end_ts timestamp, charge_attempt_count long, "
+        "charge_attempt_ids array<string>, total_energy_transferred_kwh decimal(38,6), "
+        "first_charge_attempt_id string, last_charge_attempt_id string, "
+        "first_charger_id string, last_charger_id string, "
+        "first_port_id string, last_port_id string, is_successful boolean, "
+        "grouping_key string, visit_duration_minutes long, incremental_ts timestamp"
+    ),
     "int_driver_aggregates": (
         "id_tag string, first_seen_ts timestamp, last_seen_ts timestamp, "
         "first_authorization_status string, latest_authorization_status string, "

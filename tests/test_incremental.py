@@ -1,0 +1,158 @@
+"""Replay the reference's incremental-mode dbt unit tests (SURVEY §5.2,
+`overrides.macros.is_incremental: true`) against our models.
+
+The mocked `this` input becomes the model's prior state
+(`Pipeline.this_dfs`), so the model executes its is_incremental() branch:
+window from max(incremental_ts of this), buffer re-read, merge logic.
+Like dbt, we compare the model's *output batch* (the rows that would be
+MERGEd), not the post-merge table — the merge itself is covered by the
+IncrementalRunner tests below.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import pytest
+
+from kwwhat_spark.config import VARS
+from kwwhat_spark.models import Pipeline
+from tests.dbt_unit_harness import (
+    build_input_df,
+    input_name,
+    load_unit_tests,
+    rows_match,
+)
+
+INTERMEDIATE = Path("/root/reference/models/intermediate/unit_tests.yml")
+MARTS = Path("/root/reference/models/marts/unit_tests.yml")
+
+ALL_TESTS = {t["name"]: t for t in load_unit_tests(INTERMEDIATE) + load_unit_tests(MARTS)}
+
+INCREMENTAL_TESTS = sorted(
+    name
+    for name, t in ALL_TESTS.items()
+    if t.get("overrides", {}).get("macros", {}).get("is_incremental", False)
+    and t.get("config", {}).get("enabled", True) is not False
+)
+
+
+@pytest.mark.parametrize("name", INCREMENTAL_TESTS)
+def test_dbt_incremental_unit(spark, name):
+    t = ALL_TESTS[name]
+    overrides: dict = {}
+    this_dfs: dict = {}
+    for given in t["given"]:
+        iname = input_name(given["input"])
+        if iname == "this":
+            this_dfs[t["model"]] = build_input_df(spark, t["model"], given)
+        else:
+            overrides[iname] = build_input_df(spark, iname, given)
+    vars_over = t.get("overrides", {}).get("vars", {})
+    pvars = dataclasses.replace(VARS, **vars_over) if vars_over else VARS
+    pipe = Pipeline(
+        spark=spark, sources={}, overrides=overrides, vars=pvars, this_dfs=this_dfs
+    )
+    out = pipe.ref(t["model"])
+    ok, msg = rows_match(t["expect"]["rows"] or [], out.collect())
+    assert ok, f"{name}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: feeding the 14-day demo seed through the IncrementalRunner in
+# three cumulative batches must converge to the same state as one
+# full-refresh run (the reference's incremental models are designed to be
+# refresh-equivalent; late/boundary handling via buffers, SURVEY §2.8).
+# ---------------------------------------------------------------------------
+
+import datetime as dt
+import decimal
+
+from pyspark.sql import functions as F
+
+from kwwhat_spark.plans.incremental import (
+    INCREMENTAL_ORDER,
+    IncrementalRunner,
+    ParquetStateStore,
+)
+from kwwhat_spark.sources.ocpp import load_ocpp_sources
+
+
+def _norm(v):
+    if isinstance(v, decimal.Decimal):
+        return round(float(v), 6)
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rows_key(df, cols):
+    return sorted(
+        (tuple(_norm(r[c]) for c in cols) for r in df.collect()), key=repr
+    )
+
+
+# Columns whose value links rows ACROSS a batch boundary. The reference's
+# look-back buffer is 30 minutes (int_status_changes.sql:90-109): an open
+# row older than that is never stitched to its successor in incremental
+# mode, by design — dbt running the reference SQL produces the same
+# divergence from full refresh. We therefore compare those columns only
+# implicitly (via the unit tests that replay the reference's own
+# incremental expectations) and exclude them from refresh-equivalence.
+_BOUNDARY_LINK_COLS = {
+    "int_status_changes": {
+        "previous_status", "previous_ingested_ts", "previous_payload_ts",
+        "next_status", "next_ingested_ts", "next_payload_ts",
+    },
+    "int_connector_preparing": {
+        "previous_status", "previous_ingested_ts", "previous_payload_ts",
+        "next_status", "next_ingested_ts", "next_payload_ts",
+    },
+    "fact_charge_attempts": {"previous_status", "next_status"},
+}
+# int_status_changes additionally keeps boundary rows that full refresh
+# drops as non-changes (previous unknown at the boundary => treated as a
+# change, exactly like the reference): incremental is a superset.
+_SUPERSET_OK = {"int_status_changes"}
+
+
+def test_incremental_runner_converges_to_full_refresh(spark, tmp_path):
+    sources = load_ocpp_sources(spark)
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    runner = IncrementalRunner(spark, store)
+
+    # Cumulative source snapshots: data "arrives" between runs.
+    for cutoff in ["2025-10-06T00", "2025-10-11T00", None]:
+        logs = sources["raw_ocpp_logs"]
+        if cutoff is not None:
+            logs = logs.filter(F.col("timestamp") < cutoff)
+        runner.run_batch({**sources, "raw_ocpp_logs": logs})
+
+    full = Pipeline(spark=spark, sources=sources)
+    mismatches = []
+    for name in INCREMENTAL_ORDER:
+        expected = full.ref(name)
+        actual = store.read(name)
+        skip = {"incremental_ts"} | _BOUNDARY_LINK_COLS.get(name, set())
+        cols = [c for c in expected.columns if c not in skip]
+        exp, act = _rows_key(expected, cols), _rows_key(actual.select(*expected.columns), cols)
+        if name in _SUPERSET_OK:
+            missing = [r for r in exp if r not in act]
+            if missing:
+                mismatches.append(f"{name}: full-refresh rows missing from incremental: {missing[:3]}")
+            continue
+        if exp != act:
+            only_exp = [r for r in exp if r not in act][:3]
+            only_act = [r for r in act if r not in exp][:3]
+            mismatches.append(
+                f"{name}: {len(exp)} full-refresh vs {len(act)} incremental rows;"
+                f"\n  only in full: {only_exp}\n  only in incr: {only_act}"
+            )
+    assert not mismatches, "\n".join(mismatches)
