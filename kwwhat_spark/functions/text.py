@@ -15,6 +15,21 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def let_(expr: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate `expr` ONCE per row and
+    pass the bound value to `body`.
+
+    Catalyst inlines projection columns into their consumers, so an
+    expression referenced N times inside higher-order functions is
+    re-evaluated N times per row — e.g. a MinHash that reads a shingle
+    array once per seed re-runs the whole tokenize+shingle pipeline 32×
+    (measured 100× slowdown at sf0.1). `transform` over a single-element
+    array is the expression-level let: the lambda argument is evaluated
+    once and bound. Pure expression — stays in whole-stage codegen.
+    """
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def whitespace_token_count(text: Column | str) -> Column:
     """Tokens = non-empty whitespace-separated chunks."""
     c = _col(text)
@@ -40,15 +55,18 @@ def char_shingles(text: Column | str, k: int = 3) -> Column:
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """k-word shingles (space-joined), for MinHash/Jaccard on documents."""
-    toks = F.filter(F.split(_col(text), r"\s+"), lambda t: t != "")
-    n = F.size(toks)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    def shingle(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    return let_(F.filter(F.split(_col(text), r"\s+"), lambda t: t != ""), shingle)
 
 
 def punctuation_ratio(text: Column | str) -> Column:
@@ -69,17 +87,23 @@ _STOPWORDS = (
 
 
 def stopword_ratio(text: Column | str) -> Column:
-    toks = F.filter(F.split(F.lower(_col(text)), r"\s+"), lambda t: t != "")
-    stops = F.filter(toks, lambda t: t.isin(_STOPWORDS))
-    return (F.size(stops) / F.greatest(F.size(toks), F.lit(1))).cast("double")
+    return let_(
+        F.filter(F.split(F.lower(_col(text)), r"\s+"), lambda t: t != ""),
+        lambda toks: (
+            F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
+            / F.greatest(F.size(toks), F.lit(1))
+        ).cast("double"),
+    )
 
 
 def mean_word_length(text: Column | str) -> Column:
-    toks = F.filter(F.split(_col(text), r"\s+"), lambda t: t != "")
-    return (
-        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-        / F.greatest(F.size(toks), F.lit(1))
-    ).cast("double")
+    return let_(
+        F.filter(F.split(_col(text), r"\s+"), lambda t: t != ""),
+        lambda toks: (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1))
+        ).cast("double"),
+    )
 
 
 def quality_score(text: Column | str) -> Column:
@@ -134,32 +158,47 @@ def doc_fingerprint(text: Column | str) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per seed i, min over shingles of xxhash64(s, i).
-    Pure expression — vectorized, no UDF."""
-    def seed_min(i):
-        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+    """MinHash signature: hash each shingle string ONCE (xxhash64), then
+    derive the per-seed hash family from the 64-bit value
+    (xxhash64(h, seed)) — 8-byte rehash instead of re-hashing the string
+    per seed. Pure expression, single pass over the shingle array per
+    seed, shingle array bound once (let_)."""
 
-    return F.array(*[seed_min(i) for i in range(num_hashes)])
+    def from_hashed(hashed: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(F.transform(hashed, lambda h: F.xxhash64(h, F.lit(i))))
+                for i in range(num_hashes)
+            ]
+        )
+
+    return let_(F.transform(shingles, lambda s: F.xxhash64(s)), from_hashed)
 
 
 def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash over a token array: sign-sum per bit of xxhash64."""
-    h = F.transform(tokens, lambda t: F.xxhash64(t))
+    """64-bit SimHash over a token array: sign-sum per bit of xxhash64.
+    Token hashes are computed once and let_-bound; the 64 bit votes then
+    iterate over 8-byte longs only."""
 
-    def bit_vote(mask):
-        return F.aggregate(
-            h,
-            F.lit(0).cast("long"),
-            lambda acc, x: acc
-            + F.when(x.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        )
+    def from_hashed(h: Column) -> Column:
+        def bit_vote(mask):
+            return F.aggregate(
+                h,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc
+                + F.when(x.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            )
 
-    bits = []
-    for b in range(64):
-        # Two's-complement literal: bit 63 is the sign bit of a long.
-        mask = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
-        bits.append(F.when(bit_vote(mask) > 0, mask).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+        bits = []
+        for b in range(64):
+            # Two's-complement literal: bit 63 is the sign bit of a long.
+            mask = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            bits.append(
+                F.when(bit_vote(mask) > 0, mask).otherwise(F.lit(0).cast("long"))
+            )
+        out = bits[0]
+        for b in bits[1:]:
+            out = out.bitwiseOR(b)
+        return out
+
+    return let_(F.transform(tokens, lambda t: F.xxhash64(t)), from_hashed)

@@ -99,21 +99,39 @@ def minhash_lsh_pairs(
     Jaccard on the shingle sets (standard shingle→minhash→band→bucket-join
     pipeline)."""
     rows = bands and num_hashes // bands
-    base = df.select(
+    shingled = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    )
 
-    banded = base.select(
+    # Band rows carry (doc_id, band_idx, band_hash) ONLY — the shingle
+    # arrays never enter the 8×-exploded shuffle. At 100 TB the bucket
+    # join moves a few long columns; document payloads are fetched by the
+    # verification join below, for colliding candidates only. (On a real
+    # cluster, persist/checkpoint `shingled` to avoid recomputing the
+    # signature scan on each side of the self-join.)
+    def band_hashes(sig: Column) -> Column:
+        return F.array(
+            *[
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig, i + 1)
+                            for i in range(b * rows, (b + 1) * rows)
+                        ],
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+
+    from kwwhat_spark.functions.text import let_
+
+    banded = shingled.select(
         "doc_id",
-        "shingles",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.concat_ws(",", *[F.col("sig")[i] for i in range(b * rows, (b + 1) * rows)]))
-                    for b in range(bands)
-                ]
-            )
+            let_(minhash_signature(F.col("shingles"), num_hashes), band_hashes)
         ).alias("band_idx", "band_hash"),
     )
     a = banded.alias("a")
@@ -128,15 +146,27 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = (
+        candidates.join(
+            shingled.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            shingled.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        candidates.withColumn("jaccard", (inter / union).cast("double"))
+        verified.withColumn("jaccard", (inter / union).cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

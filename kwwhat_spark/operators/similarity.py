@@ -48,12 +48,26 @@ def brute_force_topk(
     """Exact cosine top-k per query (cross join + window)."""
     from pyspark.sql import Window as W
 
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("c_vec"))
+    # Norms are computed once per row BEFORE the join — inside the join
+    # only the O(dim) dot product runs per pair (3 passes/pair → 1).
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = q.crossJoin(c).select(
         query_id,
         corpus_id,
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        F.round(
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")))
+            .cast("double"),
+            6,
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col(corpus_id).asc()
@@ -102,17 +116,23 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     scored = q.join(c, "bucket").select(
         query_id,
         corpus_id,
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        F.round(
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")))
+            .cast("double"),
+            6,
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id).asc())
     return (
@@ -137,6 +157,7 @@ def cosine_near_dup_pairs(
     base = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("norm"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     a = base.alias("a")
@@ -149,7 +170,13 @@ def cosine_near_dup_pairs(
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine_sim"),
+            F.round(
+                (
+                    dot(F.col("a.vec"), F.col("b.vec"))
+                    / (F.col("a.norm") * F.col("b.norm"))
+                ).cast("double"),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
