@@ -1,0 +1,244 @@
+"""Structured Streaming variants of the OCPP pipeline core.
+
+The reference is batch/incremental only (SURVEY §2.9); its analogues map
+directly onto Structured Streaming primitives, which is what a live
+deployment of this engine would run between the incremental batch runs:
+
+- 30-min late-data buffer            → `withWatermark`
+- request↔confirmation ≤15 s join   → stream-stream join with event-time
+  bound (int_status_changes.sql:80-84)
+- lag()-based status change-points  → per-key state via
+  `applyInPandasWithState` (int_status_changes.sql:164-189)
+- 15-min interval aggregation        → windowed agg with watermark
+  (fact_interval_data.sql:54-63)
+
+Every transformation here accepts the staged stream (same envelope-split
+expressions as the batch `stg_ocpp_logs` — row-wise, streaming-safe) and
+returns an unbounded DataFrame; callers pick sink/trigger/output mode.
+Scale notes: state is keyed by (charger_id, connector_id) — partition
+count = key cardinality, no global state; the stream-stream join keys on
+unique_id with watermarked buffers on both sides, so executor state is
+bounded by (rate × watermark).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kwwhat_spark.config import VARS, PipelineVars
+from kwwhat_spark.models.meter_values import _meter_measurements
+from kwwhat_spark.sources.ocpp import OCPP_LOGS_SCHEMA
+
+
+def read_ocpp_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of raw OCPP log CSVs (same schema as the batch
+    reader; swap for Kafka/Kinesis by replacing this reader only)."""
+    reader = (
+        spark.readStream.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .schema(OCPP_LOGS_SCHEMA)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.csv(path)
+
+
+def stage_stream(raw: DataFrame, vars: PipelineVars = VARS) -> DataFrame:
+    """Envelope split — identical expressions to batch stg_ocpp_logs
+    (stg_ocpp_logs.sql:14-36); row-wise, so streaming-safe."""
+    msg_type = F.get_json_object("msg", "$[0]")
+    return raw.select(
+        F.col("timestamp").cast("timestamp").alias("ingested_timestamp"),
+        F.col("id").cast("string").alias("charger_id"),
+        F.col("action").cast("string").alias("action"),
+        msg_type.cast("string").alias("message_type_id"),
+        F.get_json_object("msg", "$[1]").cast("string").alias("unique_id"),
+        F.when(msg_type == vars.call_message_type_id, F.get_json_object("msg", "$[3]"))
+        .when(
+            msg_type == vars.callresult_message_type_id,
+            F.get_json_object("msg", "$[2]"),
+        )
+        .alias("payload"),
+    )
+
+
+def stream_request_confirmations(
+    staged: DataFrame,
+    vars: PipelineVars = VARS,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Stream-stream correlation of CALLs with their CALLRESULTs on
+    unique_id within [0, +15 s] (int_status_changes.sql:80-84). Both
+    sides are watermarked, so Spark bounds the join buffers; unmatched
+    requests age out after the watermark."""
+    requests = (
+        staged.filter(
+            (F.col("message_type_id") == vars.call_message_type_id)
+            & F.col("action").isNotNull()
+        )
+        .select(
+            F.col("charger_id").alias("req_charger_id"),
+            "action",
+            F.col("unique_id").alias("req_unique_id"),
+            F.col("ingested_timestamp").alias("req_ts"),
+            F.col("payload").alias("req_payload"),
+        )
+        .withWatermark("req_ts", watermark)
+    )
+    confirmations = (
+        staged.filter(F.col("message_type_id") == vars.callresult_message_type_id)
+        .select(
+            F.col("unique_id").alias("conf_unique_id"),
+            F.col("ingested_timestamp").alias("conf_ts"),
+            F.col("payload").alias("conf_payload"),
+        )
+        .withWatermark("conf_ts", watermark)
+    )
+    return requests.join(
+        confirmations,
+        (F.col("req_unique_id") == F.col("conf_unique_id"))
+        & (F.col("conf_ts") >= F.col("req_ts"))
+        & (
+            F.col("conf_ts")
+            <= F.col("req_ts")
+            + F.expr(f"interval {vars.message_response_interval_seconds} seconds")
+        ),
+        "inner",
+    ).select(
+        F.col("req_charger_id").alias("charger_id"),
+        "action",
+        F.col("req_unique_id").alias("unique_id"),
+        F.col("req_ts").alias("ingested_ts"),
+        "req_payload",
+        F.col("conf_ts").alias("confirmation_ingested_ts"),
+        "conf_payload",
+    )
+
+
+_STATUS_OUT_SCHEMA = (
+    "charger_id string, connector_id string, ingested_ts timestamp, "
+    "status string, error_code string, payload_ts timestamp, "
+    "previous_status string, previous_ingested_ts timestamp"
+)
+_STATUS_STATE_SCHEMA = "last_status string, last_ingested_ts timestamp"
+
+
+def _status_change_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-(charger, connector) change-point detection: the streaming
+    equivalent of lag(status) + `status != previous` filter
+    (int_status_changes.sql:164-189). State = last seen (status, ts)."""
+    last_status, last_ts = state.get if state.exists else (None, None)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ingested_ts")
+        for row in pdf.itertuples(index=False):
+            if row.status != last_status:
+                out.append(
+                    (
+                        key[0],
+                        key[1],
+                        row.ingested_ts,
+                        row.status,
+                        row.error_code,
+                        row.payload_ts,
+                        last_status,
+                        last_ts,
+                    )
+                )
+            last_status, last_ts = row.status, row.ingested_ts
+    state.update((last_status, last_ts))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "charger_id", "connector_id", "ingested_ts", "status",
+                "error_code", "payload_ts", "previous_status",
+                "previous_ingested_ts",
+            ],
+        )
+
+
+def stream_status_changes(staged: DataFrame, vars: PipelineVars = VARS) -> DataFrame:
+    """Stateful status change-points per connector. Arrow-batched state
+    function; state size = one (status, ts) pair per connector."""
+    events = staged.filter(
+        (F.col("action") == "StatusNotification")
+        & (F.col("message_type_id") == vars.call_message_type_id)
+    ).select(
+        "charger_id",
+        F.get_json_object("payload", "$.connectorId").cast("string").alias(
+            "connector_id"
+        ),
+        F.col("ingested_timestamp").alias("ingested_ts"),
+        F.get_json_object("payload", "$.status").alias("status"),
+        F.get_json_object("payload", "$.errorCode").alias("error_code"),
+        F.get_json_object("payload", "$.timestamp").cast("timestamp").alias(
+            "payload_ts"
+        ),
+    )
+    return events.groupBy("charger_id", "connector_id").applyInPandasWithState(
+        _status_change_fn,
+        outputStructType=_STATUS_OUT_SCHEMA,
+        stateStructType=_STATUS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_interval_data(
+    staged: DataFrame,
+    vars: PipelineVars = VARS,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """15-minute interval averages per (charger, connector, measurand,
+    unit, phase) over MeterValues sampled values — F.window gives exactly
+    the reference's bucket starts (fact_interval_data.sql:54-63); the
+    watermark is the streaming form of the 30-min late-data buffer."""
+    measurements = _meter_measurements(
+        staged.select(
+            "charger_id",
+            "action",
+            F.col("ingested_timestamp").alias("ingested_ts"),
+            "message_type_id",
+            "payload",
+        )
+    ).filter(F.col("value").isNotNull() & (F.col("value") != ""))
+    return (
+        measurements.withColumn(
+            "meter_ts", F.coalesce("meter_timestamp", "log_ingested_ts")
+        )
+        .withWatermark("meter_ts", watermark)
+        .groupBy(
+            F.window("meter_ts", "15 minutes").alias("interval"),
+            "charger_id",
+            "connector_id",
+            "measurand",
+            "unit",
+            "phase",
+        )
+        .agg(
+            F.avg(F.col("value").cast("double")).alias("avg_value"),
+            F.count(F.lit(1)).alias("measurement_count"),
+        )
+        .select(
+            F.col("interval.start").alias("interval_start_ts"),
+            F.col("interval.end").alias("interval_stop_ts"),
+            "charger_id",
+            "connector_id",
+            "measurand",
+            "unit",
+            "phase",
+            "avg_value",
+            "measurement_count",
+        )
+    )

@@ -1,0 +1,129 @@
+"""Structured Streaming pipeline tests: stream the 14-day demo seed
+through each streaming transformation (availableNow trigger → memory
+sink) and compare against the equivalent batch computation."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kwwhat_spark.models import Pipeline
+from kwwhat_spark.models.meter_values import _meter_measurements
+from kwwhat_spark.sources.ocpp import DEMO_SEED_DIR, load_ocpp_sources
+from kwwhat_spark.streaming import (
+    read_ocpp_stream,
+    stage_stream,
+    stream_interval_data,
+    stream_request_confirmations,
+    stream_status_changes,
+)
+
+SEED_LOGS = f"{DEMO_SEED_DIR}/ocpp_1_6_synthetic_logs_14d.csv"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ocpp_stream")
+    shutil.copy(SEED_LOGS, d / "logs.csv")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def batch_pipe(spark):
+    return Pipeline(spark=spark, sources=load_ocpp_sources(spark))
+
+
+def _run_stream(spark, df, name, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_status_changes_matches_batch(spark, stream_dir, batch_pipe):
+    staged = stage_stream(read_ocpp_stream(spark, stream_dir))
+    out = _run_stream(
+        spark, stream_status_changes(staged), "stream_status_changes", "append"
+    ).collect()
+    assert out
+
+    batch = batch_pipe.ref("int_status_changes").collect()
+    key = lambda r: (r["charger_id"], r["connector_id"], r["ingested_ts"])
+    stream_rows = {key(r): (r["status"], r["previous_status"]) for r in out}
+    batch_rows = {key(r): (r["status"], r["previous_status"]) for r in batch}
+    assert stream_rows == batch_rows
+
+
+def test_stream_request_confirmations_matches_batch(spark, stream_dir, batch_pipe):
+    staged = stage_stream(read_ocpp_stream(spark, stream_dir))
+    out = _run_stream(
+        spark,
+        stream_request_confirmations(staged),
+        "stream_req_conf",
+        "append",
+    )
+    stream_count = out.count()
+    assert stream_count > 0
+
+    logs = batch_pipe.ref("stg_ocpp_logs")
+    req = logs.filter((F.col("message_type_id") == "2") & F.col("action").isNotNull())
+    conf = logs.filter(F.col("message_type_id") == "3").select(
+        F.col("unique_id").alias("c_uid"),
+        F.col("ingested_timestamp").alias("conf_ts"),
+    )
+    batch_count = req.join(
+        conf,
+        (F.col("unique_id") == F.col("c_uid"))
+        & (F.col("conf_ts") >= F.col("ingested_timestamp"))
+        & (F.col("conf_ts") <= F.col("ingested_timestamp") + F.expr("interval 15 seconds")),
+    ).count()
+    assert stream_count == batch_count
+
+
+def test_stream_interval_data_matches_batch(spark, stream_dir, batch_pipe):
+    staged = stage_stream(read_ocpp_stream(spark, stream_dir))
+    out = _run_stream(
+        spark, stream_interval_data(staged), "stream_intervals", "complete"
+    ).collect()
+    assert out
+
+    measurements = _meter_measurements(
+        batch_pipe.ref("stg_ocpp_logs").select(
+            "charger_id",
+            "action",
+            F.col("ingested_timestamp").alias("ingested_ts"),
+            "message_type_id",
+            "payload",
+        )
+    ).filter(F.col("value").isNotNull() & (F.col("value") != ""))
+    batch = (
+        measurements.withColumn(
+            "meter_ts", F.coalesce("meter_timestamp", "log_ingested_ts")
+        )
+        .groupBy(
+            F.window("meter_ts", "15 minutes").alias("interval"),
+            "charger_id", "connector_id", "measurand", "unit", "phase",
+        )
+        .agg(
+            F.avg(F.col("value").cast("double")).alias("avg_value"),
+            F.count(F.lit(1)).alias("measurement_count"),
+        )
+        .collect()
+    )
+
+    def key(r):
+        return (
+            r["interval_start_ts"] if "interval_start_ts" in r.asDict() else r["interval"]["start"],
+            r["charger_id"], r["connector_id"], r["measurand"], r["unit"], r["phase"],
+        )
+
+    stream_map = {key(r): (round(r["avg_value"], 6), r["measurement_count"]) for r in out}
+    batch_map = {key(r): (round(r["avg_value"], 6), r["measurement_count"]) for r in batch}
+    assert stream_map == batch_map
