@@ -1,0 +1,120 @@
+"""CLI — the `dbt build` equivalent for the PySpark engine.
+
+  python -m kwwhat_spark build       --seed-dir D --out DIR   # full refresh → parquet marts
+  python -m kwwhat_spark incremental --seed-dir D --state DIR # one merge batch into state
+  python -m kwwhat_spark check       --seed-dir D             # declared schema tests
+  python -m kwwhat_spark metrics     --seed-dir D [--group-by DIM ...]
+
+`--seed-dir` defaults to the reference demo seed. All subcommands build
+the model DAG lazily — each only executes its own upstream subgraph.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+from kwwhat_spark.models.base import MODELS, VIEW_MODELS, Pipeline
+from kwwhat_spark.sources.ocpp import DEMO_SEED_DIR, load_ocpp_sources
+
+
+def _session(args) -> SparkSession:
+    from kwwhat_spark.session import get_spark
+
+    return get_spark(
+        app_name="kwh-spark-cli",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=int(args.cpus),
+    )
+
+
+def cmd_build(spark: SparkSession, args) -> int:
+    pipe = Pipeline(spark=spark, sources=load_ocpp_sources(spark, args.seed_dir))
+    names = args.models or [m for m in MODELS if m not in VIEW_MODELS]
+    for name in names:
+        df = pipe.ref(name)
+        if args.out:
+            path = os.path.join(args.out, name)
+            df.write.mode("overwrite").parquet(path)
+            print(f"{name}: {df.count()} rows -> {path}")
+        else:
+            print(f"{name}: {df.count()} rows")
+    return 0
+
+
+def cmd_incremental(spark: SparkSession, args) -> int:
+    from kwwhat_spark.plans.incremental import (
+        INCREMENTAL_ORDER,
+        IncrementalRunner,
+        ParquetStateStore,
+    )
+
+    store = ParquetStateStore(spark, args.state)
+    runner = IncrementalRunner(spark, store)
+    runner.run_batch(load_ocpp_sources(spark, args.seed_dir))
+    for name in INCREMENTAL_ORDER:
+        print(f"{name}: {store.read(name).count()} rows in state")
+    return 0
+
+
+def cmd_check(spark: SparkSession, args) -> int:
+    from kwwhat_spark.quality import load_checks_yaml, run_checks
+
+    checks = load_checks_yaml(args.checks)
+    pipe = Pipeline(spark=spark, sources=load_ocpp_sources(spark, args.seed_dir))
+    violations = run_checks(pipe.ref, checks)
+    for v in violations:
+        print(f"{v.check.severity.upper()} {v.check.name}: {v.failing_rows} failing rows")
+    errors = [v for v in violations if v.check.severity == "error"]
+    print(f"{len(checks)} checks, {len(violations)} violations ({len(errors)} errors)")
+    return 1 if errors else 0
+
+
+def cmd_metrics(spark: SparkSession, args) -> int:
+    from kwwhat_spark.metrics import METRICS, query_metrics
+
+    pipe = Pipeline(spark=spark, sources=load_ocpp_sources(spark, args.seed_dir))
+    names = args.metrics or sorted(METRICS)
+    df = query_metrics(pipe, names, group_by=args.group_by or [])
+    df.show(100, truncate=False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="kwwhat_spark")
+    parser.add_argument("--seed-dir", default=DEMO_SEED_DIR)
+    parser.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_build = sub.add_parser("build", help="full-refresh the model DAG")
+    p_build.add_argument("--out", default=None, help="write marts as parquet here")
+    p_build.add_argument("--models", nargs="*", default=None)
+
+    p_inc = sub.add_parser("incremental", help="run one incremental merge batch")
+    p_inc.add_argument("--state", required=True, help="state-store directory")
+
+    p_check = sub.add_parser("check", help="run declared schema tests")
+    p_check.add_argument("--checks", default=None, help="checks yml (default: shipped)")
+
+    p_metrics = sub.add_parser("metrics", help="compute semantic-layer metrics")
+    p_metrics.add_argument("--metrics", nargs="*", default=None)
+    p_metrics.add_argument("--group-by", nargs="*", default=None)
+
+    args = parser.parse_args(argv)
+    spark = _session(args)
+    try:
+        return {
+            "build": cmd_build,
+            "incremental": cmd_incremental,
+            "check": cmd_check,
+            "metrics": cmd_metrics,
+        }[args.command](spark, args)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

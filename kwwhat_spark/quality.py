@@ -142,6 +142,32 @@ def run_checks(
     return violations
 
 
+def load_checks_yaml(path: str | None = None) -> list[Check]:
+    """Load the engine's declared schema-test contract
+    (kwwhat_spark/checks.yml by default) into Check objects."""
+    import os
+
+    import yaml
+
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "checks.yml")
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    checks: list[Check] = []
+    for m in doc.get("models", []):
+        for c in m.get("checks", []):
+            checks.append(
+                Check(
+                    model=m["model"],
+                    kind=c["kind"],
+                    column=c.get("column"),
+                    params=c.get("params", {}),
+                    severity=c.get("severity", "error"),
+                )
+            )
+    return checks
+
+
 def freshness_status(
     df: DataFrame,
     ts_col: str,

@@ -1,0 +1,55 @@
+"""CLI subcommand tests (direct invocation with the shared session)."""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from kwwhat_spark.__main__ import cmd_build, cmd_check, cmd_incremental, cmd_metrics
+from kwwhat_spark.quality import load_checks_yaml
+from kwwhat_spark.sources.ocpp import DEMO_SEED_DIR
+
+
+def _args(tmp_path, **kw):
+    base = dict(
+        seed_dir=DEMO_SEED_DIR,
+        checks=None,
+        metrics=["total_visits", "first_attempt_success_rate"],
+        group_by=[],
+        models=["dim_ports", "fact_location_capacity"],
+        out=str(tmp_path / "marts"),
+        state=str(tmp_path / "state"),
+    )
+    base.update(kw)
+    return SimpleNamespace(**base)
+
+
+def test_shipped_checks_parse():
+    checks = load_checks_yaml()
+    assert len(checks) > 200
+    kinds = {c.kind for c in checks}
+    assert kinds == {
+        "not_null", "unique", "accepted_values", "unique_combination",
+        "expression", "accepted_range", "relationships",
+    }
+
+
+def test_cmd_build_writes_marts(spark, tmp_path):
+    args = _args(tmp_path)
+    assert cmd_build(spark, args) == 0
+    out = spark.read.parquet(str(tmp_path / "marts" / "dim_ports"))
+    assert out.count() == 4
+
+
+def test_cmd_check_passes_on_seed(spark, tmp_path):
+    assert cmd_check(spark, _args(tmp_path)) == 0
+
+
+def test_cmd_metrics_runs(spark, tmp_path, capsys):
+    assert cmd_metrics(spark, _args(tmp_path)) == 0
+    assert "total_visits" in capsys.readouterr().out
+
+
+def test_cmd_incremental_builds_state(spark, tmp_path):
+    assert cmd_incremental(spark, _args(tmp_path)) == 0
+    state = spark.read.parquet(str(tmp_path / "state" / "fact_visits" / "v0"))
+    assert state.count() > 0
