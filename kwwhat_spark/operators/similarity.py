@@ -142,6 +142,95 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    `n_cells` cells (centroids = a deterministic hash-ordered sample of
+    corpus vectors), probe each query's `n_probe` nearest cells, exact
+    cosine re-rank inside the probed cells.
+
+    Scale shape: the corpus is scanned once to assign cells (a pure
+    projection against broadcast centroid literals — no shuffle); the
+    probe join shuffles on cell id only, so each query touches
+    ~n_probe/n_cells of the corpus. n_probe = n_cells degenerates to
+    exact brute force (useful as the correctness oracle).
+    """
+    from pyspark.sql import Window as W
+
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    # Deterministic centroid sample: first n_cells corpus vectors in
+    # xxhash64(id) order (at 100 TB: sample() + takeOrdered instead).
+    centroids = [
+        (row["c_vec"], float(row["c_norm"]))
+        for row in c.orderBy(F.xxhash64(F.col(corpus_id).cast("string")))
+        .limit(n_cells)
+        .collect()
+    ]
+
+    def cell_sims(vec: Column, norm: Column) -> list[Column]:
+        out = []
+        for i, (cvec, cnorm) in enumerate(centroids):
+            lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+            out.append(
+                F.struct(
+                    (dot(vec, lit_vec) / (norm * F.lit(cnorm))).alias("sim"),
+                    F.lit(i).alias("cell"),
+                )
+            )
+        return out
+
+    assigned = c.withColumn(
+        "cell", F.greatest(*cell_sims(F.col("c_vec"), F.col("c_norm"))).getField("cell")
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    probes = q.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(F.array(*cell_sims(F.col("q_vec"), F.col("q_norm"))))
+                    ),
+                    1,
+                    n_probe,
+                ),
+                lambda s: s.getField("cell"),
+            )
+        ),
+    )
+    scored = probes.join(assigned, "cell").select(
+        query_id,
+        corpus_id,
+        F.round(
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")))
+            .cast("double"),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine_sim", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -227,6 +227,28 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "similarity_ivf_topk",
+    oracle=None,  # approximate by construction; recall vs brute force is
+    #               asserted in tests/test_llm_ops.py
+    cite="LLM-ops: IVF coarse-quantized cosine top-k (multi-probe)",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    from kwwhat_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        queries, corpus, "query_id", "corpus_id", "embedding",
+        k=5, n_cells=16, n_probe=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text statistics (oracle-checked) and enrichment (heuristics, rows-only).
 # ---------------------------------------------------------------------------

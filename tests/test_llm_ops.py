@@ -89,6 +89,44 @@ def test_lsh_topk_subset_of_brute_force_universe(spark, sf_dir):
     assert lsh_self == {0, 1, 2, 3, 4}
 
 
+def test_ivf_topk_full_probe_equals_brute_force(spark, sf_dir):
+    from kwwhat_spark.operators.similarity import ivf_topk
+    from kwwhat_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    bf = {(r["query_id"], r["rank"]): r["corpus_id"] for r in brute_force_topk(q, c, k=5).collect()}
+    # Probing every cell degenerates to exact search.
+    full = {
+        (r["query_id"], r["rank"]): r["corpus_id"]
+        for r in ivf_topk(q, c, k=5, n_cells=8, n_probe=8).collect()
+    }
+    assert full == bf
+
+
+def test_ivf_topk_partial_probe_recall(spark, sf_dir):
+    from kwwhat_spark.operators.similarity import ivf_topk
+    from kwwhat_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    bf = {(r["query_id"], r["corpus_id"]) for r in brute_force_topk(q, c, k=5).collect()}
+    ivf = {
+        (r["query_id"], r["corpus_id"])
+        for r in ivf_topk(q, c, k=5, n_cells=8, n_probe=3).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.5, f"recall@5 {recall}"
+    # The query's own vector is in its nearest cell: self-match always found.
+    assert all((i, i) in ivf for i in range(10))
+
+
 def test_multimodal_feature_plumbing(spark):
     media = synthesize_media(spark, n=30)
     feats = extract_features(media, dim=16).collect()
