@@ -94,15 +94,27 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, verified with exact
     Jaccard on the shingle sets (standard shingle→minhash→band→bucket-join
-    pipeline)."""
+    pipeline).
+
+    persist_shingles caches the (doc_id, shingles) stage: it is consumed
+    four times (both sides of the band self-join and both sides of the
+    verification join), and recomputing tokenize+shingle per consumer is
+    the dominant cost. This is the single-node analogue of checkpointing
+    the signature table in a 100 TB run; pass False to keep the plan
+    fully lazy."""
+    from pyspark.storagelevel import StorageLevel
+
     rows = bands and num_hashes // bands
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
     )
+    if persist_shingles:
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Band rows carry (doc_id, band_idx, band_hash) ONLY — the shingle
     # arrays never enter the 8×-exploded shuffle. At 100 TB the bucket
