@@ -32,7 +32,11 @@ def _session(args) -> SparkSession:
 
 
 def cmd_build(spark: SparkSession, args) -> int:
-    pipe = Pipeline(spark=spark, sources=load_ocpp_sources(spark, args.seed_dir))
+    pipe = Pipeline(
+        spark=spark,
+        sources=load_ocpp_sources(spark, args.seed_dir),
+        cache_views=("stg_ocpp_logs",),
+    )
     names = args.models or [m for m in MODELS if m not in VIEW_MODELS]
     for name in names:
         df = pipe.ref(name)

@@ -119,7 +119,11 @@ class IncrementalRunner:
             if prior is not None:
                 this_dfs[name] = prior
         pipe = Pipeline(
-            spark=self.spark, sources=sources, vars=self.vars, this_dfs=this_dfs
+            spark=self.spark,
+            sources=sources,
+            vars=self.vars,
+            this_dfs=this_dfs,
+            cache_views=("stg_ocpp_logs",),
         )
         for name in models:
             out = pipe.ref(name)
@@ -127,6 +131,8 @@ class IncrementalRunner:
             # dbt semantics: downstream ref() of an incremental model sees
             # the MERGED table, not just this batch's output rows.
             pipe.overrides[name] = self.store.read(name)
+        # Outputs are durable in the state store; drop the batch's caches.
+        pipe.unpersist_all()
 
     def table(self, name: str) -> DataFrame:
         df = self.store.read(name)
