@@ -1,0 +1,119 @@
+"""Property-based cross-engine tests (hypothesis) for the audited scalar
+helpers — SURVEY §7 risks 1 (boundary datediff), 4 (array semantics) and
+the surrogate-key formula. Each property compares the Spark expression
+against DuckDB evaluating the reference's own SQL on the same randomized
+inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kwwhat_spark.functions.core import (
+    bucket_15min,
+    datediff_boundary,
+    surrogate_key,
+)
+
+TS = st.datetimes(
+    min_value=dt.datetime(2020, 1, 1),
+    max_value=dt.datetime(2030, 12, 31),
+).map(lambda d: d.replace(microsecond=0))
+
+_SETTINGS = dict(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    return con
+
+
+def _batch_compare(spark, duck, rows, spark_expr, duck_sql_per_row):
+    df = spark.createDataFrame(rows, "a timestamp, b timestamp")
+    got = [r["v"] for r in df.select(spark_expr.alias("v")).collect()]
+    want = [
+        duck.execute(duck_sql_per_row, [a, b]).fetchone()[0] for a, b in rows
+    ]
+    assert got == want, list(zip(rows, got, want))
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(TS, TS), min_size=1, max_size=20))
+def test_datediff_minute_matches_duckdb(spark, duck, pairs):
+    _batch_compare(
+        spark, duck, pairs,
+        datediff_boundary("minute", F.col("a"), F.col("b")),
+        "select datediff('minute', ?::timestamp, ?::timestamp)",
+    )
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(TS, TS), min_size=1, max_size=20))
+def test_datediff_second_matches_duckdb(spark, duck, pairs):
+    _batch_compare(
+        spark, duck, pairs,
+        datediff_boundary("second", F.col("a"), F.col("b")),
+        "select datediff('second', ?::timestamp, ?::timestamp)",
+    )
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(TS, TS), min_size=1, max_size=20))
+def test_datediff_day_matches_duckdb(spark, duck, pairs):
+    _batch_compare(
+        spark, duck, pairs,
+        datediff_boundary("day", F.col("a"), F.col("b")),
+        "select datediff('day', ?::timestamp, ?::timestamp)",
+    )
+
+
+@settings(**_SETTINGS)
+@given(st.lists(TS, min_size=1, max_size=20))
+def test_bucket_15min_matches_reference_formula(spark, duck, stamps):
+    rows = [(t, t) for t in stamps]
+    _batch_compare(
+        spark, duck, rows,
+        bucket_15min(F.col("a")),
+        # The reference's own bucket expression (int_meter_values.sql:156-160).
+        "select date_trunc('minute', ?::timestamp) "
+        " - interval (minute(?::timestamp) % 15) minute",
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="'"),
+                max_size=20,
+            )),
+            st.one_of(st.none(), st.integers(min_value=-10**9, max_value=10**9)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_surrogate_key_matches_dbt_formula(spark, duck, rows):
+    df = spark.createDataFrame(rows, "a string, b long")
+    got = [r["v"] for r in df.select(surrogate_key("a", "b").alias("v")).collect()]
+    want = [
+        duck.execute(
+            "select md5(coalesce(?::varchar, '_dbt_utils_surrogate_key_null_')"
+            " || '-' || coalesce(?::varchar, '_dbt_utils_surrogate_key_null_'))",
+            [a, b],
+        ).fetchone()[0]
+        for a, b in rows
+    ]
+    assert got == want
