@@ -4,6 +4,7 @@ from kwwhat_spark.streaming.ocpp import (
     stream_interval_data,
     stream_request_confirmations,
     stream_status_changes,
+    stream_visit_sessions,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "stream_interval_data",
     "stream_request_confirmations",
     "stream_status_changes",
+    "stream_visit_sessions",
 ]

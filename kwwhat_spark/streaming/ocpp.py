@@ -195,6 +195,55 @@ def stream_status_changes(staged: DataFrame, vars: PipelineVars = VARS) -> DataF
     )
 
 
+def stream_visit_sessions(
+    staged: DataFrame,
+    vars: PipelineVars = VARS,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Charge-activity sessions per charger via `F.session_window` — the
+    streaming analogue of the batch visit grouping's gaps-and-islands
+    (SURVEY §2.9: session windows done in batch). A session extends while
+    consecutive charge-flow events arrive within `gap_minutes`; the
+    watermark closes sessions once event time passes end+gap.
+
+    Exact parity with the batch fact_visits mart is not the contract here
+    (visits chain on attempt stop→start with boundary-minute semantics);
+    this is the canonical streaming sessionization over the same event
+    stream, validated against an independent batch gaps-and-islands
+    computation in tests.
+    """
+    events = staged.filter(
+        (F.col("message_type_id") == vars.call_message_type_id)
+        & F.col("action").isin(list(vars.transaction_actions))
+    ).select(
+        "charger_id",
+        F.col("ingested_timestamp").alias("event_ts"),
+        "action",
+    )
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(
+            F.session_window("event_ts", f"{gap_minutes} minutes").alias("session"),
+            "charger_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.min("event_ts").alias("first_event_ts"),
+            F.max("event_ts").alias("last_event_ts"),
+            F.sort_array(F.collect_set("action")).alias("actions"),
+        )
+        .select(
+            "charger_id",
+            F.col("session.start").alias("session_start_ts"),
+            "first_event_ts",
+            "last_event_ts",
+            "event_count",
+            "actions",
+        )
+    )
+
+
 def stream_interval_data(
     staged: DataFrame,
     vars: PipelineVars = VARS,

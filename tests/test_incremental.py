@@ -135,6 +135,13 @@ def test_incremental_runner_converges_to_full_refresh(spark, tmp_path):
             logs = logs.filter(F.col("timestamp") < cutoff)
         runner.run_batch({**sources, "raw_ocpp_logs": logs})
 
+    # A no-new-data batch must be a no-op (empty-batch watermarks are
+    # null; merges of empty outputs leave state untouched).
+    before = {n: store.read(n).count() for n in INCREMENTAL_ORDER}
+    runner.run_batch(sources)
+    after = {n: store.read(n).count() for n in INCREMENTAL_ORDER}
+    assert after == before
+
     full = Pipeline(spark=spark, sources=sources)
     mismatches = []
     for name in INCREMENTAL_ORDER:

@@ -87,6 +87,70 @@ def test_stream_request_confirmations_matches_batch(spark, stream_dir, batch_pip
     assert stream_count == batch_count
 
 
+def test_stream_visit_sessions_match_batch_islands(spark, stream_dir, batch_pipe):
+    from kwwhat_spark.streaming import stream_visit_sessions
+
+    staged = stage_stream(read_ocpp_stream(spark, stream_dir))
+    out = _run_stream(
+        spark,
+        stream_visit_sessions(staged, gap_minutes=30),
+        "stream_sessions",
+        "complete",
+    ).collect()
+    assert out
+
+    # Independent batch computation: gaps-and-islands with the same
+    # session_window semantics (new session when event gap >= 30 min).
+    from pyspark.sql import Window as W
+
+    events = batch_pipe.ref("stg_ocpp_logs").filter(
+        (F.col("message_type_id") == "2")
+        & F.col("action").isin(
+            ["StartTransaction", "StopTransaction", "RemoteStartTransaction",
+             "RemoteStopTransaction", "MeterValues"]
+        )
+    ).select("charger_id", F.col("ingested_timestamp").alias("event_ts"), "action")
+    w = W.partitionBy("charger_id").orderBy("event_ts")
+    islands = (
+        events.withColumn("prev_ts", F.lag("event_ts").over(w))
+        .withColumn(
+            "is_start",
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_timestamp("event_ts") - F.unix_timestamp("prev_ts")
+                >= 30 * 60
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.sum(F.when(F.col("is_start"), 1).otherwise(0)).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("charger_id", "_s")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.min("event_ts").alias("first_event_ts"),
+            F.max("event_ts").alias("last_event_ts"),
+            F.sort_array(F.collect_set("action")).alias("actions"),
+        )
+        .collect()
+    )
+
+    def key(r):
+        return (r["charger_id"], r["first_event_ts"])
+
+    stream_map = {
+        key(r): (r["event_count"], r["last_event_ts"], tuple(r["actions"]))
+        for r in out
+    }
+    batch_map = {
+        key(r): (r["event_count"], r["last_event_ts"], tuple(r["actions"]))
+        for r in islands
+    }
+    assert stream_map == batch_map
+
+
 def test_stream_interval_data_matches_batch(spark, stream_dir, batch_pipe):
     staged = stage_stream(read_ocpp_stream(spark, stream_dir))
     out = _run_stream(
