@@ -72,3 +72,30 @@ def load_ocpp_sources(
             spark, os.path.join(seed_dir, "connectors.csv"), CONNECTORS_SCHEMA
         ),
     }
+
+
+def read_ocpp_logs_json(spark: SparkSession, path: str) -> DataFrame:
+    """OCPP log lines as JSONL: {"timestamp", "id", "action", "msg"} with
+    msg either a JSON string or the raw envelope array (a live collector
+    would emit the latter). Explicit schema — no inference scan. Output
+    schema matches the CSV reader, so staging is source-agnostic."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("timestamp", StringType()),
+            StructField("id", StringType()),
+            StructField("action", StringType()),
+            # Keep the envelope un-parsed: staging splits it positionally.
+            StructField("msg", StringType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path).select(
+        "timestamp", "id", "action", F.col("msg").cast("string").alias("msg")
+    )
+
+
+def read_ocpp_logs_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Same four raw columns from parquet (the at-scale landing format)."""
+    return spark.read.parquet(path).select("timestamp", "id", "action", "msg")
