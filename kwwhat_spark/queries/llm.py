@@ -306,3 +306,100 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("content_sha256").alias("distinct_payloads"),
         F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_feature_0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed training-data pipeline: the whole cleaning chain as ONE plan.
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_clean_corpus",
+    oracle=r"""
+    WITH qualified AS (
+      SELECT doc_id, text, lang,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token_count
+      FROM documents
+      WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 10
+    ), keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM qualified GROUP BY md5(text)
+    ), unique_docs AS (
+      SELECT q.* FROM qualified q JOIN keepers k ON q.doc_id = k.doc_id
+    ), toks AS (
+      SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM unique_docs
+    ), sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in generate_series(1, len(t)-2)])
+                  ELSE [array_to_string(t, ' ')]
+             END AS shingles
+      FROM toks
+    ), counts AS (
+      SELECT doc_id, lang, len(shingles) AS shingle_count, shingles FROM sh
+    ), inverted AS (
+      SELECT doc_id, lang, UNNEST(shingles) AS shingle FROM counts
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM inverted a JOIN inverted b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), dupes AS (
+      SELECT DISTINCT s.doc_b AS doc_id
+      FROM shared s
+      JOIN counts ca ON ca.doc_id = s.doc_a
+      JOIN counts cb ON cb.doc_id = s.doc_b
+      WHERE CAST(s.intersection AS DOUBLE)
+              / (ca.shingle_count + cb.shingle_count - s.intersection) >= 0.8
+    )
+    SELECT lang,
+           COUNT(*) AS docs_kept,
+           SUM(token_count) AS total_tokens,
+           CAST(SUM(token_count) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM unique_docs u
+    WHERE u.doc_id NOT IN (SELECT doc_id FROM dupes)
+    GROUP BY lang
+    """,
+    cite="LLM-ops: end-to-end corpus cleaning (quality gate → exact dedup → near-dup removal → stats)",
+    headline=True,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning chain a pretraining corpus actually runs, composed as
+    one declarative plan so Catalyst sees the whole thing:
+
+      quality gate (token_count >= 10)
+        → exact dedup (md5 digest group, keep lowest doc_id)
+        → near-dup removal (3-gram Jaccard >= 0.8, lang-blocked;
+          drop the higher doc_id of each pair)
+        → per-language corpus stats.
+
+    Scale notes: the exact-dedup shuffle key is the 128-bit digest (never
+    the text); the near-dup stage shuffles only (shingle, doc_id) pairs
+    from its inverted index; the final anti-join streams map-side against
+    a broadcast dupe set (near-dup survivors ≪ corpus). At 100 TB every
+    stage is a hash shuffle on short keys — document payloads move once,
+    at the scan."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "token_count", whitespace_token_count("text")
+    )
+    qualified = docs.filter(F.col("token_count") >= 10)
+    keepers = (
+        qualified.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    # unique_docs feeds four plan consumers (both sides of the inverted
+    # self-join, the shingle-count join, the final anti-join). At 100 TB,
+    # checkpoint/persist it here; at bench scale the recompute is cheaper
+    # than materialization (measured), so the plan stays fully lazy.
+    unique_docs = qualified.join(keepers, "doc_id", "left_semi")
+    pairs = ngram_jaccard_pairs(
+        unique_docs, "doc_id", "text", block_col="lang", k=3, threshold=0.8
+    )
+    cleaned = unique_docs.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    return cleaned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("token_count").alias("total_tokens"),
+        (F.sum("token_count").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
