@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kwwhat_spark.functions.text import minhash_signature, simhash64, word_shingles
+from kwwhat_spark.operators.scaling import widen
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -49,6 +50,9 @@ def ngram_jaccard_pairs(
     """Exact Jaccard similarity over k-word shingle SETS for all pairs
     (within an optional blocking column). Pair via shared-shingle inverted
     index, so only pairs with ≥1 common shingle are scored."""
+    # Shingling is CPU-dense; bytes-sized scans of small text files arrive
+    # as 1 partition (see operators/scaling.py) — widen before the map.
+    df = widen(df)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
@@ -109,6 +113,9 @@ def minhash_lsh_pairs(
     from pyspark.storagelevel import StorageLevel
 
     rows = bands and num_hashes // bands
+    # Shingle+MinHash is the CPU hot spot; widen narrow scans first
+    # (measured 1.7 s single-core shingle pass at sf0.1 without this).
+    df = widen(df)
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
@@ -193,7 +200,9 @@ def simhash_pairs(
     """SimHash near-dup pairs: 4×16-bit chunk blocking (pigeonhole-complete
     for hamming ≤ 3), verified by bit_count(xor)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    base = df.select(F.col(id_col).alias("doc_id"), simhash64(toks).alias("simhash"))
+    base = widen(df).select(
+        F.col(id_col).alias("doc_id"), simhash64(toks).alias("simhash")
+    )
 
     chunks = base.select(
         "doc_id",

@@ -18,6 +18,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kwwhat_spark.operators.scaling import widen
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -50,6 +52,8 @@ def brute_force_topk(
 
     # Norms are computed once per row BEFORE the join — inside the join
     # only the O(dim) dot product runs per pair (3 passes/pair → 1).
+    # Corpus side carries the per-pair CPU; widen narrow scans first.
+    corpus = widen(corpus)
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("q_vec"),
@@ -113,6 +117,7 @@ def lsh_topk(
     from pyspark.sql import Window as W
 
     planes = _hyperplanes(dim, n_planes, seed)
+    corpus = widen(corpus)
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("q_vec"),
@@ -165,6 +170,7 @@ def ivf_topk(
     """
     from pyspark.sql import Window as W
 
+    corpus = widen(corpus)
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec_col).alias("c_vec"),

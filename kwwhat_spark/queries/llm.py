@@ -127,8 +127,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cite="LLM-ops: embedding-cosine near-dup (exact)",
 )
 def dedup_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    from kwwhat_spark.operators.scaling import widen
+
+    emb = widen(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
     )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
