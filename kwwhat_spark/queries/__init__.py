@@ -9,6 +9,7 @@ from kwwhat_spark.queries.catalog import REGISTRY, Query, query  # noqa: F401
 
 # Modules self-register on import.
 from kwwhat_spark.queries import tpch  # noqa: E402,F401
+from kwwhat_spark.queries import tpch_suite  # noqa: E402,F401
 from kwwhat_spark.queries import events  # noqa: E402,F401
 from kwwhat_spark.queries import llm  # noqa: E402,F401
 from kwwhat_spark.queries import ocpp_pipeline  # noqa: E402,F401

@@ -1,0 +1,764 @@
+"""TPC-H-derived decision-support suite over the testdata tables.
+
+The reference's query surface (SURVEY.md §2) is an OCPP analytics DAG;
+this module widens the engine's demonstrated coverage to the classic
+decision-support shapes (TPC-H Q3–Q22, adapted to the driver's simplified
+schema: no partsupp, no commit/receipt dates, synthetic NATION_* names).
+Every query is Spark-first with a DuckDB oracle.
+
+Determinism (cross-engine bit-identical results):
+  - money aggregates are DECIMAL(18,2)-cast sums (exact, order-free),
+    cast to double only in the final projection;
+  - every top-k orders by the EXACT decimal aggregate plus a unique
+    tiebreaker key, so the selected set is identical in both engines;
+  - ratios divide two exact decimal sums after casting each to double
+    (one IEEE division — identical on both engines).
+
+Scale notes (100 TB target) are per-query; the common ones:
+  - nation/region/supplier/part are dimension-sized → broadcast joins,
+    no shuffle of the fact side on dim keys;
+  - orders⋈lineitem is the one genuinely large shuffle — AQE handles
+    skew; both sides hash-partition on the order key;
+  - top-k uses TakeOrderedAndProject (per-partition heap + driver merge
+    of k rows), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kwwhat_spark.queries.catalog import query
+from kwwhat_spark.sources.testdata import load_table
+
+
+def _dec(c, p=18, s=2):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+def _rev():
+    """Exact revenue expression: extendedprice * (1 - discount)."""
+    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority: top-10 unshipped orders by revenue.
+# Segment filter prunes customer before the join; orders/lineitem carry
+# date predicates to the scan. Top-k via TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey, CAST(rev AS DOUBLE) AS revenue, o_orderdate, o_orderpriority
+    FROM (
+      SELECT l.l_orderkey AS o_orderkey, SUM({_REV_SQL}) AS rev,
+             o.o_orderdate, o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-03-15'
+        AND l.l_shipdate > TIMESTAMP '1998-03-15'
+      GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    )
+    ORDER BY rev DESC, o_orderkey
+    LIMIT 10
+    """,
+    cite="TPC-H Q3 shape; join family int_transactions.sql:247-251",
+    headline=True,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts("1998-03-15"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts("1998-03-15"))
+    return (
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"))
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"), "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev()).alias("rev"))
+        .orderBy(F.col("rev").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", F.col("rev").cast("double").alias("revenue"),
+                "o_orderdate", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 (adapted: no commitdate) — order priority checking: orders in a
+# quarter with at least one line shipped > 60 days after order date.
+# EXISTS → left-semi join; agg counts per priority.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    cite="TPC-H Q4 shape; EXISTS family int_offline_outages.sql:113-124",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01")) & (F.col("o_orderdate") < _ts("1997-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("interval 60 days")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume: revenue where customer and supplier share
+# the nation, one region, one year. nation/region/supplier broadcast; the
+# only shuffle is orders⋈lineitem on the order key.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name AS nation_name, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    cite="TPC-H Q5 shape; broadcast-dim family int_transactions.sql:250-251",
+    headline=True,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s),
+              (li.l_suppkey == s.s_suppkey) & (F.col("c_nationkey") == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change: single-table scan-filter-agg; every
+# predicate reaches the parquet scan, agg is map-side combinable.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    cite="TPC-H Q6 shape; predicate family int_status_changes.sql:54-56",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, by year. Two broadcast
+# nation lookups aliased apart; the cross-pair filter runs post-join.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(YEAR FROM l.l_shipdate) AS l_year, {_REV_SQL} AS rev
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    cite="TPC-H Q7 shape; dual-aliased dim joins (dim_connectors pattern)",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share: NATION_7's share of ASIA's STANDARD-part
+# revenue per year. Ratio of two exact decimal sums via sum(when).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(rev) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year, {_REV_SQL} AS rev,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year
+    """,
+    cite="TPC-H Q8 shape; conditional-agg family fact_visits.sql:247-273",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", _rev()).otherwise(zero))
+                .cast("double")
+                / F.sum(_rev()).cast("double")
+            ).cast("double").alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 (adapted: no partsupp supplycost) — product-type profit by nation
+# and year for ECONOMY parts; profit = revenue.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation_name, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+    """,
+    cite="TPC-H Q9 shape (supplycost omitted: schema has no partsupp)",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_rev()).cast("double").alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting: top-20 customers by returned revenue in
+# a quarter. Exact-decimal top-k with custkey tiebreaker.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue, nation_name
+    FROM (
+      SELECT c.c_custkey, c.c_name, SUM({_REV_SQL}) AS rev, n.n_name AS nation_name
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+        AND o.o_orderdate < TIMESTAMP '1997-10-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    ORDER BY rev DESC, c_custkey
+    LIMIT 20
+    """,
+    cite="TPC-H Q10 shape; top-k + broadcast dims",
+    headline=True,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-07-01")) & (F.col("o_orderdate") < _ts("1997-10-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(F.sum(_rev()).alias("rev"))
+        .orderBy(F.col("rev").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", F.col("rev").cast("double").alias("revenue"),
+                "nation_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 (adapted: no shipmode/receiptdate) — late-shipment counts per
+# priority class: lines shipped > 90 days after order date in one year.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q12_late_lines",
+    oracle="""
+    SELECT o.o_orderpriority,
+           SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late_count,
+           COUNT(*) AS line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+    cite="TPC-H Q12 shape (shipmode→priority: schema has no shipmode)",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    ).select("l_orderkey", "l_shipdate")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 90 days"), 1)
+                .otherwise(0)
+            ).alias("late_count"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution: left join keeps 0-order
+# customers; two-level aggregation (per-customer, then histogram).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    cite="TPC-H Q13 shape; left join + double agg (int_chargers.sql:20 counts)",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_orderkey", "o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect: PROMO parts' share of one month's revenue.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q14_promo_effect",
+    oracle=f"""
+    SELECT CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL}
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100
+                / CAST(SUM({_REV_SQL}) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    cite="TPC-H Q14 shape; ratio-of-conditional-sums (fact_uptime.sql:68)",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-09-01")) & (F.col("l_shipdate") < _ts("1997-10-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero)).cast("double")
+                * F.lit(100)
+                / F.sum(_rev()).cast("double")
+            ).cast("double").alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier: supplier(s) achieving the max quarterly revenue.
+# The per-supplier agg is tiny (|suppliers| rows) → its max is a
+# broadcast single-row join, exact decimal equality.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, SUM({_REV_SQL}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+    cite="TPC-H Q15 shape; scalar-subquery watermark family (§2.4)",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 (adapted: brand+size for brand+container) — small-quantity-order
+# revenue: lines under 20% of the part's average quantity. The per-part
+# average is a correlated scalar → re-expressed as an agg + equi-join
+# (broadcast: |parts| rows).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q17_small_qty",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND p.p_size <= 10
+      AND l.l_quantity < 0.2 * a.avg_qty
+    """,
+    cite="TPC-H Q17 shape; correlated-avg → join (int_meter_values stats)",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    part_avg = (
+        li.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg((F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(part_avg), li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double").alias("avg_yearly"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers: orders whose total quantity exceeds 300.
+# HAVING on the order-grain agg, then joins back to customer/orders.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(q.total_qty AS DOUBLE) AS total_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    ) q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    cite="TPC-H Q18 shape; HAVING-agg semi-join back to facts",
+    headline=True,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+                F.col("total_qty").cast("double").alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 (adapted: size bands for containers) — discounted revenue under
+# OR-of-ANDs predicates. Catalyst splits the disjunction across the
+# joined scan; part side broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q19_disc_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE
+      (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+      OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+      OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    cite="TPC-H Q19 shape; OR-of-ANDs predicate pushdown",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#12") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(10, 25) & qty.between(10, 20))
+        | ((brand == "Brand#34") & size.between(20, 35) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 (adapted: no receipt/commit dates) — suppliers implicated in
+# late multi-supplier orders: in finished ('F') orders with ≥2 distinct
+# suppliers, blame the supplier(s) whose latest line equals the order's
+# latest ship date. Top-20 by blame count.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q21_blamed_suppliers",
+    oracle="""
+    WITH order_stats AS (
+      SELECT l.l_orderkey, MAX(l.l_shipdate) AS order_max_ship,
+             COUNT(DISTINCT l.l_suppkey) AS supp_count
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey
+    ),
+    supp_last AS (
+      SELECT l.l_orderkey, l.l_suppkey, MAX(l.l_shipdate) AS supp_max_ship
+      FROM lineitem l GROUP BY l.l_orderkey, l.l_suppkey
+    )
+    SELECT s.s_name, blame_count FROM (
+      SELECT sl.l_suppkey, COUNT(*) AS blame_count
+      FROM supp_last sl
+      JOIN order_stats os ON os.l_orderkey = sl.l_orderkey
+      WHERE os.supp_count >= 2 AND sl.supp_max_ship = os.order_max_ship
+      GROUP BY sl.l_suppkey
+    ) b
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    ORDER BY blame_count DESC, s.s_name
+    LIMIT 20
+    """,
+    cite="TPC-H Q21 shape (ship-date blame: schema has no receiptdate)",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li_f = li.join(o, li.l_orderkey == o.o_orderkey).select("l_orderkey", "l_suppkey", "l_shipdate")
+    order_stats = (
+        li_f.groupBy("l_orderkey")
+        .agg(
+            F.max("l_shipdate").alias("order_max_ship"),
+            F.countDistinct("l_suppkey").alias("supp_count"),
+        )
+        .filter(F.col("supp_count") >= 2)
+    )
+    supp_last = (
+        li.groupBy(F.col("l_orderkey").alias("sl_orderkey"), "l_suppkey")
+        .agg(F.max("l_shipdate").alias("supp_max_ship"))
+    )
+    return (
+        supp_last.join(order_stats, F.col("sl_orderkey") == order_stats.l_orderkey)
+        .filter(F.col("supp_max_ship") == F.col("order_max_ship"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("blame_count"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .orderBy(F.col("blame_count").desc(), "s_name")
+        .limit(20)
+        .select("s_name", "blame_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 (adapted: nation for phone-prefix) — global sales opportunity:
+# customers with above-average positive balance and no orders, by
+# nation. Scalar subquery → driver-side literal would also work; here
+# the single-row avg broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q22_sales_opportunity",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    cite="TPC-H Q22 shape; scalar subquery + anti-join",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
