@@ -191,21 +191,84 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     cite="as-of join (novel operator; prompt's custom-operator family)",
 )
 def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir).filter(F.col("event_type").isin("click", "error"))
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
+    from kwwhat_spark.operators.temporal import asof_join
+
+    e = _events(spark, sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "ts", "user_id")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("last_click_ts"),
+        F.col("value").alias("last_click_value"),
     )
-    is_click = F.col("event_type") == "click"
+    return asof_join(
+        errors, clicks,
+        on=["user_id"], left_ts="ts", right_ts="last_click_ts",
+        value_cols=["last_click_ts", "last_click_value"], strict=True,
+    ).select("event_id", "ts", "last_click_ts", "last_click_value")
+
+
+# ---------------------------------------------------------------------------
+# Bucketed interval join — key-FREE point-in-interval join at scale:
+# global "incident windows" (error bursts ≤10 min apart, merged) joined
+# to every event that falls inside them. Without an equi key Spark
+# would pick BroadcastNestedLoopJoin; operators.temporal.interval_join
+# rewrites it as an equi-join on time-bucket ids with a post-filter.
+# The incident derivation runs on the errors-only stream (a global
+# window over a small derived set — fine; the big side never collapses).
+# ---------------------------------------------------------------------------
+@query(
+    "interval_join_bucketed",
+    oracle="""
+    WITH errs AS (
+      SELECT ts, event_id FROM events WHERE event_type = 'error'
+    ),
+    flagged AS (
+      SELECT ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM errs
+      WINDOW w AS (ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT ts, SUM(is_new) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS incident_id
+      FROM flagged
+    ),
+    incidents AS (
+      SELECT incident_id, MIN(ts) AS incident_start, MAX(ts) AS incident_end
+      FROM islands GROUP BY incident_id
+    )
+    SELECT i.incident_id, i.incident_start, i.incident_end,
+           COUNT(*) AS events_during, COUNT(DISTINCT e.user_id) AS users_during
+    FROM incidents i
+    JOIN events e ON e.ts >= i.incident_start AND e.ts <= i.incident_end
+    GROUP BY i.incident_id, i.incident_start, i.incident_end
+    """,
+    cite="bucketed interval join (operators/temporal.py; key-free range join scale path)",
+)
+def interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.temporal import interval_join
+    from kwwhat_spark.operators.windows import sessionize
+
+    e = _events(spark, sf_dir)
+    errs = e.filter(F.col("event_type") == "error").select("ts", "event_id")
+    incidents = (
+        sessionize(errs, [], "ts", ["ts", "event_id"], gap_seconds=600,
+                   island_col="incident_id")
+        .groupBy("incident_id")
+        .agg(F.min("ts").alias("incident_start"), F.max("ts").alias("incident_end"))
+    )
     return (
-        e.select(
-            "event_id", "ts", "event_type",
-            F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w).alias("last_click_ts"),
-            F.last(F.when(is_click, F.col("value")), ignorenulls=True).over(w).alias("last_click_value"),
+        interval_join(
+            e.select("ts", "user_id"), incidents,
+            point_ts="ts", start_ts="incident_start", end_ts="incident_end",
+            bucket_seconds=600,
         )
-        .filter(F.col("event_type") == "error")
-        .select("event_id", "ts", "last_click_ts", "last_click_value")
+        .groupBy("incident_id", "incident_start", "incident_end")
+        .agg(
+            F.count(F.lit(1)).alias("events_during"),
+            F.countDistinct("user_id").alias("users_during"),
+        )
     )
 
 
