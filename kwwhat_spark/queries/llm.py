@@ -297,6 +297,60 @@ def text_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Document chunking: fixed token windows with overlap (operators/corpus).
+# Pure array ops (split/sequence/explode/slice) → JVM-side, no shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           (s - 1) // 48 AS chunk_seq,
+           s AS chunk_start_token,
+           array_to_string(t[s : s + 63], ' ') AS chunk_text,
+           len(t[s : s + 63]) AS chunk_token_count
+    FROM toks, LATERAL (
+      SELECT UNNEST(generate_series(1, greatest(len(t), 1), 48)) AS s
+    )
+    """,
+    cite="LLM-ops: token-window chunking with stride (operators/corpus.py)",
+)
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, "text", chunk_tokens=64, stride_tokens=48).select(
+        "doc_id", "chunk_seq", "chunk_start_token", "chunk_text", "chunk_token_count"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: membership = pure function of
+# md5(doc_id) → reproducible across engines/runs/partitionings.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000' ELSE 'ffff' END
+      AND lang IS NOT NULL
+    """,
+    cite="LLM-ops: deterministic hash sampling (operators/corpus.py)",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    langs = [r.lang for r in docs.select("lang").distinct().collect() if r.lang]
+    rates = {lang: {"en": 0.25, "de": 0.5}.get(lang, 65535 / 65536) for lang in langs}
+    return hash_sample(docs, "doc_id", rates, stratify_by="lang", salt="s1")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing: binary payloads → Arrow-batched feature extraction
 # (decode stubbed — no codecs in container; schema/batch path is real).
 # ---------------------------------------------------------------------------
