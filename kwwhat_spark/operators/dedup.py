@@ -46,38 +46,101 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     k: int = 3,
     threshold: float = 0.5,
+    persist_shingles: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact Jaccard similarity over k-word shingle SETS for all pairs
-    (within an optional blocking column). Pair via shared-shingle inverted
-    index, so only pairs with ≥1 common shingle are scored."""
+    (within an optional blocking column). Two exact strategies:
+
+    - 'full': inverted-index self-join, intersections counted by
+      group-by over the joined postings. Joined rows = sum(df^2) over
+      shingles, but each row is narrow and map-side combinable — best
+      at low thresholds or low duplication.
+    - 'prefix': PREFIX FILTERING (AllPairs/PPJoin family): with
+      shingles in a fixed global order, any pair with Jaccard >= t
+      must share a shingle within the first floor((1-t)*n)+1 of BOTH
+      documents (proof: if J(A,B) >= t then |A\\B| <= (1-t)|A|, so the
+      smallest common element sits inside both prefixes). Only those
+      prefixes are indexed/joined; exact intersections come from
+      array_intersect on candidates only. Cuts the pair-generation
+      shuffle ~(1-t)^-2-fold — measured 3x end-to-end at t=0.8 on a
+      10x-duplicated corpus (BASELINE.md), where every cluster shingle
+      has df = cluster size.
+    - 'auto': prefix when threshold >= 0.7, else full.
+
+    Both return identical results (prefix filtering is lossless)."""
+    if strategy == "auto":
+        strategy = "prefix" if threshold >= 0.7 else "full"
+    if strategy not in ("prefix", "full"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     # Shingling is CPU-dense; bytes-sized scans of small text files arrive
     # as 1 partition (see operators/scaling.py) — widen before the map.
     df = widen(df)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
-        F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
+        F.array_sort(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingles"),
     ).withColumn("shingle_count", F.size("shingles"))
+    if persist_shingles:
+        # base feeds three consumers (prefix index + both sides of the
+        # verify join); tokenize+shingle+sort is the CPU hot spot, so
+        # cache it rather than recompute per consumer (same rationale as
+        # minhash_lsh_pairs; the 100 TB analogue is checkpointing the
+        # shingle table).
+        from pyspark.storagelevel import StorageLevel
 
-    inverted = base.select("doc_id", "block", F.explode("shingles").alias("shingle"))
-    a = inverted.alias("a")
-    b = inverted.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("intersection"))
-    )
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
     counts = base.select("doc_id", "shingle_count")
+    if strategy == "prefix":
+        prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("shingle_count")).cast("int") + F.lit(1)
+        prefixes = base.select(
+            "doc_id", "block",
+            F.explode(F.slice("shingles", F.lit(1), prefix_len)).alias("shingle"),
+        )
+        a = prefixes.alias("a")
+        b = prefixes.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.block") == F.col("b.block"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        sa = base.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
+                         F.col("shingle_count").alias("count_a"))
+        sb = base.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+                         F.col("shingle_count").alias("count_b"))
+        scored = (
+            candidates.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("intersection", F.size(F.array_intersect("sh_a", "sh_b")))
+        )
+    else:
+        inverted = base.select("doc_id", "block", F.explode("shingles").alias("shingle"))
+        a = inverted.alias("a")
+        b = inverted.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.block") == F.col("b.block"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("intersection"))
+        )
+        scored = (
+            shared
+            .join(counts.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("shingle_count", "count_a"), "doc_a")
+            .join(counts.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("shingle_count", "count_b"), "doc_b")
+        )
     return (
-        shared.join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle_count", "count_a"), "doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle_count", "count_b"), "doc_b")
+        scored
         .withColumn(
             "jaccard",
             (

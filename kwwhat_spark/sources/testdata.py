@@ -37,7 +37,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the only long columns that are semantically timestamps are `ts` /
     # `*_ts` / `*date` in the driver tables.
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for field in df.schema.fields:
         if isinstance(field.dataType, LongType) and (
@@ -48,6 +48,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 field.name,
                 F.expr(f"timestamp_micros({field.name} div 1000)"),
             )
+        elif isinstance(field.dataType, TimestampNTZType):
+            # Re-exported parquet (e.g. tools/scale_testdata.py output)
+            # carries µs TIMESTAMP without UTC adjustment → Spark reads
+            # TIMESTAMP_NTZ. The session timezone is UTC, so casting to
+            # the instant type is value-preserving and restores the
+            # schema the driver tables produce.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -47,6 +47,24 @@ def test_ngram_jaccard_finds_planted_pairs(docs):
     assert not any(6 in p for p in pairs)
 
 
+def test_ngram_jaccard_prefix_equals_full(spark, sf_dir):
+    """Prefix filtering (AllPairs/PPJoin) must be lossless vs the full
+    inverted-index join at every threshold."""
+    from kwwhat_spark.sources.testdata import load_table
+
+    real_docs = load_table(spark, sf_dir, "documents")
+    for t in (0.3, 0.8):
+        got = {
+            s: sorted(
+                map(tuple, ngram_jaccard_pairs(
+                    real_docs, "doc_id", "text", block_col="lang",
+                    threshold=t, strategy=s).collect())
+            )
+            for s in ("prefix", "full")
+        }
+        assert got["prefix"] == got["full"], f"strategies diverge at t={t}"
+
+
 def test_minhash_lsh_agrees_with_exact_jaccard(docs):
     exact = {
         (r["doc_a"], r["doc_b"])
