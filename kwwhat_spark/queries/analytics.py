@@ -469,6 +469,44 @@ def percentile_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Data profiling — one-scan per-column stats (operators/profile.py).
+# Exact mode here for oracle parity; approx (HLL++) is the scale mode.
+# ---------------------------------------------------------------------------
+@query(
+    "profile_events",
+    oracle="""
+    SELECT 'event_id' AS "column", COUNT(*) AS row_count,
+           COUNT(*) - COUNT(event_id) AS null_count,
+           COUNT(DISTINCT event_id) AS distinct_count,
+           MIN(CAST(event_id AS VARCHAR)) AS min_value,
+           MAX(CAST(event_id AS VARCHAR)) AS max_value
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+           COUNT(DISTINCT user_id),
+           MIN(CAST(user_id AS VARCHAR)), MAX(CAST(user_id AS VARCHAR))
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+           COUNT(DISTINCT event_type),
+           MIN(event_type), MAX(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+           COUNT(DISTINCT value),
+           MIN(CAST(value AS VARCHAR)), MAX(CAST(value AS VARCHAR))
+    FROM events
+    """,
+    cite="data profiling (operators/profile.py; discovery half of §5.1 checks)",
+)
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.profile import profile
+
+    e = _events(spark, sf_dir)
+    return profile(e, ["event_id", "user_id", "event_type", "value"], approx=False)
+
+
+# ---------------------------------------------------------------------------
 # Sketch aggregates — approx_count_distinct (HLL++) and approx
 # percentiles next to their exact values. Approximation is
 # engine-specific → no SQL oracle (driver records rows-only); the unit
