@@ -51,7 +51,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Readable plans while iterating.
         .config("spark.sql.ui.explainMode", "formatted")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode hosts all 32 executor threads inside the driver JVM:
+        # an 8g heap showed progressive GC drift across bench runs
+        # (19->30 s for identical plans). The rig has 128 GiB; 24g keeps
+        # steady-state flat. On a real cluster executor memory is sized
+        # by spark-submit and this knob only covers the driver proper.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
         # Driver testdata writes TIMESTAMP(NANOS) parquet (pandas ns

@@ -1,0 +1,57 @@
+"""Connected components vs a driver-side union-find oracle, including
+shapes the dedup data doesn't exercise (long chains, rings, isolates)."""
+
+from __future__ import annotations
+
+import random
+
+from kwwhat_spark.operators.graph import connected_components, dedup_keepers
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.component for r in connected_components(df, "a", "b").collect()}
+    assert got == _union_find(edges)
+
+
+def test_chain_ring_and_triangles(spark):
+    chain = [(i, i + 1) for i in range(0, 20)]          # diameter 20
+    ring = [(100 + i, 100 + (i + 1) % 7) for i in range(7)]
+    triangle = [(200, 201), (201, 202), (200, 202)]
+    _check(spark, chain + ring + triangle)
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_dedup_keepers_triangle_keeps_exactly_one(spark):
+    # Pairwise "drop the higher id of each pair" would drop 2 and 3 AND
+    # leave nothing correct to blame; closure keeps exactly min(cluster).
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (10, 11)],
+                                  "doc_a long, doc_b long")
+    rows = dedup_keepers(pairs, "doc_a", "doc_b").collect()
+    keepers = sorted(r.doc_id for r in rows if r.is_keeper)
+    assert keepers == [1, 10]
+    comps = {r.doc_id: r.component for r in rows}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
