@@ -147,6 +147,32 @@ def lsh_topk(
     )
 
 
+def train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    *,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Train k-means centroids with MLlib for IVF cell assignment —
+    the quality upgrade over hash-sampled centroids (trained cells are
+    balanced and aligned with the data distribution, so fewer probes
+    reach the same recall). Deterministic under a fixed seed.
+
+    Scale: KMeans|| training is a handful of passes over the vectors;
+    at 100 TB train on a hash_sample() of the corpus (centroids
+    converge on samples) and broadcast the k×dim result, exactly as the
+    literal-embedding in ivf_topk already does.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -156,6 +182,7 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 2,
+    centroid_vecs: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     `n_cells` cells (centroids = a deterministic hash-ordered sample of
@@ -176,14 +203,22 @@ def ivf_topk(
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
     )
-    # Deterministic centroid sample: first n_cells corpus vectors in
-    # xxhash64(id) order (at 100 TB: sample() + takeOrdered instead).
-    centroids = [
-        (row["c_vec"], float(row["c_norm"]))
-        for row in c.orderBy(F.xxhash64(F.col(corpus_id).cast("string")))
-        .limit(n_cells)
-        .collect()
-    ]
+    if centroid_vecs is not None:
+        # Caller-provided (e.g. train_centroids' k-means) — norms in Python.
+        import math
+
+        centroids = [
+            (vec, math.sqrt(sum(x * x for x in vec)) or 1.0) for vec in centroid_vecs
+        ]
+    else:
+        # Deterministic centroid sample: first n_cells corpus vectors in
+        # xxhash64(id) order (at 100 TB: sample() + takeOrdered instead).
+        centroids = [
+            (row["c_vec"], float(row["c_norm"]))
+            for row in c.orderBy(F.xxhash64(F.col(corpus_id).cast("string")))
+            .limit(n_cells)
+            .collect()
+        ]
 
     def cell_sims(vec: Column, norm: Column) -> list[Column]:
         out = []

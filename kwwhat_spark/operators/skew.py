@@ -1,15 +1,23 @@
 """Skew-mitigation operators: salting for hot keys.
 
-AQE's skew-join splitting covers sort-merge joins at runtime, but two
-shapes still need explicit salting at 100 TB:
+WHEN TO REACH FOR THESE — measured guidance (BASELINE.md skew table):
+Spark's built-ins cover more skew than folklore suggests. Map-side
+partial aggregation already neutralizes groupBy skew for combinable
+aggregates (a 50%-hot-key sum/count ran 0.88 s plain vs 1.61 s
+salted), and AQE's skew-join split handles SMJ skew once
+`spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes` is
+scaled to the data (the 256 MB default is sized for cluster-scale
+partitions). Salting earns its extra shuffle only for:
 
-- groupBy on a power-law key (one key holding >1 executor's worth of
-  rows): `salted_groupby_agg` runs a two-stage aggregation — partial agg
-  on (key, salt) spreads the hot key over `salt` reducers, final agg
-  merges the partials. Works for any algebraic aggregate.
-- broadcast-impossible join against a skewed key: `salted_join`
-  deterministically salts the skewed (probe) side via hash of a caller-
-  chosen column and explodes the build side `salt` ways.
+- groupBy on a power-law key with NON-combinable aggregates
+  (collect_list/collect_set, exact count-distinct): there is no
+  map-side collapse, so `salted_groupby_agg` two-stages it — partial
+  agg on (key, salt), final merge. Works for any algebraic aggregate.
+- broadcast-impossible join against a skewed key where the other side
+  is small relative to the skew (replicating it `salt` ways must cost
+  less than the hot-partition stall; measured 29 s vs 11 s plain when
+  that inequality fails): `salted_join` deterministically salts the
+  skewed (probe) side and explodes the build side `salt` ways.
 
 Both are deterministic (no rand()) so results and tests are stable.
 """

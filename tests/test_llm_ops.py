@@ -145,6 +145,39 @@ def test_ivf_topk_partial_probe_recall(spark, sf_dir):
     assert all((i, i) in ivf for i in range(10))
 
 
+def test_ivf_trained_centroids_recall(spark, sf_dir):
+    """k-means-trained centroids (MLlib) must keep full-probe exactness
+    and reach at least the sampled-centroid recall at equal probes."""
+    from kwwhat_spark.operators.similarity import ivf_topk, train_centroids
+    from kwwhat_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    cents = train_centroids(c, "embedding", k=8, seed=42)
+    assert len(cents) == 8 and all(len(v) == len(cents[0]) for v in cents)
+
+    bf = {(r["query_id"], r["corpus_id"]) for r in brute_force_topk(q, c, k=5).collect()}
+    full = {(r["query_id"], r["corpus_id"])
+            for r in ivf_topk(q, c, k=5, n_cells=8, n_probe=8, centroid_vecs=cents).collect()}
+    assert full == bf  # full probe is exact regardless of centroids
+
+    def recall(cvecs):
+        got = {(r["query_id"], r["corpus_id"])
+               for r in ivf_topk(q, c, k=5, n_cells=8, n_probe=3,
+                                 centroid_vecs=cvecs).collect()}
+        return len(bf & got) / len(bf)
+
+    trained, sampled = recall(cents), recall(None)
+    assert trained >= 0.5, f"trained recall@5 {trained}"
+    # Not strictly guaranteed, but stable under the fixed seed on this
+    # data; a large gap the other way would mean the training is wired
+    # wrong.
+    assert trained >= sampled - 0.1, (trained, sampled)
+
+
 def test_multimodal_feature_plumbing(spark):
     media = synthesize_media(spark, n=30)
     feats = extract_features(media, dim=16).collect()
