@@ -49,6 +49,235 @@ def _ts(s: str):
 
 
 # ---------------------------------------------------------------------------
+# Derived partsupp: the schema ships no partsupp table, so the four
+# queries that need one (Q2/Q11/Q16/Q20) derive it from lineitem —
+# supplycost := min observed unit price, availqty := total shipped
+# quantity. Both engines derive it identically, so oracles stay exact.
+# (Per-row double division is IEEE-deterministic; min is exact.)
+# ---------------------------------------------------------------------------
+_PARTSUPP_SQL = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+            F.sum(_dec("l_quantity")).cast("double").alias("ps_availqty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 (adapted) — minimum-cost supplier: for every EUROPE-region part
+# sold in MEDIUM type, the supplier(s) achieving the minimum derived
+# supplycost; top-100 by account balance. The per-part min is an agg +
+# equi-join back (the decorrelated form of Q2's correlated subquery).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    europe AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+             s.s_acctbal, s.s_name, n.n_name AS nation_name
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    min_cost AS (
+      SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+      FROM europe GROUP BY ps_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.nation_name, p.p_partkey, p.p_type,
+           e.ps_supplycost AS supplycost
+    FROM europe e
+    JOIN min_cost m ON m.ps_partkey = e.ps_partkey AND e.ps_supplycost = m.min_cost
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    WHERE p.p_type = 'MEDIUM' AND p.p_size <= 25
+    ORDER BY e.s_acctbal DESC, e.nation_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    cite="TPC-H Q2 shape (partsupp derived from lineitem)",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "MEDIUM") & (F.col("p_size") <= 25)
+    ).select("p_partkey", "p_type")
+    europe = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name",
+                F.col("n_name").alias("nation_name"))
+    )
+    min_cost = europe.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    return (
+        europe.join(min_cost, "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(p, F.col("ps_partkey") == p.p_partkey)
+        .orderBy(F.col("s_acctbal").desc(), "nation_name", "s_name", "p_partkey")
+        .limit(100)
+        .select("s_acctbal", "s_name", "nation_name", "p_partkey", "p_type",
+                F.col("ps_supplycost").alias("supplycost"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 (adapted) — important stock: per-part stock value
+# (supplycost × availqty) for NATION_3 suppliers, keeping parts above
+# 1/1000 of the nation's total. Exact-decimal value via per-row cast.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    nat AS (
+      SELECT ps.ps_partkey,
+             SUM(CAST(ROUND(ps.ps_supplycost * ps.ps_availqty, 2) AS DECIMAL(18,2))) AS value_dec
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY ps.ps_partkey
+    )
+    SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS stock_value
+    FROM nat
+    WHERE CAST(value_dec AS DOUBLE) >
+          (SELECT CAST(SUM(value_dec) AS DOUBLE) / 1000 FROM nat)
+    """,
+    cite="TPC-H Q11 shape (partsupp derived from lineitem)",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("ps_partkey")
+        .agg(
+            # Round the double product to cents BEFORE the decimal cast:
+            # raw products can land exactly on a .005 cast midpoint, where
+            # Spark (HALF_UP) and DuckDB tie-break differently.
+            F.sum(
+                F.round(F.col("ps_supplycost") * F.col("ps_availqty"), 2)
+                .cast("decimal(18,2)")
+            ).alias("value_dec")
+        )
+    )
+    total = nat.agg((F.sum("value_dec").cast("double") / F.lit(1000)).alias("cutoff"))
+    return (
+        nat.join(F.broadcast(total), F.col("value_dec").cast("double") > F.col("cutoff"))
+        .select("ps_partkey", F.col("value_dec").cast("double").alias("stock_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 (adapted) — parts/supplier relationship: distinct supplier count
+# per (brand, type, size band) for non-STANDARD parts.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q16_part_supplier_counts",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT p.p_brand, p.p_type, (p.p_size - 1) // 10 AS size_band,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_type <> 'STANDARD'
+    GROUP BY p.p_brand, p.p_type, (p.p_size - 1) // 10
+    """,
+    cite="TPC-H Q16 shape (partsupp derived from lineitem)",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") != "STANDARD")
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand", "p_type",
+            ((F.col("p_size") - 1) / 10).cast("long").alias("size_band"),
+        )
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 (adapted) — suppliers with concentrated recent shipping: ASIA
+# suppliers having a part whose 1997 shipped quantity exceeds 30% of
+# that part-supplier's all-time quantity (EXISTS → left-semi).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q20_excess_suppliers",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    y97 AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty97
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND EXISTS (
+        SELECT 1 FROM y97 y
+        JOIN partsupp ps ON ps.ps_partkey = y.l_partkey AND ps.ps_suppkey = y.l_suppkey
+        WHERE y.l_suppkey = s.s_suppkey AND y.qty97 > 0.3 * ps.ps_availqty
+      )
+    """,
+    cite="TPC-H Q20 shape (partsupp derived from lineitem)",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    y97 = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("qty97"))
+    )
+    qualifying = (
+        y97.join(
+            ps,
+            (ps.ps_partkey == F.col("l_partkey")) & (ps.ps_suppkey == F.col("l_suppkey")),
+        )
+        .filter(F.col("qty97") > 0.3 * F.col("ps_availqty"))
+        .select(F.col("l_suppkey").alias("q_suppkey"))
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(qualifying, s.s_suppkey == F.col("q_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q3 — shipping priority: top-10 unshipped orders by revenue.
 # Segment filter prunes customer before the join; orders/lineitem carry
 # date predicates to the scan. Top-k via TakeOrderedAndProject.
