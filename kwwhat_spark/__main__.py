@@ -4,6 +4,8 @@
   python -m kwwhat_spark incremental --seed-dir D --state DIR # one merge batch into state
   python -m kwwhat_spark check       --seed-dir D             # declared schema tests
   python -m kwwhat_spark metrics     --seed-dir D [--group-by DIM ...]
+  python -m kwwhat_spark query NAME  [--sf-dir D] [--explain] [-n ROWS]
+  python -m kwwhat_spark list        [--oracle-only]
 
 `--seed-dir` defaults to the reference demo seed. All subcommands build
 the model DAG lazily — each only executes its own upstream subgraph.
@@ -87,6 +89,33 @@ def cmd_metrics(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_query(spark: SparkSession, args) -> int:
+    from kwwhat_spark.queries import REGISTRY
+
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; see `python -m kwwhat_spark list`")
+        return 2
+    df = REGISTRY[args.name].spark(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.rows, truncate=False)
+    return 0
+
+
+def cmd_list(spark: SparkSession, args) -> int:
+    from kwwhat_spark.queries import REGISTRY
+
+    for name in sorted(REGISTRY):
+        q = REGISTRY[name]
+        if args.oracle_only and q.oracle is None:
+            continue
+        marks = ("oracle" if q.oracle else "rows-only") + (
+            ", headline" if q.headline else ""
+        )
+        print(f"{name:36s} [{marks}] {q.cite}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="kwwhat_spark")
     parser.add_argument("--seed-dir", default=DEMO_SEED_DIR)
@@ -107,6 +136,16 @@ def main(argv: list[str] | None = None) -> int:
     p_metrics.add_argument("--metrics", nargs="*", default=None)
     p_metrics.add_argument("--group-by", nargs="*", default=None)
 
+    p_query = sub.add_parser("query", help="run one catalog query")
+    p_query.add_argument("name")
+    p_query.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    p_query.add_argument("--explain", action="store_true")
+    p_query.add_argument("-n", "--rows", type=int, default=20)
+
+    p_list = sub.add_parser("list", help="list catalog queries")
+    p_list.add_argument("--oracle-only", action="store_true")
+
     args = parser.parse_args(argv)
     spark = _session(args)
     try:
@@ -115,6 +154,8 @@ def main(argv: list[str] | None = None) -> int:
             "incremental": cmd_incremental,
             "check": cmd_check,
             "metrics": cmd_metrics,
+            "query": cmd_query,
+            "list": cmd_list,
         }[args.command](spark, args)
     finally:
         spark.stop()

@@ -53,3 +53,18 @@ def test_cmd_incremental_builds_state(spark, tmp_path):
     assert cmd_incremental(spark, _args(tmp_path)) == 0
     state = spark.read.parquet(str(tmp_path / "state" / "fact_visits" / "v0"))
     assert state.count() > 0
+
+
+def test_cmd_query_and_list(spark, sf_dir, capsys):
+    from kwwhat_spark.__main__ import cmd_list, cmd_query
+
+    args = SimpleNamespace(name="filter_pushdown", sf_dir=sf_dir, explain=False, rows=5)
+    assert cmd_query(spark, args) == 0
+    assert "o_orderkey" in capsys.readouterr().out
+
+    assert cmd_query(spark, SimpleNamespace(name="nope", sf_dir=sf_dir,
+                                            explain=False, rows=5)) == 2
+
+    assert cmd_list(spark, SimpleNamespace(oracle_only=True)) == 0
+    out = capsys.readouterr().out
+    assert "pricing_summary" in out and "[rows-only]" not in out
