@@ -469,6 +469,67 @@ def percentile_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding windows — 1-hour windows advancing every 15 minutes (each
+# event lands in 4 overlapping windows). F.window's sliding mode;
+# the oracle replicates Spark's window assignment by exploding each
+# event into its ceil(size/slide) windows.
+# ---------------------------------------------------------------------------
+@query(
+    "sliding_window_users",
+    oracle="""
+    SELECT to_timestamp((epoch_us(ts) // 1000000 // 900) * 900 - k * 900) AS window_start,
+           COUNT(*) AS event_count,
+           COUNT(DISTINCT user_id) AS distinct_users
+    FROM events, (VALUES (0), (1), (2), (3)) ks(k)
+    GROUP BY window_start
+    """,
+    cite="sliding-window agg (F.window slide mode; SURVEY §2.9 extension)",
+)
+def sliding_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.countDistinct("user_id").alias("distinct_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_count", "distinct_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram — value distribution per event_type in 20
+# buckets over [0, 100). Bucket math must floor identically: integer
+# floor-division on value scaled to avoid double-edge ambiguity.
+# ---------------------------------------------------------------------------
+@query(
+    "histogram_values",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value * 10) AS BIGINT) // 50 AS bucket,
+           COUNT(*) AS n
+    FROM events
+    WHERE value >= 0 AND value < 100
+    GROUP BY event_type, CAST(floor(value * 10) AS BIGINT) // 50
+    """,
+    cite="histogram binning (analytics extension)",
+)
+def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    # floor() the scaled double in BOTH engines: a bare int cast
+    # truncates in Spark but rounds in DuckDB, so bucket edges would
+    # disagree at .5 boundaries. IEEE floor is identical in both.
+    return (
+        e.filter((F.col("value") >= 0) & (F.col("value") < 100))
+        .groupBy(
+            "event_type",
+            F.floor(F.floor(F.col("value") * 10) / 50).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Data profiling — one-scan per-column stats (operators/profile.py).
 # Exact mode here for oracle parity; approx (HLL++) is the scale mode.
 # ---------------------------------------------------------------------------
