@@ -202,3 +202,26 @@ def simhash64(tokens: Column) -> Column:
         return out
 
     return let_(F.transform(tokens, lambda t: F.xxhash64(t)), from_hashed)
+
+
+# PII scrubbing patterns — deliberately restricted to regex constructs
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB 'g'
+# flag), so the oracle can replay redaction bit-for-bit.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUMBER_RE = r"[0-9][0-9 -]{7,}[0-9]"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Struct(redacted, n_emails, n_long_numbers): emails then long
+    digit runs (phones, card numbers) replaced with typed placeholders.
+    Narrow per-row transform — pipelines into the scan, no shuffle."""
+    c = _col(text)
+    n_emails = F.regexp_count(c, F.lit(EMAIL_RE))
+    step1 = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    n_nums = F.regexp_count(step1, F.lit(LONG_NUMBER_RE))
+    step2 = F.regexp_replace(step1, LONG_NUMBER_RE, "<NUM>")
+    return F.struct(
+        step2.alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_nums.alias("n_long_numbers"),
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -100,3 +100,196 @@ def hash_sample(
         match = F.col(stratify_by) == F.lit(stratum)
         pred = F.when(match, hash_sample_predicate(key_col, float(rate), salt=salt)).otherwise(pred)
     return df.filter(pred)
+
+
+def mix_corpora(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    weights: Mapping[str, float],
+    *,
+    budget_frac: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Resample a corpus toward a target group mixture (dataset mixing).
+
+    Given target proportions `weights` over `group_col` values (e.g.
+    language or source shares for a training mix) and an overall output
+    budget of `budget_frac` * |df| rows, compute a per-group keep rate
+    rate_g = min(1, budget * w_g / count_g) and apply the same
+    deterministic md5-threshold Bernoulli rule as `hash_sample` — row
+    membership is a pure function of (key, salt, observed group counts),
+    reproducible across engines, runs, and partitionings.
+
+    Scale: the group-count aggregation is map-side-combinable over a
+    tiny key domain, the rate table is broadcast back, and the filter
+    itself is a narrow per-row predicate — no driver collect, no wide
+    shuffle of the corpus. Groups absent from `weights` get rate 0.
+
+    Mirrors the reference's qualitative sampling guidance only; this is
+    an LLM-pipeline extension (BASELINE.json north_star), not a
+    reference operator.
+    """
+    if not (0.0 < budget_frac <= 1.0):
+        raise ValueError("budget_frac must be in (0, 1]")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    weight_expr = F.lit(None).cast("double")
+    for g, w in weights.items():
+        weight_expr = F.when(F.col(group_col) == F.lit(g), F.lit(w / total_w)).otherwise(
+            weight_expr
+        )
+    # budget * w_g is the target row count for the group; rate caps at 1.
+    # least() skips NULLs in both Spark and DuckDB, so an absent weight
+    # must be forced to rate 0 explicitly, not left NULL.
+    raw_rate = (
+        F.lit(budget_frac) * weight_expr * F.sum("__cnt").over(Window.partitionBy())
+        / F.col("__cnt")
+    )
+    rates = counts.select(
+        group_col,
+        F.when(raw_rate.isNull(), F.lit(0.0))
+        .otherwise(F.least(F.lit(1.0), raw_rate))
+        .alias("__rate"),
+    )
+    thr = F.floor(F.col("__rate") * 65536).cast("int")
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 4
+    )
+    keep = F.when(thr >= 65536, F.lit(True)).otherwise(
+        prefix < F.format_string("%04x", thr)
+    )
+    return (
+        df.join(F.broadcast(rates), on=group_col, how="inner")
+        .filter(F.col("__rate") > 0)
+        .filter(keep)
+        .drop("__rate")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    budget: int = 256,
+    partition_col: str = "lang",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing plan: concatenate documents in a
+    deterministic order and cut every `budget` tokens.
+
+    Emits, per document: its whitespace token count, the packed bin it
+    STARTS in (`bin_id`), its token offset within that bin
+    (`bin_offset`), and whether it straddles a bin boundary
+    (`spans_boundary`) — exactly the bookkeeping a tokenize-and-pack
+    writer needs to materialize fixed-length training rows.
+
+    Scale: the running sum is a window per `partition_col` shard — the
+    idiomatic distributed layout (real pipelines pack per shard, never
+    globally). A shard's documents must fit one executor's window
+    partition; choose `partition_col` accordingly (e.g. a
+    `pmod(hash(key), n_shards)` column for uniform shards).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.withColumn("n_tokens", toks)
+        .withColumn("__start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("bin_id", F.floor(F.col("__start") / budget))
+        .withColumn("bin_offset", F.col("__start") % budget)
+        .withColumn(
+            "spans_boundary", (F.col("bin_offset") + F.col("n_tokens")) > F.lit(budget)
+        )
+        .drop("__start")
+    )
+    return out
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark-decontamination check: flag training documents sharing
+    any k-word shingle with an evaluation set.
+
+    Returns one row per contaminated training document:
+    (key, matched_eval_docs). Implementation is an inverted-index
+    equi-join on distinct shingles — the same AllPairs machinery as
+    n-gram dedup, so the shuffle carries (shingle, id) pairs only,
+    never document payloads. Documents shorter than k tokens cannot
+    match (no shingles emitted).
+
+    Scale: shingle postings are map-side-distinct per document; the
+    join key space is the shingle vocabulary (Zipf-distributed — the
+    hottest shingles are stop-phrases; pre-filtering shingles that
+    occur in >p% of eval docs is the standard mitigation and composes
+    here as a filter on the eval posting list).
+    """
+    from kwwhat_spark.functions.text import word_shingles
+
+    def postings(d: DataFrame, out: str) -> DataFrame:
+        toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        return (
+            d.filter(F.size(toks) >= k)
+            .select(F.col(key).alias(out), F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("__sh"))
+        )
+
+    t = postings(train, "train_id")
+    e = postings(eval_df, "eval_id")
+    return (
+        t.join(e, "__sh")
+        .groupBy("train_id")
+        .agg(F.countDistinct("eval_id").alias("matched_eval_docs"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-N characteristic terms per document by smoothed TF-IDF.
+
+    Uses the rational idf form (N+1)/(df+1) rather than its log: log is
+    monotone in it, so per-document rankings are identical, and pure
+    rational arithmetic is bit-identical across engines (IEEE division)
+    where libm log implementations may differ in the last ulp.
+
+    Scale: two hash aggregations (doc×term tf, term df) + one broadcast
+    of the single-row corpus size + a per-document top-N window. The
+    term-df aggregation is map-side combinable; the df join is on the
+    term key (vocabulary-sized, Zipf-skewed — AQE skew split applies).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    terms = df.select(F.col(key), F.explode(toks).alias("term"))
+    tf = terms.groupBy(key, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf", F.col("tf") * (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+        )
+    )
+    w = Window.partitionBy(key).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_n)
+        .select(key, "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
+    )

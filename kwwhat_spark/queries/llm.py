@@ -521,3 +521,218 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("token_count").alias("total_tokens"),
         (F.sum("token_count").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset mixing: resample toward target language proportions under a
+# fixed output budget. Keep rate per group is computed from observed
+# counts (no driver collect), membership is the md5-threshold rule —
+# fully deterministic, so the oracle replays it exactly. Arithmetic
+# order and double casts mirror the Spark expression so floor(rate *
+# 65536) is bit-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_mix",
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(cnt) AS total FROM counts),
+    rates AS (
+      SELECT lang,
+             LEAST(CAST(1.0 AS DOUBLE),
+                   CAST(0.5 AS DOUBLE)
+                   * CASE lang WHEN 'en' THEN CAST(0.3 AS DOUBLE)
+                               WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                               WHEN 'zh' THEN CAST(0.2 AS DOUBLE)
+                               WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+                               WHEN 'es' THEN CAST(0.15 AS DOUBLE) END
+                   * total / cnt) AS rate
+      FROM counts CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE r.rate > 0
+      AND (floor(r.rate * 65536) >= 65536
+           OR substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+              < printf('%04x', CAST(floor(r.rate * 65536) AS INT)))
+    """,
+    cite="LLM-ops: dataset mixture resampling (operators/corpus.py mix_corpora)",
+)
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import mix_corpora
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    mixed = mix_corpora(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.3, "de": 0.2, "zh": 0.2, "fr": 0.15, "es": 0.15},
+        budget_frac=0.5,
+        salt="mix",
+    )
+    return mixed.select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# GPT-style sequence packing plan: concatenate per-shard in doc_id order,
+# cut every 256 tokens; emit each document's bin / offset / straddle flag.
+# ---------------------------------------------------------------------------
+@query(
+    "pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens AS start_tok
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(CAST(start_tok AS DOUBLE) / 256) AS BIGINT) AS bin_id,
+           start_tok % 256 AS bin_offset,
+           (start_tok % 256) + n_tokens > 256 AS spans_boundary
+    FROM c
+    """,
+    cite="LLM-ops: sequence packing plan (operators/corpus.py pack_sequences)",
+)
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return pack_sequences(
+        docs, "text", budget=256, partition_col="lang", order_col="doc_id"
+    ).select("doc_id", "lang", "n_tokens", "bin_id", "bin_offset", "spans_boundary")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: training docs sharing any 5-word shingle
+# with a deterministic ~8% held-out eval slice (md5 2-hex prefix < '15').
+# ---------------------------------------------------------------------------
+@query(
+    "decontaminate_ngram",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+4], ' ')
+                            for i in generate_series(1, len(t)-4)]) AS shingles,
+             substr(md5('eval' || CAST(doc_id AS VARCHAR)), 1, 2) < '15' AS is_eval
+      FROM toks WHERE len(t) >= 5
+    ), ev AS (
+      SELECT doc_id AS eval_id, UNNEST(shingles) AS shingle FROM shingled WHERE is_eval
+    ), tr AS (
+      SELECT doc_id AS train_id, UNNEST(shingles) AS shingle FROM shingled WHERE NOT is_eval
+    )
+    SELECT tr.train_id, COUNT(DISTINCT ev.eval_id) AS matched_eval_docs
+    FROM tr JOIN ev ON tr.shingle = ev.shingle
+    GROUP BY tr.train_id
+    """,
+    cite="LLM-ops: eval-set decontamination (operators/corpus.py ngram_contamination)",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = (
+        F.substring(F.md5(F.concat(F.lit("eval"), F.col("doc_id").cast("string"))), 1, 2)
+        < F.lit("15")
+    )
+    return ngram_contamination(
+        docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text", k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (rational smoothed idf — see operator
+# docstring for why not log: identical ranking, bit-identical doubles).
+# ---------------------------------------------------------------------------
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df_t AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df_t.df,
+             tf.tf * (n.n_docs + 1.0) / (df_t.df + 1.0) AS tfidf
+      FROM tf JOIN df_t USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    cite="LLM-ops: TF-IDF characteristic terms (operators/corpus.py tfidf_top_terms)",
+)
+def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, "doc_id", "text", top_n=3)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: deterministic synthetic PII is injected into every 7th
+# document (the synthetic corpus contains none), then emails and long
+# digit runs are redacted with typed placeholders. Regexes restricted to
+# the Java-regex ∩ RE2 common subset so DuckDB replays byte-identically.
+# ---------------------------------------------------------------------------
+@query(
+    "redact_pii",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1 555-123-4567 ref 4111 1111 1111 1111'
+                  ELSE text END AS t
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM base
+    )
+    SELECT doc_id,
+           regexp_replace(t1, '[0-9][0-9 -]{7,}[0-9]', '<NUM>', 'g') AS redacted_text,
+           n_emails,
+           len(regexp_extract_all(t1, '[0-9][0-9 -]{7,}[0-9]')) AS n_long_numbers
+    FROM s1
+    """,
+    cite="LLM-ops: PII redaction (functions/text.py redact_pii)",
+)
+def redact_pii_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "t",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555-123-4567 ref 4111 1111 1111 1111"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    r = redact_pii(F.col("t"))
+    return injected.select(
+        "doc_id",
+        r.getField("redacted").alias("redacted_text"),
+        r.getField("n_emails").alias("n_emails"),
+        r.getField("n_long_numbers").alias("n_long_numbers"),
+    )

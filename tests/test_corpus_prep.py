@@ -1,0 +1,105 @@
+"""Unit invariants for the corpus-preparation operators added for the
+training-data pipeline surface: mixture resampling, sequence packing,
+decontamination, TF-IDF, and PII redaction. (Cross-engine equality is
+covered by the oracle gate in test_catalog_oracle.py.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kwwhat_spark.functions.text import redact_pii
+from kwwhat_spark.operators.corpus import (
+    mix_corpora,
+    ngram_contamination,
+    pack_sequences,
+    tfidf_top_terms,
+)
+from kwwhat_spark.sources.testdata import load_table
+
+
+def test_mix_corpora_hits_target_proportions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    weights = {"en": 0.3, "de": 0.2, "zh": 0.2, "fr": 0.15, "es": 0.15}
+    mixed = mix_corpora(docs, "doc_id", "lang", weights, budget_frac=0.5)
+    total = docs.count()
+    got = {r["lang"]: r["cnt"] for r in mixed.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    for lang, w in weights.items():
+        target = 0.5 * total * w
+        avail = docs.filter(F.col("lang") == lang).count()
+        expected = min(target, avail)
+        # 16-bit Bernoulli thresholding: binomial noise around the target.
+        assert abs(got.get(lang, 0) - expected) <= max(6, 0.35 * expected), (lang, got, expected)
+
+
+def test_mix_corpora_deterministic_and_capped(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # fr gets weight 1.0 → target far above its count → rate caps at 1: all fr kept.
+    mixed = mix_corpora(docs, "doc_id", "lang", {"fr": 1.0}, budget_frac=1.0)
+    assert mixed.count() == docs.filter(F.col("lang") == "fr").count()
+    a = sorted(r.doc_id for r in mix_corpora(docs, "doc_id", "lang", {"en": 1.0}, budget_frac=0.3).collect())
+    b = sorted(r.doc_id for r in mix_corpora(docs, "doc_id", "lang", {"en": 1.0}, budget_frac=0.3).collect())
+    assert a == b and len(a) > 0
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    packed = pack_sequences(docs, "text", budget=256, partition_col="lang", order_col="doc_id")
+    rows = packed.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.bin_offset < 256
+        assert r.spans_boundary == (r.bin_offset + r.n_tokens > 256)
+    # Replaying the greedy concatenation per shard reproduces bin/offset.
+    by_lang: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.lang, r.doc_id)):
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        cum = 0
+        for r in rs:
+            assert r.bin_id == cum // 256 and r.bin_offset == cum % 256, (lang, r)
+            cum += r.n_tokens
+
+
+def test_ngram_contamination_matches_naive(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # shares 5-gram with eval 10
+            (2, "one two three four five six seven"),  # no overlap
+            (3, "alpha beta gamma delta epsilon"),  # exactly one shingle, shared
+            (4, "too short"),  # < 5 tokens: cannot match
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon eta"), (11, "nine ten eleven twelve thirteen")],
+        ["doc_id", "text"],
+    )
+    got = {r.train_id: r.matched_eval_docs for r in ngram_contamination(train, eval_df).collect()}
+    assert got == {1: 1, 3: 1}
+
+
+def test_tfidf_surfaces_distinctive_term(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare_x rare_x rare_x"),
+            (2, "common common filler filler"),
+            (3, "common filler other other"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = tfidf_top_terms(docs, top_n=1)
+    got = {r.doc_id: r.term for r in top.collect()}
+    # rare_x: tf 3 × idf (3+1)/(1+1)=2 → 6.0 beats common: tf 2 × idf 4/4=1 → 2.0.
+    assert got[1] == "rare_x"
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.user+tag@example.co.uk then +1 555-123-4567 and card 4111 1111 1111 1111 end")],
+        ["id", "text"],
+    )
+    r = df.select(redact_pii("text").alias("r")).select("r.*").collect()[0]
+    assert r.n_emails == 1
+    assert r.n_long_numbers == 2
+    assert "<EMAIL>" in r.redacted and "<NUM>" in r.redacted
+    assert "@" not in r.redacted and "4111" not in r.redacted

@@ -21,6 +21,7 @@ WHITELIST = {
     "tpch_q22_sales_opportunity": "single-row global-average build side",
     "tpch_q11_important_stock": "single-row cutoff build side",
     "funnel_conversion": "single-row stage totals cross-join",
+    "tfidf_top_terms": "single-row corpus-size build side",
 }
 
 
