@@ -221,6 +221,7 @@ def ngram_contamination(
     text_col: str = "text",
     *,
     k: int = 5,
+    broadcast_eval: bool = False,
 ) -> DataFrame:
     """Benchmark-decontamination check: flag training documents sharing
     any k-word shingle with an evaluation set.
@@ -249,6 +250,11 @@ def ngram_contamination(
 
     t = postings(train, "train_id")
     e = postings(eval_df, "eval_id")
+    # Real decontamination runs have a tiny eval side (benchmark suites
+    # are KBs against a TB corpus): broadcast its postings and the check
+    # becomes a map-side hash probe with no shuffle of the train side.
+    if broadcast_eval:
+        e = F.broadcast(e)
     return (
         t.join(e, "__sh")
         .groupBy("train_id")

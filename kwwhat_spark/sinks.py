@@ -58,3 +58,44 @@ def write_marts(pipe: Pipeline, out_dir: str, models: list[str] | None = None) -
         write_partitioned(pipe.ref(name), path, PARTITION_COLUMN.get(name))
         paths[name] = path
     return paths
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    order_by: list[str],
+    rows_per_shard: int,
+    n_partitions: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Export a corpus as deterministic, size-bounded training shards.
+
+    Spark-native total-order sharding: `repartitionByRange` on the sort
+    key gives non-overlapping, globally ordered partitions (one range
+    shuffle — the same machinery as a global sort), rows are sorted
+    within each partition, and `maxRecordsPerFile` caps shard size so
+    downstream loaders stream fixed-size files without a planner.
+
+    At 100 TB this is the right shape: the range exchange samples key
+    quantiles (no driver materialization), every executor writes its own
+    shard files, and no stage ever sees a global collect. `fmt` is
+    "parquet" (training features) or "json" (JSONL text corpora).
+    """
+    if rows_per_shard <= 0:
+        raise ValueError("rows_per_shard must be positive")
+    if fmt not in ("parquet", "json"):
+        raise ValueError("fmt must be 'parquet' or 'json'")
+    cols = [F.col(c) for c in order_by]
+    ranged = (
+        df.repartitionByRange(n_partitions, *cols)
+        if n_partitions
+        else df.repartitionByRange(*cols)
+    )
+    (
+        ranged.sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .format(fmt)
+        .save(path)
+    )

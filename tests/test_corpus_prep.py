@@ -103,3 +103,45 @@ def test_redact_pii_counts_and_placeholders(spark):
     assert r.n_long_numbers == 2
     assert "<EMAIL>" in r.redacted and "<NUM>" in r.redacted
     assert "@" not in r.redacted and "4111" not in r.redacted
+
+
+def test_ngram_contamination_broadcast_eval_same_result(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = (
+        F2.substring(F2.md5(F2.concat(F2.lit("eval"), F2.col("doc_id").cast("string"))), 1, 2)
+        < "15"
+    )
+    plain = ngram_contamination(docs.filter(~is_eval), docs.filter(is_eval))
+    hinted = ngram_contamination(
+        docs.filter(~is_eval), docs.filter(is_eval), broadcast_eval=True
+    )
+    assert "BroadcastHashJoin" in hinted._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, hinted.collect()))
+
+
+def test_write_training_shards_round_trip(spark, sf_dir, tmp_path):
+    from kwwhat_spark.sinks import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        docs, out, order_by=["lang", "doc_id"], rows_per_shard=100, n_partitions=4
+    )
+    import glob
+
+    files = glob.glob(out + "/part-*.parquet")
+    n = docs.count()
+    assert len(files) >= (n + 99) // 100  # size bound respected
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+    # Range partitioning + per-file cap: each file is internally sorted
+    # and files don't interleave key ranges within a partition's output.
+    for f in files:
+        rows = spark.read.parquet(f).select("lang", "doc_id").collect()
+        keys = [(r.lang, r.doc_id) for r in rows]
+        assert keys == sorted(keys), f
