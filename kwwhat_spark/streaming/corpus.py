@@ -1,0 +1,64 @@
+"""Streaming corpus ingest: the training-data pipeline's front door.
+
+A continuously-arriving document feed (files landing in object storage,
+a Kafka topic of crawled pages) runs the same narrow enrichment
+expressions as the batch cleaning pipeline — content hash, token count,
+quality score, language guess — then exact-dedups on content hash with
+watermark-bounded state and appends. Everything before the dedup is a
+stateless per-row transform, so the streaming and batch paths share one
+expression set and cannot drift.
+
+Scale: per-key dedup state is garbage-collected past the watermark
+(bounded memory forever); the enrichment is pipelined into the source
+scan with no shuffle; the only stateful exchange is the hash-partition
+on content_hash that dropDuplicatesWithinWatermark requires. Historical
+(pre-stream) dedup is the batch job's responsibility — the standard
+lambda split: stream handles the horizon, nightly batch handles the
+archive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kwwhat_spark.functions.text import lang_id, quality_score, whitespace_token_count
+from kwwhat_spark.streaming.sinks import stream_dedup
+
+
+def enrich_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stateless enrichment shared by batch and streaming ingest:
+    content_hash (md5), token_count, quality, lang_guess."""
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withColumn("token_count", whitespace_token_count(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("lang_guess", lang_id(text_col))
+    )
+
+
+def stream_ingest_corpus(
+    stream: DataFrame,
+    text_col: str = "text",
+    *,
+    min_quality: float = 0.0,
+    min_tokens: int = 1,
+    dedup_delay: str = "1 hour",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Enrich + quality-gate + watermarked exact-dedup a document stream.
+
+    `ts_col` is the event-time column for the dedup watermark; if the
+    feed has none (plain file drops), ingest processing time is used —
+    dedup is then exact within `dedup_delay` of arrival, the same
+    contract as the reference's late-data buffer (SURVEY.md §2.8).
+    """
+    enriched = enrich_documents(stream, text_col)
+    if ts_col is None:
+        ts_col = "ingest_ts"
+        enriched = enriched.withColumn(ts_col, F.current_timestamp())
+    gated = enriched.filter(
+        (F.col("quality") >= F.lit(min_quality))
+        & (F.col("token_count") >= F.lit(min_tokens))
+    )
+    return stream_dedup(gated, ["content_hash"], ts_col, dedup_delay)

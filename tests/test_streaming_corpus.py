@@ -1,0 +1,50 @@
+"""Streaming corpus ingest: stream output must equal the batch
+equivalent (same enrichment expressions, exact dedup, quality gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kwwhat_spark.sources.testdata import load_table
+from kwwhat_spark.streaming.corpus import enrich_documents, stream_ingest_corpus
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars int"
+
+
+@pytest.fixture()
+def doc_feed(spark, sf_dir, tmp_path):
+    """Documents landed twice (two files) → every doc is a duplicate."""
+    d = str(tmp_path / "doc_feed")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", F.col("n_chars").cast("int").alias("n_chars")
+    )
+    docs.write.mode("overwrite").parquet(d)
+    docs.write.mode("append").parquet(d)
+    return d
+
+
+def test_stream_ingest_matches_batch(spark, sf_dir, doc_feed):
+    min_q, min_t = 0.3, 10
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(doc_feed)
+    out = stream_ingest_corpus(stream, min_quality=min_q, min_tokens=min_t)
+    q = (
+        out.writeStream.format("memory").queryName("corpus_ingest")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("corpus_ingest")
+
+    batch = enrich_documents(load_table(spark, sf_dir, "documents")).filter(
+        (F.col("quality") >= min_q) & (F.col("token_count") >= min_t)
+    )
+    expected_hashes = {r.content_hash for r in batch.select("content_hash").distinct().collect()}
+    got_hashes = [r.content_hash for r in got.select("content_hash").collect()]
+    assert len(got_hashes) == len(set(got_hashes)), "stream emitted duplicate content"
+    assert set(got_hashes) == expected_hashes
+    # Enrichment values identical to batch for a spot-checked doc.
+    one = got.orderBy("doc_id").limit(1).collect()[0]
+    b = batch.filter(F.col("doc_id") == one.doc_id).collect()[0]
+    assert (one.token_count, one.quality, one.lang_guess) == (
+        b.token_count, b.quality, b.lang_guess,
+    )
