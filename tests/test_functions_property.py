@@ -117,3 +117,41 @@ def test_surrogate_key_matches_dbt_formula(spark, duck, rows):
         for a, b in rows
     ]
     assert got == want
+
+
+# --- PII redaction: Spark (Java regex) vs DuckDB (RE2, 'g' flag) must
+# agree byte-for-byte on redacted text and match counts — the regexes
+# are deliberately restricted to the semantics-identical subset.
+
+_TEXT_ALPHABET = st.sampled_from(
+    list("abcXYZ 019.@+-_%") + ["@example.com", "user.name", "555-123-4567", "4111 1111 1111 1111", "a@b.co"]
+)
+_PII_TEXT = st.lists(_TEXT_ALPHABET, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_PII_TEXT, min_size=1, max_size=15))
+def test_redact_pii_matches_duckdb(spark, duck, texts):
+    from kwwhat_spark.functions.text import EMAIL_RE, LONG_NUMBER_RE, redact_pii
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.redacted, r.n_emails, r.n_long_numbers)
+        for r in df.select(redact_pii("text").alias("r")).select("r.*").collect()
+    ]
+    want = []
+    for t in texts:
+        row = duck.execute(
+            """
+            WITH s1 AS (
+              SELECT len(regexp_extract_all(?::VARCHAR, ?)) AS n_emails,
+                     regexp_replace(?::VARCHAR, ?, '<EMAIL>', 'g') AS t1
+            )
+            SELECT regexp_replace(t1, ?, '<NUM>', 'g'), n_emails,
+                   len(regexp_extract_all(t1, ?))
+            FROM s1
+            """,
+            [t, EMAIL_RE, t, EMAIL_RE, LONG_NUMBER_RE, LONG_NUMBER_RE],
+        ).fetchone()
+        want.append((row[0], row[1], row[2]))
+    assert got == want, list(zip(texts, got, want))
