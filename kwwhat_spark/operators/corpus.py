@@ -110,21 +110,30 @@ def mix_corpora(
     *,
     budget_frac: float = 0.5,
     salt: str = "mix",
+    allow_upsample: bool = False,
 ) -> DataFrame:
     """Resample a corpus toward a target group mixture (dataset mixing).
 
     Given target proportions `weights` over `group_col` values (e.g.
     language or source shares for a training mix) and an overall output
     budget of `budget_frac` * |df| rows, compute a per-group keep rate
-    rate_g = min(1, budget * w_g / count_g) and apply the same
-    deterministic md5-threshold Bernoulli rule as `hash_sample` — row
-    membership is a pure function of (key, salt, observed group counts),
-    reproducible across engines, runs, and partitionings.
+    rate_g = budget * w_g / count_g and apply the same deterministic
+    md5-threshold Bernoulli rule as `hash_sample` — row membership is a
+    pure function of (key, salt, observed group counts), reproducible
+    across engines, runs, and partitionings.
+
+    With `allow_upsample=False` (default) rates cap at 1 and rows are
+    only dropped. With `allow_upsample=True`, rate_g > 1 replicates:
+    each row gets floor(rate) copies plus one more when its hash falls
+    under the fractional remainder — temperature-style oversampling of
+    low-resource groups. The output then carries a `copy_idx` column
+    (1-based) so downstream shuffling/packing can distinguish epochs.
 
     Scale: the group-count aggregation is map-side-combinable over a
-    tiny key domain, the rate table is broadcast back, and the filter
-    itself is a narrow per-row predicate — no driver collect, no wide
-    shuffle of the corpus. Groups absent from `weights` get rate 0.
+    tiny key domain, the rate table is broadcast back, and the
+    filter/replication is a narrow per-row transform — no driver
+    collect, no wide shuffle of the corpus. Groups absent from
+    `weights` get rate 0.
 
     Mirrors the reference's qualitative sampling guidance only; this is
     an LLM-pipeline extension (BASELINE.json north_star), not a
@@ -149,24 +158,36 @@ def mix_corpora(
         F.lit(budget_frac) * weight_expr * F.sum("__cnt").over(Window.partitionBy())
         / F.col("__cnt")
     )
+    capped = raw_rate if allow_upsample else F.least(F.lit(1.0), raw_rate)
     rates = counts.select(
         group_col,
-        F.when(raw_rate.isNull(), F.lit(0.0))
-        .otherwise(F.least(F.lit(1.0), raw_rate))
-        .alias("__rate"),
+        F.when(raw_rate.isNull(), F.lit(0.0)).otherwise(capped).alias("__rate"),
     )
-    thr = F.floor(F.col("__rate") * 65536).cast("int")
     prefix = F.substring(
         F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 4
     )
-    keep = F.when(thr >= 65536, F.lit(True)).otherwise(
-        prefix < F.format_string("%04x", thr)
+    joined = df.join(F.broadcast(rates), on=group_col, how="inner").filter(
+        F.col("__rate") > 0
+    )
+    if not allow_upsample:
+        thr = F.floor(F.col("__rate") * 65536).cast("int")
+        keep = F.when(thr >= 65536, F.lit(True)).otherwise(
+            prefix < F.format_string("%04x", thr)
+        )
+        return joined.filter(keep).drop("__rate")
+    # floor(rate) whole copies; the fractional remainder becomes one
+    # extra copy for rows whose hash falls under it (always < 65536, so
+    # no overflow guard needed on the hex threshold).
+    frac_thr = F.floor((F.col("__rate") - F.floor(F.col("__rate"))) * 65536).cast("int")
+    copies = (
+        F.floor(F.col("__rate")).cast("int")
+        + F.when(prefix < F.format_string("%04x", frac_thr), F.lit(1)).otherwise(F.lit(0))
     )
     return (
-        df.join(F.broadcast(rates), on=group_col, how="inner")
-        .filter(F.col("__rate") > 0)
-        .filter(keep)
-        .drop("__rate")
+        joined.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)  # Spark sequence(1,0) counts DOWN; guard first
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__copies"))))
+        .drop("__rate", "__copies")
     )
 
 

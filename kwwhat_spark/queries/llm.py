@@ -736,3 +736,53 @@ def redact_pii_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.getField("n_emails").alias("n_emails"),
         r.getField("n_long_numbers").alias("n_long_numbers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Upsampling mixture: rates above 1 replicate rows deterministically
+# (floor(rate) copies + one more under the fractional hash threshold) —
+# temperature-style oversampling of low-resource groups.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_mix_upsample",
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(cnt) AS total FROM counts),
+    rates AS (
+      SELECT lang,
+             CAST(1.0 AS DOUBLE)
+             * CASE lang WHEN 'fr' THEN CAST(0.6 AS DOUBLE)
+                         WHEN 'en' THEN CAST(0.4 AS DOUBLE) END
+             * total / cnt AS rate
+      FROM counts CROSS JOIN tot
+    ), base AS (
+      SELECT d.doc_id, d.lang, r.rate,
+             substr(md5('mixu' || CAST(d.doc_id AS VARCHAR)), 1, 4) AS h
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE r.rate > 0
+    ), copies AS (
+      SELECT doc_id, lang,
+             CAST(floor(rate) AS INT)
+             + CASE WHEN h < printf('%04x', CAST(floor((rate - floor(rate)) * 65536) AS INT))
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM base
+    )
+    SELECT doc_id, lang, UNNEST(generate_series(1, n_copies)) AS copy_idx
+    FROM copies WHERE n_copies > 0
+    """,
+    cite="LLM-ops: temperature-style upsampling mix (operators/corpus.py mix_corpora)",
+)
+def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import mix_corpora
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    mixed = mix_corpora(
+        docs,
+        "doc_id",
+        "lang",
+        {"fr": 0.6, "en": 0.4},
+        budget_frac=1.0,
+        salt="mixu",
+        allow_upsample=True,
+    )
+    return mixed.select("doc_id", "lang", "copy_idx")

@@ -145,3 +145,23 @@ def test_write_training_shards_round_trip(spark, sf_dir, tmp_path):
         rows = spark.read.parquet(f).select("lang", "doc_id").collect()
         keys = [(r.lang, r.doc_id) for r in rows]
         assert keys == sorted(keys), f
+
+
+def test_mix_corpora_upsample_replicates_to_target(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    mixed = mix_corpora(
+        docs, "doc_id", "lang", {"fr": 0.6, "en": 0.4},
+        budget_frac=1.0, allow_upsample=True,
+    )
+    total = docs.count()
+    got = {r["lang"]: r["cnt"] for r in mixed.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert set(got) == {"fr", "en"}
+    for lang, w in {"fr": 0.6, "en": 0.4}.items():
+        target = total * w
+        assert abs(got[lang] - target) <= max(8, 0.2 * target), (lang, got, target)
+    # copy_idx is dense 1..n per replicated doc.
+    fr = mixed.filter(F.col("lang") == "fr").groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("copy_idx").alias("mx"), F.min("copy_idx").alias("mn")
+    )
+    bad = fr.filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count()
+    assert bad == 0
