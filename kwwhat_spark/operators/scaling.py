@@ -27,3 +27,20 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def shard_column(df: DataFrame, key: str, n_shards: int, out: str = "shard") -> DataFrame:
+    """Add a deterministic uniform shard id: pmod(xxhash64(key), n).
+
+    For operators whose parallelism is bounded by a partition column's
+    cardinality (pack_sequences per lang = 5-way ceiling; any
+    per-partition running-sum/window), shard first and partition by
+    (natural_col, shard) or shard alone — n_shards sized so one shard's
+    rows fit an executor's window buffer. Membership is a pure function
+    of the key: reruns and both engines agree on shard contents.
+    """
+    from pyspark.sql import functions as F
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    return df.withColumn(out, F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_shards)))

@@ -165,3 +165,16 @@ def test_mix_corpora_upsample_replicates_to_target(spark, sf_dir):
     )
     bad = fr.filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count()
     assert bad == 0
+
+
+def test_shard_column_uniform_and_deterministic(spark, sf_dir):
+    from kwwhat_spark.operators.scaling import shard_column
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = shard_column(docs, "doc_id", 16)
+    counts = [r.cnt for r in a.groupBy("shard").agg(F.count("*").alias("cnt")).collect()]
+    assert len(counts) == 16
+    n = docs.count()
+    assert max(counts) < 3 * n / 16  # no pathological skew
+    b = {(r.doc_id, r.shard) for r in shard_column(docs, "doc_id", 16).collect()}
+    assert {(r.doc_id, r.shard) for r in a.collect()} == b

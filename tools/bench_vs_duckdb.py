@@ -3,7 +3,8 @@
 
 For each headline query with an oracle, runs the Spark plan and the
 oracle SQL twice each on the same parquet dir and reports the second
-(hot) time. Usage: python tools/bench_vs_duckdb.py [SF_DIR]
+(hot) time. Usage: python tools/bench_vs_duckdb.py [SF_DIR] [QUERY ...]
+— with explicit QUERY names, measures those instead of the headline set.
 """
 
 from __future__ import annotations
@@ -33,9 +34,15 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
+    wanted = sys.argv[2:]
+    unknown = [n for n in wanted if n not in REGISTRY]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}; available: {sorted(REGISTRY)}")
     out = {}
     for name, q in REGISTRY.items():
-        if not q.headline:
+        if wanted and name not in wanted:
+            continue
+        if not wanted and not q.headline:
             continue
         spark_hot = None
         for _ in range(2):
