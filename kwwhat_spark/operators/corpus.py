@@ -345,3 +345,60 @@ def tfidf_top_terms(
         F.col("__t.df").alias("df"),
         F.round(F.col("__t.tfidf"), 6).alias("tfidf"),
     )
+
+
+def materialize_packed_bins(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    budget: int = 256,
+    partition_col: str = "lang",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize GPT-style packed training rows: concatenate documents
+    per shard in `order_col` order and cut every `budget` tokens —
+    documents straddling a boundary are SPLIT across bins, so every bin
+    except a shard's last holds exactly `budget` tokens.
+
+    Per document: explode the range of bins it touches, slice its token
+    array to each bin's overlap (pure JVM array ops, no UDF), then
+    assemble bins with an ordered aggregation. Output: (partition_col,
+    bin_id, bin_text, bin_tokens).
+
+    Scale: same one-window-per-shard layout as `pack_sequences` (use
+    `shard_column` to size shards); the assembly aggregation is keyed by
+    (shard, bin) — uniform by construction since bins are fixed-size.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        df.withColumn("__toks", toks)
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") >= 1)
+        .withColumn("__start", F.sum("__n").over(w) - F.col("__n"))
+    )
+    first_bin = F.floor(F.col("__start") / budget)
+    last_bin = F.floor((F.col("__start") + F.col("__n") - 1) / budget)
+    seg = c.withColumn("bin_id", F.explode(F.sequence(first_bin, last_bin)))
+    gs = F.greatest(F.col("__start"), F.col("bin_id") * budget)
+    ge = F.least(F.col("__start") + F.col("__n"), (F.col("bin_id") + 1) * budget)
+    seg = seg.withColumn(
+        "__frag", F.array_join(F.slice("__toks", (gs - F.col("__start") + 1).cast("int"), (ge - gs).cast("int")), " ")
+    ).withColumn("__frag_tokens", (ge - gs))
+    assembled = seg.groupBy(partition_col, "bin_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__start").alias("s"), F.col("__frag").alias("f")))),
+                lambda s: s.getField("f"),
+            ),
+            " ",
+        ).alias("bin_text"),
+        F.sum("__frag_tokens").alias("bin_tokens"),
+    )
+    return assembled

@@ -786,3 +786,51 @@ def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         allow_upsample=True,
     )
     return mixed.select("doc_id", "lang", "copy_idx")
+
+
+# ---------------------------------------------------------------------------
+# Materialized GPT-style packing: cut the per-shard token concatenation
+# every 256 tokens; straddling documents are split, so every bin except
+# a shard's last holds exactly 256 tokens.
+# ---------------------------------------------------------------------------
+@query(
+    "packed_bins",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, toks, len(toks) AS n,
+             SUM(len(toks)) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - len(toks) AS st
+      FROM t WHERE len(toks) >= 1
+    ), seg AS (
+      SELECT lang, st, toks, n,
+             UNNEST(generate_series(CAST(floor(CAST(st AS DOUBLE) / 256) AS BIGINT),
+                                    CAST(floor(CAST(st + n - 1 AS DOUBLE) / 256) AS BIGINT))) AS bin_id
+      FROM c
+    ), frag AS (
+      SELECT lang, bin_id, st,
+             array_to_string(
+               toks[CAST(GREATEST(st, bin_id * 256) - st + 1 AS BIGINT)
+                    : CAST(LEAST(st + n, (bin_id + 1) * 256) - st AS BIGINT)], ' ') AS f,
+             LEAST(st + n, (bin_id + 1) * 256) - GREATEST(st, bin_id * 256) AS ft
+      FROM seg
+    )
+    SELECT lang, bin_id,
+           string_agg(f, ' ' ORDER BY st) AS bin_text,
+           SUM(ft) AS bin_tokens
+    FROM frag
+    GROUP BY lang, bin_id
+    """,
+    cite="LLM-ops: materialized sequence packing (operators/corpus.py materialize_packed_bins)",
+)
+def packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import materialize_packed_bins
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return materialize_packed_bins(
+        docs, "text", budget=256, partition_col="lang", order_col="doc_id"
+    )

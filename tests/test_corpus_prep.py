@@ -178,3 +178,29 @@ def test_shard_column_uniform_and_deterministic(spark, sf_dir):
     assert max(counts) < 3 * n / 16  # no pathological skew
     b = {(r.doc_id, r.shard) for r in shard_column(docs, "doc_id", 16).collect()}
     assert {(r.doc_id, r.shard) for r in a.collect()} == b
+
+
+def test_materialize_packed_bins_exact_budget(spark, sf_dir):
+    from kwwhat_spark.operators.corpus import materialize_packed_bins
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    bins = materialize_packed_bins(docs, "text", budget=256).collect()
+    by_lang: dict[str, list] = {}
+    for r in bins:
+        by_lang.setdefault(r.lang, []).append(r)
+    total_tokens = 0
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.bin_id)
+        assert [r.bin_id for r in rs] == list(range(len(rs))), "bins must be dense from 0"
+        for r in rs[:-1]:
+            assert r.bin_tokens == 256, (lang, r.bin_id, r.bin_tokens)
+            assert len(r.bin_text.split(" ")) == 256
+        assert 1 <= rs[-1].bin_tokens <= 256
+        total_tokens += sum(r.bin_tokens for r in rs)
+    # token conservation vs the source corpus
+    from pyspark.sql import functions as F2
+
+    src = docs.select(
+        F2.size(F2.filter(F2.split("text", r"\s+"), lambda t: t != "")).alias("n")
+    ).agg(F2.sum("n")).collect()[0][0]
+    assert total_tokens == src
