@@ -402,3 +402,46 @@ def materialize_packed_bins(
         F.sum("__frag_tokens").alias("bin_tokens"),
     )
     return assembled
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    store,
+    name: str = "corpus_hash_index",
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch-over-batch exact dedup against a persistent archive index.
+
+    The store holds only (content_hash, first_seen_key) — never document
+    payloads — so the archive index stays ~64 bytes/doc regardless of
+    corpus size. A new batch is deduped internally (min key per hash
+    wins, deterministic), anti-joined against the archive, and the index
+    is MERGEd forward. Returns the surviving rows of `batch`.
+
+    Scale: the anti-join and merge shuffle hash-index rows only; at
+    100 TB the index is the natural Delta/Iceberg MERGE INTO target and
+    the anti-join a broadcast or DPP-pruned probe of the day's batch.
+    This is the batch half of the lambda pair with
+    streaming.corpus.stream_ingest_corpus (which covers the watermark
+    horizon; this covers the archive).
+    """
+    hashed = batch.withColumn("content_hash", F.md5(F.col(text_col)))
+    w_min = Window.partitionBy("content_hash")
+    in_batch_first = (
+        hashed.withColumn("__min_key", F.min(key).over(w_min))
+        .filter(F.col(key) == F.col("__min_key"))
+        .drop("__min_key")
+    )
+    existing = store.read(name)
+    if existing is not None:
+        fresh = in_batch_first.join(
+            existing.select("content_hash"), "content_hash", "left_anti"
+        )
+    else:
+        fresh = in_batch_first
+    index_rows = fresh.select(
+        "content_hash", F.col(key).alias("first_seen_key")
+    )
+    store.merge(name, index_rows, ["content_hash"])
+    return fresh.drop("content_hash")

@@ -204,3 +204,31 @@ def test_materialize_packed_bins_exact_budget(spark, sf_dir):
         F2.size(F2.filter(F2.split("text", r"\s+"), lambda t: t != "")).alias("n")
     ).agg(F2.sum("n")).collect()[0][0]
     assert total_tokens == src
+
+
+def test_incremental_exact_dedup_across_batches(spark, sf_dir, tmp_path):
+    from kwwhat_spark.operators.corpus import incremental_exact_dedup
+    from kwwhat_spark.plans.incremental import ParquetStateStore
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    # batch 2 = odd docs + re-sent copies of some even docs (higher ids)
+    resent = b1.limit(50).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(resent)
+
+    out1 = incremental_exact_dedup(b1, store)
+    n1 = out1.count()
+    assert n1 == b1.select(F.md5("text")).distinct().count()
+
+    out2 = incremental_exact_dedup(b2, store).collect()
+    got_ids = {r.doc_id for r in out2}
+    assert not any(i >= 1_000_000 for i in got_ids), "archive dups must be dropped"
+    # every surviving batch-2 hash is new to the archive
+    all_b1_hashes = {r.h for r in b1.select(F.md5("text").alias("h")).distinct().collect()}
+    out2_hashes = {r.h for r in spark.createDataFrame([(r.doc_id,) for r in out2], "doc_id long")
+                   .join(docs, "doc_id").select(F.md5("text").alias("h")).collect()}
+    assert not (out2_hashes & all_b1_hashes)
+    # index now covers both batches
+    idx = store.read("corpus_hash_index")
+    assert idx.count() == len(all_b1_hashes | out2_hashes)
