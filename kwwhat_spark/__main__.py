@@ -6,6 +6,7 @@
   python -m kwwhat_spark metrics     --seed-dir D [--group-by DIM ...]
   python -m kwwhat_spark query NAME  [--sf-dir D] [--explain] [-n ROWS]
   python -m kwwhat_spark list        [--oracle-only]
+  python -m kwwhat_spark corpus --out DIR [--sf-dir D]  # clean→dedup→pack→shards
 
 `--seed-dir` defaults to the reference demo seed. All subcommands build
 the model DAG lazily — each only executes its own upstream subgraph.
@@ -102,6 +103,38 @@ def cmd_query(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_corpus(spark: SparkSession, args) -> int:
+    """Clean → dedup → pack → export: the training-data path end-to-end."""
+    from pyspark.sql import functions as F
+
+    from kwwhat_spark.operators.corpus import materialize_packed_bins
+    from kwwhat_spark.operators.dedup import exact_dedup
+    from kwwhat_spark.operators.scaling import shard_column
+    from kwwhat_spark.sinks import write_training_shards
+    from kwwhat_spark.sources.testdata import load_table
+    from kwwhat_spark.streaming.corpus import enrich_documents
+
+    docs = load_table(spark, args.sf_dir, "documents")
+    enriched = enrich_documents(docs).filter(
+        (F.col("quality") >= args.min_quality) & (F.col("token_count") >= args.min_tokens)
+    )
+    keepers = exact_dedup(enriched, "text", "doc_id").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    unique = enriched.join(keepers, "doc_id", "left_semi")
+    sharded = shard_column(unique, "doc_id", args.shards)
+    bins = materialize_packed_bins(
+        sharded, "text", budget=args.budget, partition_col="shard", order_col="doc_id"
+    )
+    write_training_shards(
+        bins, args.out, order_by=["shard", "bin_id"],
+        rows_per_shard=args.rows_per_shard, fmt=args.format,
+    )
+    n = spark.read.format(args.format).load(args.out).count()
+    print(f"{n} packed bins of {args.budget} tokens -> {args.out}")
+    return 0
+
+
 def cmd_list(spark: SparkSession, args) -> int:
     from kwwhat_spark.queries import REGISTRY
 
@@ -146,6 +179,19 @@ def main(argv: list[str] | None = None) -> int:
     p_list = sub.add_parser("list", help="list catalog queries")
     p_list.add_argument("--oracle-only", action="store_true")
 
+    p_corpus = sub.add_parser(
+        "corpus", help="clean, dedup, pack, and export training shards"
+    )
+    p_corpus.add_argument("--out", required=True)
+    p_corpus.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    p_corpus.add_argument("--min-quality", type=float, default=0.3)
+    p_corpus.add_argument("--min-tokens", type=int, default=10)
+    p_corpus.add_argument("--budget", type=int, default=256)
+    p_corpus.add_argument("--shards", type=int, default=32)
+    p_corpus.add_argument("--rows-per-shard", type=int, default=10000)
+    p_corpus.add_argument("--format", choices=("parquet", "json"), default="parquet")
+
     args = parser.parse_args(argv)
     spark = _session(args)
     try:
@@ -156,6 +202,7 @@ def main(argv: list[str] | None = None) -> int:
             "metrics": cmd_metrics,
             "query": cmd_query,
             "list": cmd_list,
+            "corpus": cmd_corpus,
         }[args.command](spark, args)
     finally:
         spark.stop()

@@ -68,3 +68,28 @@ def test_cmd_query_and_list(spark, sf_dir, capsys):
     assert cmd_list(spark, SimpleNamespace(oracle_only=True)) == 0
     out = capsys.readouterr().out
     assert "pricing_summary" in out and "[rows-only]" not in out
+
+
+def test_cmd_corpus_packs_and_exports(spark, sf_dir, tmp_path):
+    from kwwhat_spark.__main__ import cmd_corpus
+
+    out = str(tmp_path / "shards")
+    rc = cmd_corpus(
+        spark,
+        SimpleNamespace(
+            sf_dir=sf_dir, out=out, min_quality=0.3, min_tokens=10,
+            budget=256, shards=8, rows_per_shard=50, format="parquet",
+        ),
+    )
+    assert rc == 0
+    bins = spark.read.parquet(out)
+    assert bins.count() > 0
+    assert set(bins.columns) == {"shard", "bin_id", "bin_text", "bin_tokens"}
+    # all but each shard's last bin are exactly budget-sized
+    from pyspark.sql import functions as F
+
+    full = bins.groupBy("shard").agg(F.max("bin_id").alias("last"))
+    partial = bins.join(full, "shard").filter(
+        (F.col("bin_id") != F.col("last")) & (F.col("bin_tokens") != 256)
+    )
+    assert partial.count() == 0
