@@ -834,3 +834,45 @@ def packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_packed_bins(
         docs, "text", budget=256, partition_col="lang", order_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding preprocessing: L2 norm + symmetric int8 quantization.
+# floor(x+0.5) rounding makes the int codes bit-exact cross-engine; the
+# norm is rounded to 6 (list_sum order vs sequential fold, sub-1e-12
+# difference on 16-dim vectors).
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(e, x -> x * x))), 6) AS l2_norm,
+           round(scale, 6) AS scale,
+           array_to_string(
+             CASE WHEN scale = 0
+                  THEN list_transform(e, x -> 0)
+                  ELSE list_transform(e, x -> CAST(floor(x / scale * 127 + 0.5) AS INT))
+             END, ',') AS q_int8
+    FROM s
+    """,
+    cite="LLM-ops: embedding int8 quantization (operators/similarity.py quantize_int8)",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.similarity import l2_norm, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qz = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm(v), 6).alias("l2_norm"),
+        F.round(qz.getField("scale"), 6).alias("scale"),
+        F.array_join(qz.getField("q"), ",").alias("q_int8"),
+    )

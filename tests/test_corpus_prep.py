@@ -232,3 +232,24 @@ def test_incremental_exact_dedup_across_batches(spark, sf_dir, tmp_path):
     # index now covers both batches
     idx = store.read("corpus_hash_index")
     assert idx.count() == len(all_b1_hashes | out2_hashes)
+
+
+def test_quantize_int8_error_bound_and_normalize(spark, sf_dir):
+    import math
+
+    from kwwhat_spark.operators.similarity import l2_normalize, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(50)
+    rows = emb.select(
+        "embedding",
+        quantize_int8(F.col("embedding")).alias("qz"),
+        l2_normalize(F.col("embedding")).alias("unit"),
+    ).collect()
+    for r in rows:
+        scale, q = r.qz.scale, r.qz.q
+        assert all(-127 <= c <= 127 for c in q)
+        # dequantized values within half a quantization step
+        for orig, code in zip(r.embedding, q):
+            assert abs(code * scale / 127 - orig) <= scale / 127 / 2 + 1e-9
+        n = math.sqrt(sum(x * x for x in r.unit))
+        assert abs(n - 1.0) < 1e-9
