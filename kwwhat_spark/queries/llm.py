@@ -876,3 +876,87 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(qz.getField("scale"), 6).alias("scale"),
         F.array_join(qz.getField("q"), ",").alias("q_int8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal semantic dedup: union the text near-dup pairs (3-gram
+# Jaccard >= 0.8, lang-blocked) with embedding near-dup pairs (cosine
+# >= 0.95; vec_id aligns 1:1 with doc_id) and resolve the transitive
+# closure — a doc dropped because its TEXT matches A and its EMBEDDING
+# matches B correctly lands in one cluster. Scale path for the cosine
+# side is cosine_near_dup_pairs (LSH-blocked); the exact pairwise side
+# here keeps the oracle replayable.
+# ---------------------------------------------------------------------------
+@query(
+    "semantic_dedup",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in generate_series(1, len(t)-2)])
+                  ELSE [array_to_string(t, ' ')]
+             END AS shingles
+      FROM toks
+    ), counts AS (
+      SELECT doc_id, lang, len(shingles) AS shingle_count, shingles FROM sh
+    ), inverted AS (
+      SELECT doc_id, lang, UNNEST(shingles) AS shingle FROM counts
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM inverted a JOIN inverted b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), text_pairs AS (
+      SELECT s.doc_a, s.doc_b
+      FROM shared s
+      JOIN counts ca ON ca.doc_id = s.doc_a
+      JOIN counts cb ON cb.doc_id = s.doc_b
+      WHERE CAST(s.intersection AS DOUBLE)
+              / (ca.shingle_count + cb.shingle_count - s.intersection) >= 0.8
+    ), cos_pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.95
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM text_pairs UNION SELECT doc_a, doc_b FROM cos_pairs
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component,
+           node = MIN(lbl) AS is_keeper
+    FROM reach GROUP BY node
+    """,
+    cite="LLM-ops: cross-modal semantic dedup (text + embedding closure)",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.graph import dedup_keepers
+    from kwwhat_spark.operators.scaling import widen
+
+    docs = load_table(spark, sf_dir, "documents")
+    text_pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", k=3, threshold=0.8
+    ).select("doc_a", "doc_b")
+    emb = widen(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
+    cos_pairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.95)
+        .select("doc_a", "doc_b")
+    )
+    return dedup_keepers(text_pairs.union(cos_pairs), "doc_a", "doc_b")

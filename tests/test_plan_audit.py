@@ -22,6 +22,7 @@ WHITELIST = {
     "tpch_q11_important_stock": "single-row cutoff build side",
     "funnel_conversion": "single-row stage totals cross-join",
     "tfidf_top_terms": "single-row corpus-size build side",
+    "semantic_dedup": "exact cosine pair side is the deliberate baseline (scale: cosine_near_dup_pairs)",
 }
 
 
