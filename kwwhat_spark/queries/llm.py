@@ -960,3 +960,29 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     return dedup_keepers(text_pairs.union(cos_pairs), "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: md5-threshold labeling (~90/5/5),
+# a pure function of doc_id — reshuffling, re-partitioning, or re-running
+# never moves a document across splits (leakage-proof by construction).
+# ---------------------------------------------------------------------------
+@query(
+    "dataset_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'train'
+                WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+                THEN 'val' ELSE 'test' END AS split
+    FROM documents
+    """,
+    cite="LLM-ops: deterministic train/val/test split (hash thresholds)",
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.substring(F.md5(F.concat(F.lit("split"), F.col("doc_id").cast("string"))), 1, 4)
+    return docs.withColumn(
+        "split",
+        F.when(h < "e666", "train").when(h < "f333", "val").otherwise("test"),
+    )
