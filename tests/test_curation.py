@@ -1,0 +1,114 @@
+"""Unit invariants for the curation operators (repetition signals,
+unigram-LM scoring, per-group caps, weighted sampling). Cross-engine
+equality is covered by the oracle gate in test_catalog_oracle.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kwwhat_spark.functions.text import repetition_signals
+from kwwhat_spark.operators.corpus import (
+    cap_per_group,
+    unigram_logprob_scores,
+    weighted_sample,
+)
+from kwwhat_spark.sources.testdata import load_table
+
+
+def _signals(spark, rows):
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = df.select("id", repetition_signals("text").alias("r")).select("id", "r.*")
+    return {r["id"]: r.asDict() for r in out.collect()}
+
+
+def test_repetition_signals_hand_checked(spark):
+    got = _signals(
+        spark,
+        [(1, "a b a b a b c"), (2, "x x x x y"), (3, ""), (4, "   "), (5, "w")],
+    )
+    r1 = got[1]
+    assert r1["n_tokens"] == 7
+    assert abs(r1["word_rep_ratio"] - 4 / 7) < 1e-12
+    assert r1["top_word"] == "a" and abs(r1["top_word_frac"] - 3 / 7) < 1e-12
+    assert abs(r1["dup_2gram_frac"] - 0.5) < 1e-12  # 6 bigrams, 3 distinct
+    assert abs(r1["dup_3gram_frac"] - 0.4) < 1e-12  # 5 trigrams, 3 distinct
+    assert r1["max_run_len"] == 1
+    r2 = got[2]
+    assert r2["max_run_len"] == 4 and r2["top_word_frac"] == 0.8
+    for empty_id in (3, 4):
+        r = got[empty_id]
+        assert r["n_tokens"] == 0 and r["top_word"] is None
+        assert r["word_rep_ratio"] == 0.0 and r["max_run_len"] == 0
+    assert got[5]["top_word"] == "w" and got[5]["top_word_frac"] == 1.0
+
+
+def test_repetition_signals_mode_tiebreak_is_lexicographic(spark):
+    # 'b' and 'a' both occur twice — the smaller word wins the tie.
+    got = _signals(spark, [(1, "b a b a c")])
+    assert got[1]["top_word"] == "a"
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zyx the the the")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in unigram_logprob_scores(df).collect()}
+    # doc 2 contains the single rare token → higher mean surprisal.
+    assert out[2]["mean_surprisal_bits"] > out[1]["mean_surprisal_bits"]
+    assert out[1]["n_tokens"] == 4
+    # doc 1 is all 'the' (7 of 8 corpus tokens): surprisal = log2(8/7) each.
+    import math
+
+    per_tok = math.floor(math.log2(8 / 7) * 1e6 + 0.5)
+    assert out[1]["surprisal_q"] == 4 * per_tok
+
+
+def test_unigram_logprob_drops_empty_documents(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "   ")], "doc_id long, text string")
+    assert [r.doc_id for r in unigram_logprob_scores(df).collect()] == [1]
+
+
+def test_cap_per_group_keeps_top_n_per_group(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    capped = cap_per_group(
+        docs, "source", [F.col("n_chars").desc(), F.col("doc_id").asc()], 10
+    )
+    per_group = {
+        r["source"]: r["cnt"]
+        for r in capped.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_group and all(c <= 10 for c in per_group.values())
+    # The kept rows per source are exactly the n_chars-largest ones.
+    src, _ = next(iter(per_group.items()))
+    kept = sorted(
+        (-r["n_chars"], r["doc_id"])
+        for r in capped.filter(F.col("source") == src).collect()
+    )
+    best = sorted(
+        (-r["n_chars"], r["doc_id"])
+        for r in docs.filter(F.col("source") == src).collect()
+    )[: len(kept)]
+    assert kept == best
+
+
+def test_weighted_sample_fixed_size_and_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    s1 = weighted_sample(docs, "doc_id", "n_chars", 5, stratify_col="lang", salt="t")
+    s2 = weighted_sample(docs, "doc_id", "n_chars", 5, stratify_col="lang", salt="t")
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert ids1 == sorted(r.doc_id for r in s2.collect())
+    sizes = {
+        r["lang"]: r["cnt"]
+        for r in s1.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    for lang, cnt in sizes.items():
+        avail = docs.filter(F.col("lang") == lang).count()
+        assert cnt == min(5, avail), (lang, cnt, avail)
+
+
+def test_weighted_sample_huge_weight_always_selected(spark):
+    rows = [(i, 1.0) for i in range(200)] + [(999, 1e9)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    picked = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 3).collect()}
+    assert 999 in picked and len(picked) == 3
