@@ -576,3 +576,83 @@ def weighted_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring deduplication in the style of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    word-granular: any k-token span whose text occurs `min_count`+ times
+    in the corpus (across or within documents) is a duplicate span; all
+    token positions covered by a duplicate span are removed from the
+    document. Returns per document: token count, number of duplicate
+    span starts, covered-token fraction, and the cleaned text.
+
+    Plan shape (suffix arrays are replaced by a distributed
+    posting-count): (1) explode positional k-grams — a narrow row
+    multiplier; (2) count occurrences per gram text hash (map-side
+    combinable shuffle); (3) join postings to the ≥min_count grams on
+    the hash; (4) ONE per-document aggregation folds covered positions
+    with collect_list(sequence) → flatten → distinct (bounded by doc
+    length); (5) equi-join back to documents. Grams are keyed by md5 of
+    the span text so the DuckDB oracle replays bit-for-bit; a
+    production run at 100 TB would key on xxhash64 (8-byte shuffle keys,
+    same plan).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("__t"),
+    )
+    base = toks.withColumn("__n", F.size("__t"))
+    posts = base.filter(F.col("__n") >= k).select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.col("__n") - (k - 1))).alias("__pos"),
+        "__t",
+    ).select(
+        id_col,
+        "__pos",
+        F.md5(F.concat_ws(" ", F.slice(F.col("__t"), F.col("__pos"), k))).alias("__gh"),
+    )
+    dup_grams = (
+        posts.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__gh")
+    )
+    covered = (
+        posts.join(dup_grams, "__gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_starts"),
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
+                        )
+                    )
+                )
+            ).alias("__idxs"),
+        )
+    )
+    joined = base.join(covered, [id_col], "left")
+    idxs = F.coalesce(F.col("__idxs"), F.array().cast("array<int>"))
+    return joined.select(
+        F.col(id_col),
+        F.col("__n").alias("n_tokens"),
+        F.coalesce(F.col("n_dup_starts"), F.lit(0)).alias("n_dup_starts"),
+        F.when(F.col("__n") > 0, F.size(idxs) / F.col("__n"))
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("dup_span_frac"),
+        F.concat_ws(
+            " ",
+            F.filter(F.col("__t"), lambda t, i: ~F.array_contains(idxs, i + 1)),
+        ).alias("cleaned_text"),
+    )

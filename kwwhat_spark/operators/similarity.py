@@ -336,3 +336,70 @@ def l2_normalize(vec: Column) -> Column:
     v = F.transform(vec, lambda x: x.cast("double"))
     n = l2_norm(v)
     return F.when(n == 0.0, v).otherwise(F.transform(v, lambda x: x / n))
+
+
+def semdedup(
+    df: DataFrame,
+    centroid_vecs: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then remove
+    near-duplicates only WITHIN each cluster — the clustering bounds the
+    quadratic pair search to ~N²/K instead of N².
+
+    Cluster assignment is a projection against broadcast centroid
+    literals (argmax of round(cosine, 6); ties take the smaller centroid
+    id) — no shuffle, no join. The within-cluster pair search is a
+    cluster-keyed equi-self-join; a pair with similarity ≥ threshold
+    marks the larger id as a duplicate. Output: every input row with its
+    cluster_id and an is_kept flag.
+
+    Scale: centroids come from train_centroids() (MLlib k-means on a
+    hash_sample) with K sized so N/K vectors fit one task's pair budget;
+    the self-join shuffles by cluster id only. round(·, 6) keeps the
+    similarity bit-identical to DuckDB's list_cosine_similarity for the
+    oracle.
+    """
+    if not centroid_vecs:
+        raise ValueError("semdedup requires at least one centroid")
+    vec = F.col(vec_col)
+    scored = [
+        F.struct(
+            (-F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])), 6)).alias(
+                "neg_sim"
+            ),
+            F.lit(int(cid)).alias("cid"),
+        )
+        for cid, cvec in centroid_vecs
+    ]
+    clustered = df.select(
+        F.col(id_col),
+        vec.alias("__vec"),
+        F.array_min(F.array(*scored))["cid"].alias("cluster_id"),
+    )
+    a = clustered.select(
+        F.col(id_col).alias("__id_a"), F.col("__vec").alias("__vec_a"), "cluster_id"
+    )
+    b = clustered.select(
+        F.col(id_col).alias("__id_b"), F.col("__vec").alias("__vec_b"), "cluster_id"
+    )
+    dups = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(F.round(cosine(F.col("__vec_a"), F.col("__vec_b")), 6) >= threshold)
+        .select(F.col("__id_b").alias("__dup_id"))
+        .distinct()
+    )
+    return (
+        clustered.join(
+            dups, clustered[id_col] == dups["__dup_id"], "left"
+        )
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.col("__dup_id").isNull().alias("is_kept"),
+        )
+    )

@@ -168,3 +168,102 @@ def weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         docs, "doc_id", "n_chars", 20, stratify_col="lang", salt="ws1"
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-blocked semantic dedup over embeddings.
+# ---------------------------------------------------------------------------
+@query(
+    "semdedup_clustered",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ), emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, v, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(v, cvec), 6) DESC, cid ASC
+             ) AS rn
+      FROM emb CROSS JOIN cent
+    ), clusters AS (
+      SELECT vec_id, v, cid AS cluster_id FROM assigned WHERE rn = 1
+    ), dups AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM clusters a JOIN clusters b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+    )
+    SELECT c.vec_id, c.cluster_id, d.dup_id IS NULL AS is_kept
+    FROM clusters c LEFT JOIN dups d ON c.vec_id = d.dup_id
+    """,
+    cite="LLM-ops: SemDeDup cluster-blocked semantic dedup",
+)
+def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.scaling import widen
+    from kwwhat_spark.operators.similarity import semdedup
+
+    emb = widen(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    seeds = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return semdedup(emb, seeds, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# Substring-span dedup (Lee et al. 2022, word-granular).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_substring_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, t, len(t) AS n FROM toks
+    ), posts AS (
+      SELECT doc_id, UNNEST(generate_series(1, n-7)) AS pos, t
+      FROM base WHERE n >= 8
+    ), g AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(list_slice(t, pos, pos+7), ' ')) AS gh
+      FROM posts
+    ), dupg AS (
+      SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2
+    ), dupposts AS (
+      SELECT doc_id, pos FROM g JOIN dupg USING (gh)
+    ), starts_agg AS (
+      SELECT doc_id, COUNT(*) AS n_dup_starts FROM dupposts GROUP BY doc_id
+    ), covered AS (
+      SELECT DISTINCT doc_id, UNNEST(generate_series(pos, pos+7)) AS idx FROM dupposts
+    ), covagg AS (
+      SELECT doc_id, COUNT(*) AS n_cov, list(idx ORDER BY idx) AS idxs
+      FROM covered GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.n AS n_tokens,
+           COALESCE(s.n_dup_starts, 0) AS n_dup_starts,
+           CASE WHEN b.n > 0 THEN COALESCE(c.n_cov, 0)::DOUBLE / b.n ELSE 0.0 END
+             AS dup_span_frac,
+           COALESCE(array_to_string([b.t[i] FOR i IN generate_series(1, b.n)
+                                     IF NOT list_contains(COALESCE(c.idxs, []), i)], ' '),
+                    '') AS cleaned_text
+    FROM base b
+    LEFT JOIN starts_agg s USING (doc_id)
+    LEFT JOIN covagg c USING (doc_id)
+    """,
+    cite="LLM-ops: exact substring-span dedup (Lee et al. 2022, distributed posting counts)",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import strip_duplicate_spans
+    from kwwhat_spark.operators.scaling import widen
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    return strip_duplicate_spans(docs, k=8, min_count=2)

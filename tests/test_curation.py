@@ -112,3 +112,42 @@ def test_weighted_sample_huge_weight_always_selected(spark):
     df = spark.createDataFrame(rows, "doc_id long, w double")
     picked = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 3).collect()}
     assert 999 in picked and len(picked) == 3
+
+
+def test_strip_duplicate_spans_cross_document(spark):
+    from kwwhat_spark.operators.corpus import strip_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x a b c y"), (3, "p q r p q r"), (4, "solo words only")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in strip_duplicate_spans(df, k=3).collect()}
+    # "a b c" occurs in docs 1 and 2 → covered there.
+    assert out[1]["n_dup_starts"] == 1 and out[1]["cleaned_text"] == "d e"
+    assert abs(out[1]["dup_span_frac"] - 3 / 5) < 1e-12
+    assert out[2]["cleaned_text"] == "x y"
+    # "p q r" repeats WITHIN doc 3 → everything covered.
+    assert out[3]["n_dup_starts"] == 2
+    assert out[3]["dup_span_frac"] == 1.0 and out[3]["cleaned_text"] == ""
+    # unique doc untouched
+    assert out[4]["n_dup_starts"] == 0 and out[4]["cleaned_text"] == "solo words only"
+
+
+def test_semdedup_removes_within_cluster_duplicates_only(spark):
+    from kwwhat_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0001]),   # near-dup of 1, same cluster → removed
+        (10, [0.0, 1.0]),
+        (11, [0.0001, 1.0]),  # near-dup of 10, other cluster → removed there
+        (20, [0.7, 0.7]),     # diagonal, not a dup of anything at 0.999
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {r["vec_id"]: r.asDict() for r in semdedup(df, cents, threshold=0.999).collect()}
+    assert len(out) == 5
+    assert out[1]["is_kept"] and not out[2]["is_kept"]
+    assert out[10]["is_kept"] and not out[11]["is_kept"]
+    assert out[20]["is_kept"]
+    assert out[1]["cluster_id"] == 0 and out[10]["cluster_id"] == 1
