@@ -585,6 +585,7 @@ def strip_duplicate_spans(
     *,
     k: int = 8,
     min_count: int = 2,
+    persist_tokens: bool = True,
 ) -> DataFrame:
     """Exact substring deduplication in the style of Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better"),
@@ -604,12 +605,22 @@ def strip_duplicate_spans(
     the span text so the DuckDB oracle replays bit-for-bit; a
     production run at 100 TB would key on xxhash64 (8-byte shuffle keys,
     same plan).
+
+    persist_tokens caches the tokenized stage: it feeds the posting
+    explode AND the final reconstruction join, and any upstream filter
+    (e.g. a quality gate with per-document signals) would otherwise be
+    re-evaluated for both consumers. On a cluster prefer checkpoint for
+    very large corpora — the cache holds token arrays, ~1× corpus size.
     """
     toks = df.select(
         F.col(id_col),
         F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("__t"),
     )
     base = toks.withColumn("__n", F.size("__t"))
+    if persist_tokens:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     posts = base.filter(F.col("__n") >= k).select(
         id_col,
         F.explode(F.sequence(F.lit(1), F.col("__n") - (k - 1))).alias("__pos"),

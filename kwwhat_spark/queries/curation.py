@@ -81,7 +81,11 @@ from kwwhat_spark.sources.testdata import load_table
     cite="LLM-ops: Gopher repetition/quality signals (narrow expression)",
 )
 def repetition_signals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from kwwhat_spark.operators.scaling import widen
+
+    # widen(): the documents file is small enough to scan as 1-2 byte-sized
+    # partitions, which would serialize the per-row sort/RLE work.
+    docs = widen(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", repetition_signals("text").alias("r")
     ).select("doc_id", "r.*")
@@ -267,3 +271,86 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = widen(load_table(spark, sf_dir, "documents"))
     return strip_duplicate_spans(docs, k=8, min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline: repetition gate → substring strip →
+# min-length gate → per-source cap. The "switchover" query: what a
+# training-data team actually runs end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "curation_pipeline",
+    oracle=r"""
+    WITH toks0 AS (
+      SELECT doc_id, source, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), base0 AS (
+      SELECT doc_id, source, lang, t, len(t) AS n FROM toks0
+    ), gated AS (      -- gate 1: drop repetitive docs (dup 3-gram mass > 1%)
+      SELECT * FROM base0
+      WHERE (CASE WHEN n >= 3 THEN
+               CAST(n-2 - len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                             FOR i IN generate_series(1, n-2)])) AS DOUBLE)
+               / (n-2)
+             ELSE 0.0 END) <= 0.01
+    ), posts AS (      -- substring dedup over the gated corpus
+      SELECT doc_id, UNNEST(generate_series(1, n-7)) AS pos, t
+      FROM gated WHERE n >= 8
+    ), g AS (
+      SELECT doc_id, pos, md5(array_to_string(list_slice(t, pos, pos+7), ' ')) AS gh
+      FROM posts
+    ), dupg AS (
+      SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2
+    ), dupposts AS (
+      SELECT doc_id, pos FROM g JOIN dupg USING (gh)
+    ), covered AS (
+      SELECT DISTINCT doc_id, UNNEST(generate_series(pos, pos+7)) AS idx FROM dupposts
+    ), covagg AS (
+      SELECT doc_id, COUNT(*) AS n_cov, list(idx ORDER BY idx) AS idxs
+      FROM covered GROUP BY doc_id
+    ), cleaned AS (
+      SELECT b.doc_id, b.source, b.lang, b.n,
+             COALESCE(c.n_cov, 0) AS n_cov,
+             CASE WHEN b.n > 0 THEN COALESCE(c.n_cov, 0)::DOUBLE / b.n ELSE 0.0 END
+               AS dup_span_frac,
+             COALESCE(array_to_string([b.t[i] FOR i IN generate_series(1, b.n)
+                                       IF NOT list_contains(COALESCE(c.idxs, []), i)], ' '),
+                      '') AS cleaned_text
+      FROM gated b LEFT JOIN covagg c USING (doc_id)
+    ), sized AS (      -- gates 2+3: mostly-duplicated docs out, tiny docs out
+      SELECT doc_id, source, lang, dup_span_frac, cleaned_text,
+             n - n_cov AS n_tokens_clean
+      FROM cleaned
+      WHERE dup_span_frac <= 0.5 AND n - n_cov >= 20
+    )
+    SELECT doc_id, source, lang, n_tokens_clean, dup_span_frac, cleaned_text
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY n_tokens_clean DESC, doc_id ASC) AS rn
+          FROM sized)
+    WHERE rn <= 40
+    """,
+    cite="LLM-ops: composed curation pipeline (repetition gate, substring strip, length gate, source cap)",
+    headline=True,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import cap_per_group, strip_duplicate_spans
+    from kwwhat_spark.operators.scaling import widen
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    gated = docs.filter(
+        repetition_signals("text")["dup_3gram_frac"] <= 0.01
+    )
+    stripped = strip_duplicate_spans(gated, k=8, min_count=2)
+    n_cov = F.round(F.col("dup_span_frac") * F.col("n_tokens")).cast("long")
+    sized = (
+        stripped.withColumn("n_tokens_clean", F.col("n_tokens") - n_cov)
+        .filter((F.col("dup_span_frac") <= 0.5) & (F.col("n_tokens_clean") >= 20))
+        .join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .select(
+            "doc_id", "source", "lang", "n_tokens_clean", "dup_span_frac", "cleaned_text"
+        )
+    )
+    return cap_per_group(
+        sized, "source", [F.col("n_tokens_clean").desc(), F.col("doc_id").asc()], 40
+    )
