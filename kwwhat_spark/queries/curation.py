@@ -354,3 +354,73 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(
         sized, "source", [F.col("n_tokens_clean").desc(), F.col("doc_id").asc()], 40
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-threshold quality band: keep documents between the exact
+# discrete p05 and p95 of the corpus surprisal distribution.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_band_filter",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), scored AS (
+      SELECT tok,
+             CAST(floor(log2((SELECT SUM(c) FROM vocab)::DOUBLE / c) * 1e6 + 0.5) AS BIGINT) AS lp_q
+      FROM vocab
+    ), docs AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(s.lp_q) AS surprisal_q
+      FROM toks t JOIN scored s USING (tok) GROUP BY t.doc_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY surprisal_q, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM docs
+    ), th AS (
+      SELECT MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT) THEN surprisal_q END) AS lo,
+             MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN surprisal_q END) AS hi
+      FROM ranked
+    )
+    SELECT d.doc_id, d.n_tokens, d.surprisal_q,
+           d.surprisal_q / (d.n_tokens * 1e6) AS mean_surprisal_bits
+    FROM docs d, th
+    WHERE d.surprisal_q >= th.lo AND d.surprisal_q <= th.hi
+    """,
+    cite="LLM-ops: dynamic percentile band filter on corpus surprisal",
+)
+def quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete p05/p95 thresholds (value at rank ceil(p*n) ordered
+    by (surprisal_q, doc_id)) are integers, so the band edges are
+    bit-identical across engines. The two scalars are collected to the
+    driver and applied as literal predicates — no broadcast-nested-loop
+    join, and at 100 TB the same two-job shape holds (the ranking pass
+    would use approx_percentile or a sampled sort; documented trade)."""
+    from pyspark.sql import Window as W
+
+    from kwwhat_spark.operators.corpus import unigram_logprob_scores
+    from kwwhat_spark.operators.scaling import widen
+
+    scores = unigram_logprob_scores(widen(load_table(spark, sf_dir, "documents")))
+    ranked = scores.select(
+        "surprisal_q",
+        F.row_number()
+        .over(W.partitionBy().orderBy("surprisal_q", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+
+    def at(p: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("surprisal_q"),
+            )
+        )
+
+    lo, hi = ranked.agg(at(0.05), at(0.95)).collect()[0]
+    return scores.filter(
+        (F.col("surprisal_q") >= F.lit(lo)) & (F.col("surprisal_q") <= F.lit(hi))
+    ).select("doc_id", "n_tokens", "surprisal_q", "mean_surprisal_bits")

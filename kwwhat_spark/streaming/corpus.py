@@ -22,18 +22,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kwwhat_spark.functions.text import lang_id, quality_score, whitespace_token_count
+from kwwhat_spark.functions.text import (
+    lang_id,
+    quality_score,
+    repetition_signals,
+    whitespace_token_count,
+)
 from kwwhat_spark.streaming.sinks import stream_dedup
 
 
 def enrich_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stateless enrichment shared by batch and streaming ingest:
-    content_hash (md5), token_count, quality, lang_guess."""
+    content_hash (md5), token_count, quality, lang_guess, plus the
+    Gopher repetition signals (a pure per-row struct, so it streams
+    without state — repetition gating happens at ingest, before any
+    document reaches dedup state or storage)."""
     return (
         df.withColumn("content_hash", F.md5(F.col(text_col)))
         .withColumn("token_count", whitespace_token_count(text_col))
         .withColumn("quality", quality_score(text_col))
         .withColumn("lang_guess", lang_id(text_col))
+        .withColumn("repetition", repetition_signals(text_col))
     )
 
 
@@ -43,6 +52,7 @@ def stream_ingest_corpus(
     *,
     min_quality: float = 0.0,
     min_tokens: int = 1,
+    max_dup_3gram_frac: float = 1.0,
     dedup_delay: str = "1 hour",
     ts_col: str | None = None,
 ) -> DataFrame:
@@ -60,5 +70,6 @@ def stream_ingest_corpus(
     gated = enriched.filter(
         (F.col("quality") >= F.lit(min_quality))
         & (F.col("token_count") >= F.lit(min_tokens))
+        & (F.col("repetition")["dup_3gram_frac"] <= F.lit(max_dup_3gram_frac))
     )
     return stream_dedup(gated, ["content_hash"], ts_col, dedup_delay)

@@ -48,3 +48,24 @@ def test_stream_ingest_matches_batch(spark, sf_dir, doc_feed):
     assert (one.token_count, one.quality, one.lang_guess) == (
         b.token_count, b.quality, b.lang_guess,
     )
+
+
+def test_stream_repetition_gate_drops_repetitive_docs(spark, tmp_path):
+    d = str(tmp_path / "rep_feed")
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam", "en", "s", 40),
+            (2, "a perfectly ordinary sentence with the varied words of prose", "en", "s", 60),
+        ],
+        DOC_SCHEMA,
+    )
+    docs.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(d)
+    out = stream_ingest_corpus(stream, max_dup_3gram_frac=0.2)
+    q = (
+        out.writeStream.format("memory").queryName("rep_gate")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("rep_gate").select("doc_id", "repetition.dup_3gram_frac").collect()
+    assert [r.doc_id for r in got] == [2]
