@@ -110,3 +110,69 @@ def dedup_keepers(
         "component",
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    iterations: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank with ALL-INTEGER arithmetic, exactly reproducible across
+    engines and partitionings: ranks live on a fixed-point grid of
+    1/`scale` units and every step uses floor division —
+    no float sums whose order could differ.
+
+        p0(v)   = scale div N
+        contrib = p(u) div deg(u)          (per out-edge)
+        p'(v)   = (15·(scale div N)) div 100 + (85·Σ contrib) div 100
+
+    The graph is symmetrized and deduplicated; every node therefore has
+    degree ≥ 1. Total mass is not exactly conserved (floors shave
+    ulp-units) — the trade for bit-exact determinism; with scale=1e12
+    the drift is ~1e-9 relative per iteration.
+
+    Scale shape per round: one shuffle joining edges to current ranks
+    (partition by node), one combinable integer-sum aggregation. Edges
+    and degrees persist across rounds; each round ends with an eager
+    localCheckpoint so the plan stays flat instead of doubling
+    (same lineage discipline as connected_components above).
+    """
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n = nodes.count()
+    init = scale // n
+    base = (15 * init) // 100
+    p = nodes.withColumn("rank_q", F.lit(init).cast("long"))
+    for _ in range(iterations):
+        contribs = (
+            und.join(p, und.a == p.node)
+            .join(deg, "a")
+            .select(F.col("b").alias("node"), F.expr("rank_q div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        p = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("rank_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return p

@@ -585,3 +585,93 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", [0.5, 0.9], 10_000).alias("approx_p50_p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the customer-supplier interaction graph, all-integer
+# fixed-point arithmetic (operators/graph.py pagerank_quantized) so the
+# iterative result is bit-identical in both engines. The oracle unrolls
+# the 4 iterations as chained CTEs (no recursive-aggregate support
+# needed); customer/supplier node ids are disambiguated as 2k / 2k+1.
+# ---------------------------------------------------------------------------
+@query(
+    "pagerank_interactions",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), deg AS (
+      SELECT a, COUNT(*) AS d FROM edges GROUP BY a
+    ), nodes AS (
+      SELECT DISTINCT a AS node FROM edges
+    ), params AS (
+      SELECT COUNT(*) AS n FROM nodes
+    ), p0 AS (
+      SELECT node, (SELECT 1000000000000 // n FROM params) AS r FROM nodes
+    ), c1 AS (
+      SELECT e.b AS node, SUM(p.r // d.d) AS s
+      FROM edges e JOIN p0 p ON e.a = p.node JOIN deg d ON d.a = e.a
+      GROUP BY e.b
+    ), p1 AS (
+      SELECT n.node,
+             (SELECT (15 * (1000000000000 // n)) // 100 FROM params)
+             + (85 * COALESCE(c.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN c1 c USING (node)
+    ), c2 AS (
+      SELECT e.b AS node, SUM(p.r // d.d) AS s
+      FROM edges e JOIN p1 p ON e.a = p.node JOIN deg d ON d.a = e.a
+      GROUP BY e.b
+    ), p2 AS (
+      SELECT n.node,
+             (SELECT (15 * (1000000000000 // n)) // 100 FROM params)
+             + (85 * COALESCE(c.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN c2 c USING (node)
+    ), c3 AS (
+      SELECT e.b AS node, SUM(p.r // d.d) AS s
+      FROM edges e JOIN p2 p ON e.a = p.node JOIN deg d ON d.a = e.a
+      GROUP BY e.b
+    ), p3 AS (
+      SELECT n.node,
+             (SELECT (15 * (1000000000000 // n)) // 100 FROM params)
+             + (85 * COALESCE(c.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN c3 c USING (node)
+    ), c4 AS (
+      SELECT e.b AS node, SUM(p.r // d.d) AS s
+      FROM edges e JOIN p3 p ON e.a = p.node JOIN deg d ON d.a = e.a
+      GROUP BY e.b
+    ), p4 AS (
+      SELECT n.node,
+             (SELECT (15 * (1000000000000 // n)) // 100 FROM params)
+             + (85 * COALESCE(c.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN c4 c USING (node)
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           node // 2 AS entity_id,
+           r AS rank_q
+    FROM p4
+""",
+    cite="graph analytics: quantized PageRank (iterative, deterministic)",
+)
+def pagerank_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.graph import pagerank_quantized
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_quantized(edges, "a", "b", iterations=4)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("entity_id"),
+        F.col("rank_q"),
+    )

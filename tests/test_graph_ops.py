@@ -55,3 +55,28 @@ def test_dedup_keepers_triangle_keeps_exactly_one(spark):
     assert keepers == [1, 10]
     comps = {r.doc_id: r.component for r in rows}
     assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_pagerank_quantized_star_graph(spark):
+    from kwwhat_spark.operators.graph import pagerank_quantized
+
+    # Star: node 0 at the center of 1..6 — highest rank, leaves all equal.
+    edges = spark.createDataFrame([(0, i) for i in range(1, 7)], "a long, b long")
+    ranks = {r["node"]: r["rank_q"] for r in pagerank_quantized(edges, "a", "b", iterations=5).collect()}
+    assert len(ranks) == 7
+    leaves = {ranks[i] for i in range(1, 7)}
+    assert len(leaves) == 1, "symmetric leaves must have identical integer ranks"
+    assert ranks[0] > ranks[1]
+    total = sum(ranks.values())
+    assert abs(total - 10**12) < 10**7, "mass drift should be bounded by floor shaving"
+
+
+def test_pagerank_quantized_is_deterministic_across_runs(spark):
+    from kwwhat_spark.operators.graph import pagerank_quantized
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 23) for i in range(40)], "a long, b long"
+    ).filter("a != b")
+    r1 = sorted(map(tuple, pagerank_quantized(edges, "a", "b", iterations=3).collect()))
+    r2 = sorted(map(tuple, pagerank_quantized(edges.repartition(7), "a", "b", iterations=3).collect()))
+    assert r1 == r2
