@@ -297,3 +297,128 @@ def simhash_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _sig_bands(sig: Column, num_hashes: int, bands: int) -> Column:
+    """Banded LSH keys of a MinHash signature: xxhash64 of each band's
+    comma-joined components (same formula as minhash_lsh_pairs)."""
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[F.element_at(sig, i + 1) for i in range(b * rows, (b + 1) * rows)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    name: str = "minhash_index",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Archive-scale NEAR-duplicate dedup across batches: the persistent
+    index holds each kept document's banded MinHash keys and signature —
+    never the text — so its size is O(kept docs), not O(corpus bytes).
+    The companion to incremental_exact_dedup for the fuzzy half.
+
+    A new batch is first deduped internally (exact-Jaccard-verified
+    pairs from minhash_lsh_pairs; a doc with a smaller-id near-dup in
+    the same batch is dropped). Survivors probe the archive's band
+    buckets; colliding (new, archived) candidates are verified by
+    SIGNATURE-estimated Jaccard (matching minhash components /
+    num_hashes ≥ threshold) — the standard at-scale approximation,
+    since re-verifying against archive shingle sets would require
+    storing the archive text. Fresh survivors' bands+signatures are
+    merged into the store.
+
+    Scale: the band probe is an equi-join on (band_idx, band_hash) —
+    hash-partitioned, no document payloads; signatures are fixed
+    256 bytes/doc. State grows linearly in kept docs and is pruned the
+    same way the exact index is (re-write the store to expire cohorts).
+    """
+    from kwwhat_spark.functions.text import let_, minhash_signature, word_shingles
+
+    sigd = widen(batch).select(
+        F.col(id_col),
+        minhash_signature(
+            F.array_distinct(word_shingles(F.col(text_col), k)), num_hashes
+        ).alias("__sig"),
+    ).persist()
+
+    # In-batch near-dup: drop any doc with a smaller-id verified pair.
+    pairs = minhash_lsh_pairs(
+        batch, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    )
+    in_batch_losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    survivors = sigd.join(in_batch_losers, id_col, "left_anti")
+
+    bands_df = survivors.select(
+        id_col,
+        "__sig",
+        F.posexplode(_sig_bands(F.col("__sig"), num_hashes, bands)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    arch_bands = store.read(f"{name}_bands")
+    arch_sigs = store.read(f"{name}_sigs")
+    if arch_bands is not None and arch_sigs is not None:
+        cand = (
+            bands_df.join(
+                arch_bands.select(
+                    "band_idx", "band_hash", F.col("doc_id").alias("__arch_id")
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .select(id_col, "__arch_id")
+            .distinct()
+            .join(
+                arch_sigs.select(
+                    F.col("doc_id").alias("__arch_id"), F.col("sig").alias("__arch_sig")
+                ),
+                "__arch_id",
+            )
+            .join(survivors.select(id_col, "__sig"), id_col)
+        )
+        est = F.size(
+            F.filter(
+                F.zip_with(F.col("__sig"), F.col("__arch_sig"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        ) / F.lit(float(num_hashes))
+        dup_vs_archive = (
+            cand.filter(est >= threshold).select(id_col).distinct()
+        )
+        fresh = survivors.join(dup_vs_archive, id_col, "left_anti")
+    else:
+        fresh = survivors
+
+    fresh = fresh.persist()
+    store.merge(
+        f"{name}_bands",
+        fresh.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(_sig_bands(F.col("__sig"), num_hashes, bands)).alias(
+                "band_idx", "band_hash"
+            ),
+        ).select("band_idx", "band_hash", "doc_id"),
+        ["band_idx", "band_hash", "doc_id"],
+    )
+    store.merge(
+        f"{name}_sigs",
+        fresh.select(F.col(id_col).alias("doc_id"), F.col("__sig").alias("sig")),
+        ["doc_id"],
+    )
+    return batch.join(fresh.select(id_col), id_col, "left_semi")

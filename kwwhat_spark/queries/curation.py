@@ -424,3 +424,75 @@ def quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.filter(
         (F.col("surprisal_q") >= F.lit(lo)) & (F.col("surprisal_q") <= F.lit(hi))
     ).select("doc_id", "n_tokens", "surprisal_q", "mean_surprisal_bits")
+
+
+# ---------------------------------------------------------------------------
+# Induced-vocabulary coverage: build the top-V token vocabulary from the
+# corpus itself, score each document's out-of-vocabulary rate.
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_coverage",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rnk
+        FROM toks GROUP BY tok
+      ) WHERE rnk <= 64
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
+           COUNT(*) FILTER (WHERE v.tok IS NULL) * 1.0 / COUNT(*) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+    cite="LLM-ops: induced-vocabulary OOV-rate scoring (tokenizer-budget proxy)",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V vocabulary induced from corpus counts (rank by count desc,
+    token asc — fully deterministic); per-document OOV rate against it.
+    A cheap proxy for 'how much of this document will a V-entry
+    tokenizer represent with whole words'. The vocabulary ranking is a
+    single window over the AGGREGATED token dictionary (vocabulary-sized,
+    not corpus-sized); the per-document pass is one broadcast probe plus
+    one combinable aggregation."""
+    from pyspark.sql import Window as W
+
+    from kwwhat_spark.operators.scaling import widen
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "tok",
+            F.row_number()
+            .over(W.partitionBy().orderBy(F.col("c").desc(), F.col("tok").asc()))
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 64)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov") * 1.0 / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )

@@ -253,3 +253,36 @@ def test_quantize_int8_error_bound_and_normalize(spark, sf_dir):
             assert abs(code * scale / 127 - orig) <= scale / 127 / 2 + 1e-9
         n = math.sqrt(sum(x * x for x in r.unit))
         assert abs(n - 1.0) < 1e-9
+
+
+def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
+    from kwwhat_spark.operators.dedup import incremental_minhash_dedup
+    from kwwhat_spark.plans.incremental import ParquetStateStore
+
+    store = ParquetStateStore(spark, str(tmp_path / "mh_state"))
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),          # near-dup of 1 → dropped in-batch
+            (3, "completely different words about spark shuffles and parquet scans here"),
+        ],
+        "doc_id long, text string",
+    )
+    out1 = sorted(r.doc_id for r in incremental_minhash_dedup(b1, store).collect())
+    assert out1 == [1, 3]
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base),                    # exact dup of archived 1 → dropped vs archive
+            (11, base + " indeed"),        # near-dup of archived 1 → dropped
+            (12, "fresh unrelated content mentioning embeddings quantization and training shards"),
+        ],
+        "doc_id long, text string",
+    )
+    out2 = sorted(r.doc_id for r in incremental_minhash_dedup(b2, store).collect())
+    assert out2 == [12]
+
+    # Replay of batch 2 is idempotent: 12 is now archived too.
+    out3 = sorted(r.doc_id for r in incremental_minhash_dedup(b2, store).collect())
+    assert out3 == []
