@@ -474,6 +474,9 @@ def unigram_logprob_scores(
     split covers the hot tokens). Documents with zero tokens drop out
     (no tokens to score), mirroring the oracle's inner unnest-join.
     """
+    from kwwhat_spark.operators.scaling import widen
+
+    df = widen(df)  # tokenize+explode is CPU-dense; repair narrow scans
     toks = df.select(
         F.col(id_col),
         F.explode(

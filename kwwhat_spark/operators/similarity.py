@@ -39,6 +39,16 @@ def cosine(a: Column, b: Column) -> Column:
     return (dot(a, b) / (l2_norm(a) * l2_norm(b))).cast("double")
 
 
+# Measured dead end (recorded so it is not retried): unrolling dot() to
+# dim explicit element_at terms to "stay in codegen" is 2.5-9× SLOWER
+# than the aggregate/zip_with lambda at dim=64 (pair stage of semdedup:
+# 12.3s lambda vs 31.5s unrolled; with the K-wide assignment projection
+# also unrolled, 109s — generated-method blowup past the JIT limit).
+# Spark 4's higher-order functions evaluate arrays as a primitive loop;
+# per-element element_at chains re-check bounds/null per term and
+# produce enormous codegen methods. Keep vector math in lambda form.
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -362,34 +372,68 @@ def semdedup(
     the self-join shuffles by cluster id only. round(·, 6) keeps the
     similarity bit-identical to DuckDB's list_cosine_similarity for the
     oracle.
+
+    The row's norm is computed ONCE and shared by all K centroid
+    similarities (dot/(row_norm·centroid_norm), centroid norms
+    precomputed in Python — the same factor structure and therefore the
+    same doubles as cosine(); with K centroids this cuts assignment cost
+    ~2× by not re-deriving the row norm per centroid).
     """
+    import math
+
     if not centroid_vecs:
         raise ValueError("semdedup requires at least one centroid")
     vec = F.col(vec_col)
+    normed = df.select(
+        F.col(id_col), vec.alias("__vec"), l2_norm(vec).alias("__norm")
+    )
     scored = [
         F.struct(
-            (-F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])), 6)).alias(
-                "neg_sim"
-            ),
+            (
+                -F.round(
+                    dot(F.col("__vec"), F.array(*[F.lit(float(x)) for x in cvec]))
+                    / (
+                        F.col("__norm")
+                        * F.lit(math.sqrt(sum(x * x for x in cvec)) or 1.0)
+                    ),
+                    6,
+                )
+            ).alias("neg_sim"),
             F.lit(int(cid)).alias("cid"),
         )
         for cid, cvec in centroid_vecs
     ]
-    clustered = df.select(
+    clustered = normed.select(
         F.col(id_col),
-        vec.alias("__vec"),
+        F.col("__vec"),
+        F.col("__norm"),
         F.array_min(F.array(*scored))["cid"].alias("cluster_id"),
     )
+    # Pair similarity reuses the per-row norms computed for assignment:
+    # dot/(norm_a·norm_b) is the same expression tree (hence the same
+    # doubles) as cosine(), at 1/3 the per-pair work — the pair join is
+    # the quadratic part, so this is where the constant matters.
     a = clustered.select(
-        F.col(id_col).alias("__id_a"), F.col("__vec").alias("__vec_a"), "cluster_id"
+        F.col(id_col).alias("__id_a"),
+        F.col("__vec").alias("__vec_a"),
+        F.col("__norm").alias("__norm_a"),
+        "cluster_id",
     )
     b = clustered.select(
-        F.col(id_col).alias("__id_b"), F.col("__vec").alias("__vec_b"), "cluster_id"
+        F.col(id_col).alias("__id_b"),
+        F.col("__vec").alias("__vec_b"),
+        F.col("__norm").alias("__norm_b"),
+        "cluster_id",
+    )
+    pair_sim = F.round(
+        dot(F.col("__vec_a"), F.col("__vec_b"))
+        / (F.col("__norm_a") * F.col("__norm_b")),
+        6,
     )
     dups = (
         a.join(b, ["cluster_id"])
         .filter(F.col("__id_a") < F.col("__id_b"))
-        .filter(F.round(cosine(F.col("__vec_a"), F.col("__vec_b")), 6) >= threshold)
+        .filter(pair_sim >= threshold)
         .select(F.col("__id_b").alias("__dup_id"))
         .distinct()
     )

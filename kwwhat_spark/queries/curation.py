@@ -182,7 +182,8 @@ def weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cent AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-      FROM embeddings WHERE vec_id < 8
+      FROM embeddings
+      WHERE vec_id < greatest(8, (SELECT COUNT(*) FROM embeddings) // 500)
     ), emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), assigned AS (
@@ -214,9 +215,16 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
     )
+    # K grows with the corpus (SemDeDup's premise: cluster size, and so
+    # the quadratic within-cluster budget, stays roughly constant).
+    # vec_id is a dense sequence, so "first K ids" is a deterministic
+    # seed set expressible in static oracle SQL; production would swap
+    # in train_centroids() k-means seeds.
+    n = emb.count()
+    k_cent = max(8, n // 500)
     seeds = [
         (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        for r in emb.filter(F.col("vec_id") < k_cent).orderBy("vec_id").collect()
     ]
     return semdedup(emb, seeds, threshold=0.95)
 
