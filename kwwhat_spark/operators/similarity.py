@@ -447,3 +447,88 @@ def semdedup(
             F.col("__dup_id").isNull().alias("is_kept"),
         )
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+    batch_rows: int = 4096,
+) -> DataFrame:
+    """k-nearest-neighbor graph over an embedding column via the Arrow /
+    numpy path: the L2-normalized corpus matrix is broadcast once, and
+    each Arrow batch of rows computes its similarities against it with a
+    BLAS matmul inside mapInPandas. This is the documented "Pandas UDF
+    when expression math can't compete" escape hatch: an all-pairs
+    similarity is O(N²·d) multiplications, and BLAS does them ~2 orders
+    of magnitude faster than interpreted per-pair expressions (see the
+    dead-end note above — expression vector math tops out well below
+    hardware throughput).
+
+    Output: (src_id, dst_id, cosine_sim float64, rank 1..k), excluding
+    self-edges; ties broken by dst_id ascending. Results are float-exact
+    per BLAS accumulation order, NOT bit-identical to the sequential
+    fold of the expression path — hence a rows-only catalog entry with
+    an agreement test (rounded similarities match the expression top-k)
+    instead of a value-hash oracle.
+
+    Scale: the broadcast corpus bounds this operator at ~executor-memory
+    vectors (64-dim float64 ≈ 2 GB per 4M vectors); past that, switch to
+    the IVF/LSH entries or shard the corpus and union per-shard graphs.
+    The matmul is embarrassingly parallel across input partitions.
+    """
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    normed = mat / norms[:, None]
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((ids, normed))
+
+    schema = "src_id long, dst_id long, cosine_sim double, rank int"
+
+    def neighbors(batches):
+        import pandas as pd
+
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                q = np.stack(chunk[vec_col].to_numpy()).astype(np.float64)
+                qn = np.linalg.norm(q, axis=1)
+                qn[qn == 0.0] = 1.0
+                sims = (q / qn[:, None]) @ c_mat.T
+                q_ids = chunk[id_col].to_numpy()
+                out_src, out_dst, out_sim, out_rank = [], [], [], []
+                for i, qid in enumerate(q_ids):
+                    row = sims[i]
+                    # top-k by (-sim, dst_id), excluding self
+                    order = np.lexsort((c_ids, -row))
+                    taken = 0
+                    for j in order:
+                        if c_ids[j] == qid:
+                            continue
+                        taken += 1
+                        out_src.append(qid)
+                        out_dst.append(c_ids[j])
+                        out_sim.append(row[j])
+                        out_rank.append(taken)
+                        if taken == k:
+                            break
+                yield pd.DataFrame(
+                    {
+                        "src_id": out_src,
+                        "dst_id": out_dst,
+                        "cosine_sim": out_sim,
+                        "rank": out_rank,
+                    }
+                )
+
+    return df.select(id_col, vec_col).mapInPandas(neighbors, schema)

@@ -504,3 +504,23 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_oov") * 1.0 / F.col("n_tokens")).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph over embeddings via the Arrow/numpy path (BLAS matmul in
+# mapInPandas). Float accumulation order differs from the expression
+# fold, so this is a rows-only entry; tests assert agreement with the
+# expression-based exact top-k at rounded precision.
+# ---------------------------------------------------------------------------
+@query("knn_graph_embeddings", oracle=None,
+       cite="LLM-ops: kNN graph (Arrow-batched BLAS matmul, mapInPandas)")
+def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.scaling import widen
+    from kwwhat_spark.operators.similarity import knn_graph
+
+    emb = widen(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    return knn_graph(emb, k=5)

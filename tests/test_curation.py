@@ -151,3 +151,36 @@ def test_semdedup_removes_within_cluster_duplicates_only(spark):
     assert out[10]["is_kept"] and not out[11]["is_kept"]
     assert out[20]["is_kept"]
     assert out[1]["cluster_id"] == 0 and out[10]["cluster_id"] == 1
+
+
+def test_knn_graph_agrees_with_expression_topk(spark, sf_dir):
+    from kwwhat_spark.operators.similarity import brute_force_topk, knn_graph
+    from kwwhat_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    sub = emb.filter(F.col("vec_id") < 60)
+    g = knn_graph(sub, k=3)
+    got = {
+        (r.src_id, r.rank): (r.dst_id, round(r.cosine_sim, 6)) for r in g.collect()
+    }
+    q = sub.select(F.col("vec_id").alias("query_id"), "embedding")
+    c = sub.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    # Expression path includes self-matches; re-rank without them.
+    exp = brute_force_topk(q, c, k=4)
+    want = {}
+    for r in exp.collect():
+        if r.query_id == r.corpus_id:
+            continue
+        ranks = want.setdefault(r.query_id, [])
+        ranks.append((r.cosine_sim, r.corpus_id))
+    for qid, lst in want.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (sim, cid) in enumerate(lst[:3], start=1):
+            dst, gsim = got[(qid, rank)]
+            assert dst == cid, (qid, rank, dst, cid)
+            assert abs(gsim - sim) < 2e-6
+
+    counts = {r.src_id for r in g.collect()}
+    assert len(counts) == sub.count(), "every vector gets neighbors"
