@@ -524,3 +524,89 @@ def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return knn_graph(emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic integer k-means over int8-quantized embeddings
+# (operators/clustering.py). The oracle unrolls Lloyd iterations as
+# chained CTEs; every distance/sum/mean is integer arithmetic, so the
+# whole iterative trajectory is bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+@query(
+    "kmeans_quantized_clusters",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+                  ELSE list_transform(e, x -> CAST(floor(x / scale * 127 + 0.5) AS INT))
+             END AS codes
+      FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings))
+    ), cent0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, codes AS cvec
+      FROM emb QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8
+    ), a1 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+        FROM (
+          SELECT e.vec_id, c.cid,
+                 list_sum([CAST((e.codes[i] - c.cvec[i]) * (e.codes[i] - c.cvec[i]) AS BIGINT)
+                           FOR i IN generate_series(1, 64)]) AS dist
+          FROM emb e CROSS JOIN cent0 c
+        )
+      ) WHERE rn = 1
+    ), cent1 AS (
+      SELECT c0.cid, COALESCE(u.cvec, c0.cvec) AS cvec
+      FROM cent0 c0 LEFT JOIN (
+        SELECT cid, list(s ORDER BY i) AS cvec FROM (
+          SELECT a.cid, t.i, SUM(e.codes[t.i]) // COUNT(*) AS s
+          FROM a1 a JOIN emb e USING (vec_id)
+          CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i) t
+          GROUP BY a.cid, t.i
+        ) GROUP BY cid
+      ) u USING (cid)
+    ), a2 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+        FROM (
+          SELECT e.vec_id, c.cid,
+                 list_sum([CAST((e.codes[i] - c.cvec[i]) * (e.codes[i] - c.cvec[i]) AS BIGINT)
+                           FOR i IN generate_series(1, 64)]) AS dist
+          FROM emb e CROSS JOIN cent1 c
+        )
+      ) WHERE rn = 1
+    ), cent2 AS (
+      SELECT c0.cid, COALESCE(u.cvec, c0.cvec) AS cvec
+      FROM cent1 c0 LEFT JOIN (
+        SELECT cid, list(s ORDER BY i) AS cvec FROM (
+          SELECT a.cid, t.i, SUM(e.codes[t.i]) // COUNT(*) AS s
+          FROM a2 a JOIN emb e USING (vec_id)
+          CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i) t
+          GROUP BY a.cid, t.i
+        ) GROUP BY cid
+      ) u USING (cid)
+    )
+    SELECT vec_id, cid AS cluster_id, dist AS dist_q FROM (
+      SELECT vec_id, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+      FROM (
+        SELECT e.vec_id, c.cid,
+               list_sum([CAST((e.codes[i] - c.cvec[i]) * (e.codes[i] - c.cvec[i]) AS BIGINT)
+                         FOR i IN generate_series(1, 64)]) AS dist
+        FROM emb e CROSS JOIN cent2 c
+      )
+    ) WHERE rn = 1
+""",
+    cite="clustering: deterministic integer k-means (Lloyd, oracle-checked trajectory)",
+)
+def kmeans_quantized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.clustering import kmeans_quantized
+    from kwwhat_spark.operators.scaling import widen
+    from kwwhat_spark.operators.similarity import quantize_int8
+
+    emb = widen(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", quantize_int8(F.col("embedding"))["q"].alias("codes")
+    )
+    return kmeans_quantized(emb, "vec_id", "codes", k=8, iterations=2)

@@ -184,3 +184,24 @@ def test_knn_graph_agrees_with_expression_topk(spark, sf_dir):
 
     counts = {r.src_id for r in g.collect()}
     assert len(counts) == sub.count(), "every vector gets neighbors"
+
+
+def test_kmeans_quantized_separates_obvious_groups(spark):
+    from kwwhat_spark.operators.clustering import kmeans_quantized
+
+    # Two tight groups on opposite corners; seeds 0 and 1 are one from each.
+    rows = [(0, [100, 100, 0, 0]), (1, [0, 0, 100, 100])]
+    rows += [(i, [100 + i % 3, 99, i % 2, 0]) for i in range(2, 12)]
+    rows += [(i, [i % 2, 0, 100 + i % 3, 99]) for i in range(12, 22)]
+    df = spark.createDataFrame(rows, "vec_id long, codes array<int>")
+    out = {r["vec_id"]: r["cluster_id"] for r in kmeans_quantized(df, k=2, iterations=3).collect()}
+    g0 = {out[i] for i in list(range(2, 12)) + [0]}
+    g1 = {out[i] for i in list(range(12, 22)) + [1]}
+    assert len(g0) == 1 and len(g1) == 1 and g0 != g1
+
+    # Deterministic under repartitioning.
+    out2 = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_quantized(df.repartition(5), k=2, iterations=3).collect()
+    }
+    assert out == out2
