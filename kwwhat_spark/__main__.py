@@ -7,6 +7,7 @@
   python -m kwwhat_spark query NAME  [--sf-dir D] [--explain] [-n ROWS]
   python -m kwwhat_spark list        [--oracle-only]
   python -m kwwhat_spark corpus --out DIR [--sf-dir D]  # clean→dedup→pack→shards
+  python -m kwwhat_spark curate --out DIR [--sf-dir D]  # signals→strip→gate→cap
 
 `--seed-dir` defaults to the reference demo seed. All subcommands build
 the model DAG lazily — each only executes its own upstream subgraph.
@@ -135,6 +136,32 @@ def cmd_corpus(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_curate(spark: SparkSession, args) -> int:
+    """Signals → substring strip → length gate → source cap → parquet,
+    plus a per-source summary to stdout."""
+    from pyspark.sql import functions as F
+
+    from kwwhat_spark.queries import REGISTRY
+
+    out = REGISTRY["curation_pipeline"].spark(spark, args.sf_dir)
+    out.write.mode("overwrite").parquet(args.out)
+    kept = spark.read.parquet(args.out)
+    summary = (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens_clean").alias("tokens"),
+            F.round(F.avg("dup_span_frac"), 4).alias("avg_dup_frac"),
+        )
+        .orderBy("source")
+    )
+    for r in summary.collect():
+        print(f"{r['source']:10s} docs={r['docs']:<6d} tokens={r['tokens']:<9d} "
+              f"avg_dup_frac={r['avg_dup_frac']}")
+    print(f"curated {kept.count()} documents -> {args.out}")
+    return 0
+
+
 def cmd_list(spark: SparkSession, args) -> int:
     from kwwhat_spark.queries import REGISTRY
 
@@ -192,6 +219,13 @@ def main(argv: list[str] | None = None) -> int:
     p_corpus.add_argument("--rows-per-shard", type=int, default=10000)
     p_corpus.add_argument("--format", choices=("parquet", "json"), default="parquet")
 
+    p_curate = sub.add_parser(
+        "curate", help="repetition gate, substring strip, length gate, source cap"
+    )
+    p_curate.add_argument("--out", required=True)
+    p_curate.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+
     args = parser.parse_args(argv)
     spark = _session(args)
     try:
@@ -203,6 +237,7 @@ def main(argv: list[str] | None = None) -> int:
             "query": cmd_query,
             "list": cmd_list,
             "corpus": cmd_corpus,
+            "curate": cmd_curate,
         }[args.command](spark, args)
     finally:
         spark.stop()

@@ -73,3 +73,37 @@ def stream_ingest_corpus(
         & (F.col("repetition")["dup_3gram_frac"] <= F.lit(max_dup_3gram_frac))
     )
     return stream_dedup(gated, ["content_hash"], ts_col, dedup_delay)
+
+
+def stream_archive_dedup(
+    stream: DataFrame,
+    store,
+    out_dir: str,
+    *,
+    name: str = "minhash_index",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+):
+    """Continuous archive-scale near-dup dedup: each micro-batch runs
+    incremental_minhash_dedup against the persistent band index (state
+    grows with KEPT docs only, never raw corpus bytes) and appends the
+    fresh survivors to `out_dir`. foreachBatch gives the micro-batch a
+    full batch-plan (the LSH self-join is not stream-expressible), and
+    the store merge is idempotent per content, so replays after a
+    restart re-drop the same duplicates instead of duplicating output —
+    the lambda-architecture unification: one index serves the nightly
+    batch job AND the live stream.
+
+    Returns the DataStreamWriter; caller adds checkpoint options and
+    start()s it.
+    """
+    from kwwhat_spark.operators.dedup import incremental_minhash_dedup
+
+    def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = incremental_minhash_dedup(
+            batch_df, store, id_col, text_col, name=name, threshold=threshold
+        )
+        fresh.write.mode("append").parquet(out_dir)
+
+    return stream.writeStream.foreachBatch(_dedup_batch)

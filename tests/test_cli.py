@@ -93,3 +93,20 @@ def test_cmd_corpus_packs_and_exports(spark, sf_dir, tmp_path):
         (F.col("bin_id") != F.col("last")) & (F.col("bin_tokens") != 256)
     )
     assert partial.count() == 0
+
+
+def test_cmd_curate_writes_capped_output(spark, sf_dir, tmp_path):
+    from kwwhat_spark.__main__ import cmd_curate
+
+    out = str(tmp_path / "curated")
+    rc = cmd_curate(spark, SimpleNamespace(sf_dir=sf_dir, out=out))
+    assert rc == 0
+    kept = spark.read.parquet(out)
+    assert kept.count() > 0
+    assert {"doc_id", "source", "lang", "n_tokens_clean", "dup_span_frac",
+            "cleaned_text"} <= set(kept.columns)
+    from pyspark.sql import functions as F
+
+    per_source = kept.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    assert per_source <= 40
+    assert kept.filter(F.col("n_tokens_clean") < 20).count() == 0

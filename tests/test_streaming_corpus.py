@@ -69,3 +69,38 @@ def test_stream_repetition_gate_drops_repetitive_docs(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.table("rep_gate").select("doc_id", "repetition.dup_3gram_frac").collect()
     assert [r.doc_id for r in got] == [2]
+
+
+def test_stream_archive_dedup_across_restarts(spark, tmp_path):
+    from kwwhat_spark.plans.incremental import ParquetStateStore
+    from kwwhat_spark.streaming.corpus import stream_archive_dedup
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt")
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(feed)
+        q = (
+            stream_archive_dedup(stream, store, out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, base), (2, "unrelated words about shuffle partitions and broadcast joins")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(feed)
+    run_once()
+    # Second drop: one dup of an archived doc, one near-dup, one fresh.
+    spark.createDataFrame(
+        [(10, base), (11, base + " indeed"), (12, "genuinely new text with novel tokens entirely")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(feed)
+    run_once()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 12]
