@@ -155,3 +155,66 @@ def test_redact_pii_matches_duckdb(spark, duck, texts):
         ).fetchone()
         want.append((row[0], row[1], row[2]))
     assert got == want, list(zip(texts, got, want))
+
+
+# ---------------------------------------------------------------------------
+# repetition_signals vs a pure-Python reference: the sort/RLE mode, the
+# dup-gram fractions, and the run-length logic are integer/string
+# computations with exact-division doubles, so Python replays them
+# exactly on arbitrary token streams.
+# ---------------------------------------------------------------------------
+def _py_signals(text: str):
+    toks = [t for t in text.split() if t != ""]
+    n = len(toks)
+    if n == 0:
+        return (0, 0.0, None, 0.0, 0.0, 0.0, 0)
+    from collections import Counter
+
+    counts = Counter(toks)
+    top_word = min(counts, key=lambda w: (-counts[w], w))
+
+    def dup_frac(k):
+        occ = n - (k - 1)
+        if occ < 1:
+            return 0.0
+        grams = [" ".join(toks[i : i + k]) for i in range(occ)]
+        return (occ - len(set(grams))) / occ
+
+    max_run = cur = 1
+    for i in range(1, n):
+        cur = cur + 1 if toks[i] == toks[i - 1] else 1
+        max_run = max(max_run, cur)
+    return (
+        n,
+        (n - len(counts)) / n,
+        top_word,
+        counts[top_word] / n,
+        dup_frac(2),
+        dup_frac(3),
+        max_run,
+    )
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "ab", "xyz", "q1", "-", "7"]),
+            min_size=0, max_size=30,
+        ).map(" ".join),
+        min_size=1, max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_repetition_signals_match_python_reference(spark, texts):
+    from kwwhat_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    out = df.select("id", repetition_signals("text").alias("r")).collect()
+    for row in out:
+        want = _py_signals(texts[row["id"]])
+        got = (
+            row["r"]["n_tokens"], row["r"]["word_rep_ratio"], row["r"]["top_word"],
+            row["r"]["top_word_frac"], row["r"]["dup_2gram_frac"],
+            row["r"]["dup_3gram_frac"], row["r"]["max_run_len"],
+        )
+        assert got == want, (texts[row["id"]], got, want)
