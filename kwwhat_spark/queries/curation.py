@@ -272,6 +272,7 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN covagg c USING (doc_id)
     """,
     cite="LLM-ops: exact substring-span dedup (Lee et al. 2022, distributed posting counts)",
+    headline=True,
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kwwhat_spark.operators.corpus import strip_duplicate_spans
