@@ -421,4 +421,13 @@ def incremental_minhash_dedup(
         fresh.select(F.col(id_col).alias("doc_id"), F.col("__sig").alias("sig")),
         ["doc_id"],
     )
-    return batch.join(fresh.select(id_col), id_col, "left_semi")
+    # The merges above materialized everything downstream of the cached
+    # stages. Eagerly checkpoint the result, then release the caches so a
+    # long-running stream (foreachBatch per micro-batch) does not
+    # accumulate one pinned RDD pair per batch.
+    result = batch.join(
+        fresh.select(id_col), id_col, "left_semi"
+    ).localCheckpoint(eager=True)
+    sigd.unpersist()
+    fresh.unpersist()
+    return result

@@ -6,8 +6,12 @@ These extend the reference (which has no text-curation surface) with the
 public training-data-pipeline methods: Gopher repetition rules
 (Rae et al. 2021 §A1.1), CCNet-style LM quality scoring, RefinedWeb-style
 per-source capping, Efraimidis–Spirakis weighted sampling, SemDeDup
-(Abbas et al. 2023), and Lee et al. 2022 substring deduplication.
-Every entry has a DuckDB oracle computing the identical result.
+(Abbas et al. 2023), Lee et al. 2022 substring deduplication, a
+composed curation pipeline, dynamic percentile band filters,
+vocabulary-coverage scoring, deterministic integer k-means, and an
+Arrow/BLAS kNN graph. Every entry except the kNN graph (whose BLAS
+accumulation order is float-nondeterministic vs a sequential fold) has
+a DuckDB oracle computing the bit-identical result.
 """
 
 from __future__ import annotations
