@@ -348,6 +348,15 @@ def l2_normalize(vec: Column) -> Column:
     return F.when(n == 0.0, v).otherwise(F.transform(v, lambda x: x / n))
 
 
+def _round6_half_up(x):
+    """numpy replica of Spark/DuckDB round(x, 6): HALF_UP (away from
+    zero), quotient by the exactly-representable 1e6 — the same doubles
+    as BigDecimal's decimal-then-nearest-double path for 6 places."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
 def semdedup(
     df: DataFrame,
     centroid_vecs: list[tuple[int, list[float]]],
@@ -355,98 +364,119 @@ def semdedup(
     vec_col: str = "embedding",
     *,
     threshold: float = 0.95,
+    batch_rows: int = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings, then remove
     near-duplicates only WITHIN each cluster — the clustering bounds the
     quadratic pair search to ~N²/K instead of N².
 
-    Cluster assignment is a projection against broadcast centroid
-    literals (argmax of round(cosine, 6); ties take the smaller centroid
-    id) — no shuffle, no join. The within-cluster pair search is a
-    cluster-keyed equi-self-join; a pair with similarity ≥ threshold
-    marks the larger id as a duplicate. Output: every input row with its
-    cluster_id and an is_kept flag.
+    Both dense stages run on the Arrow/BLAS path (the knn_graph pattern;
+    expression array-lambda math measured 5-8× slower here — see the
+    dead-end note above and BASELINE.md):
+
+    1. Assignment — mapInPandas against the broadcast centroid matrix:
+       one (rows × K) matmul per Arrow batch, argmax of round(cos, 6)
+       with ties to the smaller centroid id. Narrow; no shuffle.
+    2. Pair search — applyInPandas per cluster after ONE hash shuffle on
+       cluster_id: the within-cluster (n × n) cosine matrix in row
+       blocks of `batch_rows`; a row is a duplicate iff some
+       smaller-id row in its cluster reaches round(cos, 6) ≥ threshold.
+       Emits (id, cluster_id, is_kept) directly — no join-back.
+
+    Output: every input row with its cluster_id and an is_kept flag.
+
+    Oracle fidelity: similarities are rounded HALF_UP to 6 decimals
+    (matching Spark's round() and DuckDB's) before every comparison, so
+    cluster choice and dup verdicts match the unrolled SQL oracle; BLAS
+    accumulation order can differ from a sequential fold in the last
+    ulp, which the 6-decimal rounding absorbs except on measure-zero
+    boundary coincidences.
 
     Scale: centroids come from train_centroids() (MLlib k-means on a
-    hash_sample) with K sized so N/K vectors fit one task's pair budget;
-    the self-join shuffles by cluster id only. round(·, 6) keeps the
-    similarity bit-identical to DuckDB's list_cosine_similarity for the
-    oracle.
-
-    The row's norm is computed ONCE and shared by all K centroid
-    similarities (dot/(row_norm·centroid_norm), centroid norms
-    precomputed in Python — the same factor structure and therefore the
-    same doubles as cosine(); with K centroids this cuts assignment cost
-    ~2× by not re-deriving the row norm per centroid).
+    hash_sample) with K grown with N so clusters stay ~500 vectors; the
+    only shuffle moves each vector once, keyed by cluster id. A skewed
+    giant cluster is bounded by `batch_rows` blocking (memory stays
+    O(batch_rows · cluster), not O(cluster²)).
     """
-    import math
+    import numpy as np
+    from pyspark.sql import types as T
 
     if not centroid_vecs:
         raise ValueError("semdedup requires at least one centroid")
-    vec = F.col(vec_col)
-    normed = df.select(
-        F.col(id_col), vec.alias("__vec"), l2_norm(vec).alias("__norm")
+    order = sorted(range(len(centroid_vecs)), key=lambda i: centroid_vecs[i][0])
+    cent_ids = np.array([int(centroid_vecs[i][0]) for i in order], dtype=np.int64)
+    cent_mat = np.array([centroid_vecs[i][1] for i in order], dtype=np.float64)
+    cent_norms = np.linalg.norm(cent_mat, axis=1)
+    cent_norms[cent_norms == 0.0] = 1.0
+    bc = df.sparkSession.sparkContext.broadcast((cent_ids, cent_mat, cent_norms))
+
+    id_field = df.schema[id_col]
+    assign_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("__vec", T.ArrayType(T.DoubleType())),
+            T.StructField("cluster_id", T.IntegerType()),
+        ]
     )
-    scored = [
-        F.struct(
-            (
-                -F.round(
-                    dot(F.col("__vec"), F.array(*[F.lit(float(x)) for x in cvec]))
-                    / (
-                        F.col("__norm")
-                        * F.lit(math.sqrt(sum(x * x for x in cvec)) or 1.0)
-                    ),
-                    6,
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("cluster_id", T.IntegerType()),
+            T.StructField("is_kept", T.BooleanType()),
+        ]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(vecs, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = _round6_half_up(
+                    (vecs @ c_mat.T) / (norms[:, None] * c_norms[None, :])
                 )
-            ).alias("neg_sim"),
-            F.lit(int(cid)).alias("cid"),
+            # centroids sorted by cid → argmax's first-max = smallest cid
+            best = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "__vec": list(vecs),
+                    "cluster_id": c_ids[best].astype(np.int32),
+                }
+            )
+
+    def dedup_cluster(pdf):
+        import pandas as pd
+
+        ids_raw = pdf[id_col].to_numpy()
+        by_id = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[by_id]
+        vecs = np.stack(pdf["__vec"].to_numpy()[by_id]).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        n = len(ids)
+        is_dup = np.zeros(n, dtype=bool)
+        for lo in range(0, n, batch_rows):
+            hi = min(lo + batch_rows, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = _round6_half_up(
+                    (vecs[lo:hi] @ vecs.T) / (norms[lo:hi, None] * norms[None, :])
+                )
+            smaller = ids[lo:hi, None] < ids[None, :]
+            is_dup |= ((sims >= threshold) & smaller).any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster_id": pdf["cluster_id"].to_numpy()[by_id],
+                "is_kept": ~is_dup,
+            }
         )
-        for cid, cvec in centroid_vecs
-    ]
-    clustered = normed.select(
-        F.col(id_col),
-        F.col("__vec"),
-        F.col("__norm"),
-        F.array_min(F.array(*scored))["cid"].alias("cluster_id"),
-    )
-    # Pair similarity reuses the per-row norms computed for assignment:
-    # dot/(norm_a·norm_b) is the same expression tree (hence the same
-    # doubles) as cosine(), at 1/3 the per-pair work — the pair join is
-    # the quadratic part, so this is where the constant matters.
-    a = clustered.select(
-        F.col(id_col).alias("__id_a"),
-        F.col("__vec").alias("__vec_a"),
-        F.col("__norm").alias("__norm_a"),
-        "cluster_id",
-    )
-    b = clustered.select(
-        F.col(id_col).alias("__id_b"),
-        F.col("__vec").alias("__vec_b"),
-        F.col("__norm").alias("__norm_b"),
-        "cluster_id",
-    )
-    pair_sim = F.round(
-        dot(F.col("__vec_a"), F.col("__vec_b"))
-        / (F.col("__norm_a") * F.col("__norm_b")),
-        6,
-    )
-    dups = (
-        a.join(b, ["cluster_id"])
-        .filter(F.col("__id_a") < F.col("__id_b"))
-        .filter(pair_sim >= threshold)
-        .select(F.col("__id_b").alias("__dup_id"))
-        .distinct()
-    )
-    return (
-        clustered.join(
-            dups, clustered[id_col] == dups["__dup_id"], "left"
-        )
-        .select(
-            F.col(id_col),
-            "cluster_id",
-            F.col("__dup_id").isNull().alias("is_kept"),
-        )
-    )
+
+    assigned = df.select(id_col, vec_col).mapInPandas(assign, schema=assign_schema)
+    return assigned.groupBy("cluster_id").applyInPandas(dedup_cluster, schema=out_schema)
 
 
 def knn_graph(
