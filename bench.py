@@ -43,6 +43,15 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # Operators persist() intermediates for within-query reuse
+        # (shingle stages, tokenized stages, graph edge lists); Spark's
+        # CacheManager keys them by logical plan, so they survive the
+        # query and pile up across the headline set — storage memory
+        # fills and every later query degrades under eviction + GC
+        # pressure (measured: dedup_substring_spans 11.7 s inside a full
+        # bench run vs 1.1 s hot in isolation). Dropping the cache
+        # between queries restores per-query isolation.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
