@@ -175,4 +175,11 @@ def pagerank_quantized(
             )
             .localCheckpoint(eager=True)
         )
+    # The final iterate is eagerly checkpointed, so the loop-invariant
+    # cached stages are no longer referenced by its lineage — release
+    # them instead of letting them occupy storage memory for the
+    # session (same discipline as connected_components above).
+    und.unpersist()
+    deg.unpersist()
+    nodes.unpersist()
     return p
