@@ -114,3 +114,72 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """STUB resize: passes payload through and rewrites metadata; the
     real implementation decodes + resamples in the same mapInPandas shape."""
     return media.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
+
+
+# One row per sampled frame; payload is a stubbed frame image that the
+# downstream extract_features / resize_stub operators accept unchanged.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("modality", StringType()),  # always "image"
+        StructField("mime_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame,
+    *,
+    interval_ms: int = 1000,
+    max_frames: int = 32,
+) -> DataFrame:
+    """Sample frames from video rows at a fixed interval — the one-to-many
+    half of the multimodal plumbing (decode and feature-extract are
+    one-to-one). Non-video rows are dropped; each video row expands to
+    min(duration_ms // interval_ms + 1, max_frames) image rows whose
+    schema matches MEDIA_SCHEMA plus (frame_index, frame_ts_ms), so the
+    output feeds extract_features / resize_stub directly.
+
+    STUB: the per-frame payload is a deterministic digest of
+    (video payload, frame timestamp) — a real deployment seeks and
+    decodes the container at frame_ts_ms here (pyav/ffmpeg not in this
+    container). The Spark shape is the real one: mapInPandas expansion is
+    narrow (no shuffle), output batch size is bounded because each input
+    row yields ≤ max_frames rows, and the payload column streams through
+    Arrow without driver materialization.
+    """
+    if interval_ms <= 0:
+        raise ValueError("interval_ms must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids = pdf[pdf["modality"] == "video"]
+            if len(vids) == 0:
+                continue
+            out: dict[str, list] = {f.name: [] for f in FRAME_SCHEMA.fields}
+            for row in vids.itertuples(index=False):
+                duration = int(row.duration_ms or 0)
+                n_frames = min(duration // interval_ms + 1, max_frames)
+                src = bytes(row.payload or b"")
+                for j in range(n_frames):
+                    ts = j * interval_ms
+                    out["media_id"].append(row.media_id)
+                    out["frame_index"].append(j)
+                    out["frame_ts_ms"].append(ts)
+                    out["modality"].append("image")
+                    out["mime_type"].append("image/x-stub-frame")
+                    out["payload"].append(
+                        hashlib.sha256(src + ts.to_bytes(8, "big")).digest()
+                    )
+                    out["width"].append(row.width)
+                    out["height"].append(row.height)
+                    out["duration_ms"].append(0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

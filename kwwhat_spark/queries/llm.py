@@ -426,6 +426,28 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_frame_features",
+    oracle=None,
+    cite="LLM-ops: video frame sampling -> per-frame features (one-to-many mapInPandas)",
+)
+def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video rows → sampled frames (stub decode) → per-frame features,
+    rolled up per source video: the decode→sample→featurize chain a
+    multimodal training pipeline runs, with both mapInPandas stages
+    fused into one narrow plan (no shuffle until the final rollup)."""
+    from kwwhat_spark.operators.multimodal import frame_sample
+
+    media = synthesize_media(spark, n=64)
+    frames = frame_sample(media, interval_ms=5000, max_frames=4)
+    feats = extract_features(frames, dim=8)
+    return feats.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("frame_count"),
+        F.countDistinct("content_sha256").alias("distinct_frames"),
+        F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_feature_0"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Composed training-data pipeline: the whole cleaning chain as ONE plan.
 # ---------------------------------------------------------------------------

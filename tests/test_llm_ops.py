@@ -189,3 +189,39 @@ def test_multimodal_feature_plumbing(spark):
     # Determinism: same seed → same digests.
     again = {r["media_id"]: r["content_sha256"] for r in extract_features(synthesize_media(spark, n=30), dim=16).collect()}
     assert all(again[r["media_id"]] == r["content_sha256"] for r in feats)
+
+
+def test_multimodal_frame_sample(spark):
+    from kwwhat_spark.operators.multimodal import frame_sample
+
+    media = synthesize_media(spark, n=30)
+    frames = frame_sample(media, interval_ms=5000, max_frames=4).collect()
+    videos = {r["media_id"]: r for r in media.collect() if r["modality"] == "video"}
+    # Only video rows expand, frame counts follow duration/interval
+    # capped at max_frames, and indices/timestamps are contiguous.
+    by_media: dict[int, list] = {}
+    for r in frames:
+        assert r["media_id"] in videos
+        assert r["modality"] == "image"
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(videos)
+    for mid, rows in by_media.items():
+        expected = min(videos[mid]["duration_ms"] // 5000 + 1, 4)
+        assert len(rows) == expected
+        rows.sort(key=lambda r: r["frame_index"])
+        for j, r in enumerate(rows):
+            assert r["frame_index"] == j
+            assert r["frame_ts_ms"] == j * 5000
+            assert len(r["payload"]) == 32
+        assert r["width"] == videos[mid]["width"]
+    # Every (video, timestamp) digest is distinct; reruns are deterministic.
+    digests = [bytes(r["payload"]) for rows in by_media.values() for r in rows]
+    assert len(set(digests)) == len(digests)
+    again = frame_sample(synthesize_media(spark, n=30), interval_ms=5000, max_frames=4).collect()
+    assert sorted(bytes(r["payload"]) for r in again) == sorted(digests)
+    # Downstream composition: frames feed extract_features unchanged.
+    feats = extract_features(
+        frame_sample(media, interval_ms=5000, max_frames=4), dim=8
+    ).collect()
+    assert len(feats) == len(frames)
+    assert all(len(r["feature"]) == 8 for r in feats)
