@@ -75,6 +75,7 @@ from kwwhat_spark.plans.incremental import (
     INCREMENTAL_ORDER,
     IncrementalRunner,
     ParquetStateStore,
+    PartitionedStateStore,
 )
 from kwwhat_spark.sources.ocpp import load_ocpp_sources
 
@@ -123,9 +124,10 @@ _BOUNDARY_LINK_COLS = {
 _SUPERSET_OK = {"int_status_changes"}
 
 
-def test_incremental_runner_converges_to_full_refresh(spark, tmp_path):
+@pytest.mark.parametrize("store_cls", [ParquetStateStore, PartitionedStateStore])
+def test_incremental_runner_converges_to_full_refresh(spark, tmp_path, store_cls):
     sources = load_ocpp_sources(spark)
-    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    store = store_cls(spark, str(tmp_path / "state"))
     runner = IncrementalRunner(spark, store)
 
     # Cumulative source snapshots: data "arrives" between runs.
@@ -163,3 +165,66 @@ def test_incremental_runner_converges_to_full_refresh(spark, tmp_path):
                 f"\n  only in full: {only_exp}\n  only in incr: {only_act}"
             )
     assert not mismatches, "\n".join(mismatches)
+
+
+# ---------------------------------------------------------------------------
+# PartitionedStateStore: insert_overwrite-style merge must (a) implement
+# the same MERGE semantics as the versioned store and (b) physically leave
+# partitions outside the batch's date span untouched — the property that
+# bounds batch cost by batch span instead of table size.
+# ---------------------------------------------------------------------------
+def _part_files(state_dir, model, part):
+    d = Path(state_dir) / model / "partitioned" / f"_part={part}"
+    return sorted((p.name, p.stat().st_mtime_ns) for p in d.glob("*.parquet"))
+
+
+def test_partitioned_store_merge_touches_only_batch_partitions(spark, tmp_path):
+    state_dir = str(tmp_path / "state")
+    store = PartitionedStateStore(
+        spark, state_dir, partition_exprs={"m": "to_date(ingested_ts)"}
+    )
+    rows = [
+        ("c1", f"2025-10-0{d} 0{h}:00:00", f"v{d}{h}")
+        for d in (1, 2, 3)
+        for h in (1, 2)
+    ]
+    df = spark.createDataFrame(rows, "charger_id string, ingested_ts string, val string")
+    df = df.withColumn("ingested_ts", F.to_timestamp("ingested_ts"))
+    store.merge("m", df, ["charger_id", "ingested_ts"])
+
+    before_d1 = _part_files(state_dir, "m", "2025-10-01")
+    before_d2 = _part_files(state_dir, "m", "2025-10-02")
+    assert before_d1 and before_d2
+
+    # Batch 2: update one d3 row, insert a new d3 row and a d4 row.
+    new = spark.createDataFrame(
+        [
+            ("c1", "2025-10-03 01:00:00", "UPDATED"),
+            ("c1", "2025-10-03 03:00:00", "NEW"),
+            ("c1", "2025-10-04 01:00:00", "D4"),
+        ],
+        "charger_id string, ingested_ts string, val string",
+    ).withColumn("ingested_ts", F.to_timestamp("ingested_ts"))
+    store.merge("m", new, ["charger_id", "ingested_ts"])
+
+    # MERGE semantics match the versioned store's definition.
+    got = {
+        (r["charger_id"], r["ingested_ts"].isoformat()): r["val"]
+        for r in store.read("m").collect()
+    }
+    assert len(got) == 8
+    assert got[("c1", "2025-10-03T01:00:00")] == "UPDATED"
+    assert got[("c1", "2025-10-03T03:00:00")] == "NEW"
+    assert got[("c1", "2025-10-04T01:00:00")] == "D4"
+    assert got[("c1", "2025-10-01T01:00:00")] == "v11"
+
+    # d1/d2 partition files are bit-identical on disk (same names+mtimes):
+    # the merge never rewrote them.
+    assert _part_files(state_dir, "m", "2025-10-01") == before_d1
+    assert _part_files(state_dir, "m", "2025-10-02") == before_d2
+
+    # Empty batch: nothing touched anywhere.
+    before_d3 = _part_files(state_dir, "m", "2025-10-03")
+    store.merge("m", df.limit(0), ["charger_id", "ingested_ts"])
+    assert _part_files(state_dir, "m", "2025-10-03") == before_d3
+    assert store.read("m").count() == 8

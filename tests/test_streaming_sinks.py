@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from kwwhat_spark.plans.incremental import ParquetStateStore
+from kwwhat_spark.plans.incremental import ParquetStateStore, PartitionedStateStore
 from kwwhat_spark.sources.testdata import load_table
 from kwwhat_spark.streaming.sinks import merge_sink, stream_dedup
 
@@ -37,7 +37,13 @@ def test_stream_dedup_drops_within_watermark(spark, dup_dir):
     assert out.select("event_id").distinct().count() == 500
 
 
-def test_merge_sink_upserts_across_microbatches(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("store_fn", [
+    lambda spark, p: ParquetStateStore(spark, p),
+    lambda spark, p: PartitionedStateStore(
+        spark, p, partition_exprs={"events_mart": "to_date(ts)"}
+    ),
+])
+def test_merge_sink_upserts_across_microbatches(spark, sf_dir, tmp_path, store_fn):
     src = str(tmp_path / "merge_src")
     e = load_table(spark, sf_dir, "events").limit(300).select(
         "event_id", "ts", "user_id", "event_type", "value", "props")
@@ -54,7 +60,7 @@ def test_merge_sink_upserts_across_microbatches(spark, sf_dir, tmp_path):
     shutil.copy(glob.glob(src + "/f1/*.parquet")[0], d + "/0001.parquet")
     shutil.copy(glob.glob(src + "/f2/*.parquet")[0], d + "/0002.parquet")
 
-    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    store = store_fn(spark, str(tmp_path / "state"))
     stream = (
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", 1)
