@@ -112,6 +112,49 @@ def dedup_keepers(
     )
 
 
+def select_representatives(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    scores: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Per near-duplicate cluster, keep the BEST-SCORING member (ties →
+    min id) instead of the min id: the "keep the longest / highest-quality
+    copy" representative policy training pipelines actually want, made
+    transitive-closure-correct. Returns (doc_id, component, is_keeper)
+    for every doc appearing in `pairs`; `scores` must cover those ids.
+
+    Scale: connected_components plus one equi-join to the score column
+    and one combinable max-of-struct aggregation per component — the
+    argmax never collects clusters, so giant components cost one shuffle
+    like everything else.
+    """
+    comps = connected_components(pairs, id_a, id_b)
+    scored = comps.join(
+        scores.select(F.col(id_col).alias("node"), F.col(score_col).alias("__score")),
+        "node",
+    )
+    # max of (score, -id) == highest score, ties to the smallest id.
+    best = (
+        scored.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__score").alias("s"), (-F.col("node")).alias("neg_id")
+                )
+            ).alias("__b")
+        )
+        .select("component", (-F.col("__b.neg_id")).alias("__keeper"))
+    )
+    return scored.join(best, "component").select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("__keeper")).alias("is_keeper"),
+    )
+
+
 def pagerank_quantized(
     edges: DataFrame,
     src: str,

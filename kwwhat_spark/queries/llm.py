@@ -357,6 +357,76 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Representative selection: same clusters, but keep the highest-quality
+# member (here: most tokens; ties → min id) instead of the min id — the
+# policy a training pipeline actually wants when dropping near-dups.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_representatives",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in generate_series(1, len(t)-2)])
+                  ELSE [array_to_string(t, ' ')]
+             END AS shingles
+      FROM toks
+    ), counts AS (
+      SELECT doc_id, lang, len(shingles) AS shingle_count, shingles FROM sh
+    ), inverted AS (
+      SELECT doc_id, lang, UNNEST(shingles) AS shingle FROM counts
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM inverted a JOIN inverted b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT s.doc_a, s.doc_b
+      FROM shared s
+      JOIN counts ca ON ca.doc_id = s.doc_a
+      JOIN counts cb ON cb.doc_id = s.doc_b
+      WHERE CAST(s.intersection AS DOUBLE)
+              / (ca.shingle_count + cb.shingle_count - s.intersection) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ), comps AS (
+      SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+    ), ranked AS (
+      SELECT c.doc_id, c.component,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component
+               ORDER BY len(t.t) DESC, c.doc_id ASC
+             ) AS rn
+      FROM comps c JOIN toks t ON t.doc_id = c.doc_id
+    )
+    SELECT doc_id, component, rn = 1 AS is_keeper FROM ranked
+    """,
+    cite="LLM-ops: per-cluster representative selection (operators/graph.py select_representatives)",
+)
+def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.graph import select_representatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", block_col="lang",
+                                k=3, threshold=0.8)
+    scores = docs.select(
+        "doc_id", whitespace_token_count("text").alias("token_count")
+    )
+    return select_representatives(pairs, "doc_a", "doc_b", scores,
+                                  "doc_id", "token_count")
+
+
+# ---------------------------------------------------------------------------
 # Document chunking: fixed token windows with overlap (operators/corpus).
 # Pure array ops (split/sequence/explode/slice) → JVM-side, no shuffle.
 # ---------------------------------------------------------------------------

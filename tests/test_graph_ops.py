@@ -80,3 +80,22 @@ def test_pagerank_quantized_is_deterministic_across_runs(spark):
     r1 = sorted(map(tuple, pagerank_quantized(edges, "a", "b", iterations=3).collect()))
     r2 = sorted(map(tuple, pagerank_quantized(edges.repartition(7), "a", "b", iterations=3).collect()))
     assert r1 == r2
+
+
+def test_select_representatives_quality_policy(spark):
+    from kwwhat_spark.operators.graph import select_representatives
+
+    # Components {1,2,3} (chain) and {10,11}; scores make 3 the best in
+    # the first cluster; 10 and 11 tie -> min id wins.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 12), (10, 7), (11, 7)], "doc_id long, score long"
+    )
+    rows = select_representatives(pairs, "doc_a", "doc_b", scores, "doc_id", "score").collect()
+    keepers = sorted(r.doc_id for r in rows if r.is_keeper)
+    assert keepers == [3, 10]
+    comps = {r.doc_id: r.component for r in rows}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert len(rows) == 5
