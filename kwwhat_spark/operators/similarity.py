@@ -57,39 +57,89 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """Exact cosine top-k per query (cross join + window)."""
-    from pyspark.sql import Window as W
+    """Exact cosine top-k per query, Arrow/BLAS path (the knn_graph
+    pattern): the query set is collected and broadcast (this operator's
+    contract is a SMALL query side — for query sets beyond broadcast
+    range use knn_graph, LSH, or IVF), the corpus streams through
+    mapInPandas where each Arrow batch computes one (batch × Q) matmul
+    and emits only its batch-local top-k per query; a final window over
+    the ~(partitions · Q · k) survivors ranks globally.
 
-    # Norms are computed once per row BEFORE the join — inside the join
-    # only the O(dim) dot product runs per pair (3 passes/pair → 1).
-    # Corpus side carries the per-pair CPU; widen narrow scans first.
-    corpus = widen(corpus)
-    q = queries.select(
-        F.col(query_id),
-        F.col(vec_col).alias("q_vec"),
-        l2_norm(F.col(vec_col)).alias("q_norm"),
+    Exactness: similarities are rounded HALF_UP to 6 decimals (matching
+    Spark round() and DuckDB) and ranked by the total order
+    (sim desc, corpus_id asc); a row outside a batch's local top-k has
+    k better-ordered rows in that batch alone, so it can never enter the
+    global top-k — the partial/merge split loses nothing.
+
+    Scale: no cross-join materialization, no wide shuffle — the only
+    shuffled rows are the per-batch survivors. Unlike the old
+    expression-tree form, the corpus is NOT widen()ed: the per-row BLAS
+    cost is small, so input-sized partitions are right and a compute
+    repartition only adds a shuffle + per-task Python overhead
+    (measured 2-8× slower with widen at sf1).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+    qrows = queries.select(query_id, vec_col).collect()
+    if not qrows:
+        empty = corpus.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    queries.schema[query_id],
+                    corpus.schema[corpus_id],
+                    T.StructField("cosine_sim", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
+        return empty
+    q_ids = [r[query_id] for r in qrows]
+    q_mat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    q_norms = np.linalg.norm(q_mat, axis=1)
+    q_norms[q_norms == 0.0] = 1.0
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norms))
+
+    part_schema = T.StructType(
+        [
+            queries.schema[query_id],
+            corpus.schema[corpus_id],
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
     )
-    c = corpus.select(
-        F.col(corpus_id),
-        F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("c_norm"),
+    qf, cf = part_schema[0].name, part_schema[1].name
+
+    def local_topk(batches):
+        ids, mat, norms = bc.value
+        nq = len(ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cvecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cids = pdf[corpus_id].to_numpy()
+            cnorms = np.linalg.norm(cvecs, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = _round6_half_up(
+                    (cvecs @ mat.T) / (cnorms[:, None] * norms[None, :])
+                )
+            out_q, out_c, out_s = [], [], []
+            for j in range(nq):
+                order = np.lexsort((cids, -sims[:, j]))[:k]
+                out_q.extend([ids[j]] * len(order))
+                out_c.extend(cids[order])
+                out_s.extend(sims[order, j])
+            yield pd.DataFrame({qf: out_q, cf: out_c, "cosine_sim": out_s})
+
+    survivors = corpus.select(corpus_id, vec_col).mapInPandas(
+        local_topk, schema=part_schema
     )
-    scored = q.crossJoin(c).select(
-        query_id,
-        corpus_id,
-        F.round(
-            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")))
-            .cast("double"),
-            6,
-        ).alias("cosine_sim"),
-    )
-    w = W.partitionBy(query_id).orderBy(
-        F.col("cosine_sim").desc(), F.col(corpus_id).asc()
-    )
+    w = W.partitionBy(qf).orderBy(F.col("cosine_sim").desc(), F.col(cf).asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "cosine_sim", "rank")
+        .select(qf, cf, "cosine_sim", "rank")
     )
 
 
