@@ -670,3 +670,109 @@ def strip_duplicate_spans(
             F.filter(F.col("__t"), lambda t, i: ~F.array_contains(idxs, i + 1)),
         ).alias("cleaned_text"),
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_chars: int = 1,
+) -> DataFrame:
+    """C4/RefinedWeb-style exact LINE deduplication across the corpus:
+    a line whose text occurs more than once (corpus-wide, including
+    within one document) keeps only its globally-first occurrence in
+    (doc_id, line_idx) order; every other occurrence is removed from its
+    document. Lines shorter than `min_chars` characters (boilerplate
+    blanks, separators) are always kept. Returns per document:
+    n_lines, n_kept, and the reconstructed text_clean.
+
+    Scale shape: document text never shuffles. The occurrence ranking
+    shuffles only (line_hash, length, doc_id, line_idx); the removal
+    set returns to each document as an integer index list via one
+    doc-keyed join, and reconstruction is a narrow index-filter over the
+    re-split text. The hottest line's reducer is bounded by that line's
+    occurrence count — the same bounded-skew shape as the posting-list
+    dedup operators.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__idx", "__line"),
+    ).select(
+        id_col,
+        "__idx",
+        F.md5(F.col("__line")).alias("__h"),
+        F.length("__line").alias("__len"),
+    )
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("__idx").asc())
+    losers = (
+        lines.withColumn("__occ", F.row_number().over(w))
+        .filter((F.col("__occ") > 1) & (F.col("__len") >= min_chars))
+        .groupBy(id_col)
+        .agg(F.collect_set("__idx").alias("__drop"))
+    )
+    joined = df.join(losers, [id_col], "left")
+    split = F.split(F.col(text_col), "\n")
+    drop = F.coalesce(F.col("__drop"), F.array().cast("array<int>"))
+    return joined.select(
+        F.col(id_col),
+        F.size(split).alias("n_lines"),
+        (F.size(split) - F.size(drop)).alias("n_kept"),
+        F.concat_ws(
+            "\n", F.filter(split, lambda line, i: ~F.array_contains(drop, i))
+        ).alias("text_clean"),
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    salt: str = "shuffle",
+    buckets: int = 256,
+) -> DataFrame:
+    """Assign every row a dense global ordinal 0..N-1 under a seeded
+    pseudo-random total order — the reproducible corpus shuffle that
+    precedes sequence packing / shard export (same salt → same
+    permutation on any cluster or partitioning).
+
+    Order key: md5(salt|id), ties broken by id. The ordinal is computed
+    WITHOUT a global single-partition sort: rows hash into `buckets` by
+    the key's first byte(s) (a prefix of the order key, so bucket order
+    refines key order); per-bucket counts come to the driver (`buckets`
+    longs), cumulative offsets broadcast back, and each bucket
+    independently numbers its rows with one bounded window. Two passes
+    over the data, max parallelism `buckets`, no stage ever sees more
+    than ~N/buckets rows — the distributed zipWithIndex that respects a
+    total order.
+    """
+    nyb = 4  # 16^4 = 65536-way prefix space
+    if not 1 <= buckets <= 16**nyb:
+        raise ValueError(f"buckets must be in [1, {16**nyb}]")
+    key = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    # Monotone range bucketing on the key prefix: floor(v·B / 16^nyb) is
+    # non-decreasing in v, so (bucket, key) ordering == key ordering —
+    # the property the per-bucket offsets depend on. (A modulo here
+    # would interleave buckets and break the global order.)
+    v = F.conv(F.substring(key, 1, nyb), 16, 10).cast("long")
+    bucket = ((v * buckets).cast("long") / F.lit(16**nyb)).cast("int")
+    keyed = df.withColumn("__key", key).withColumn("__bucket", bucket)
+    counts = {
+        r["__bucket"]: r["cnt"]
+        for r in keyed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("__bucket").orderBy("__key", id_col)
+    return (
+        keyed.withColumn(
+            "shuffle_ordinal",
+            (omap[F.col("__bucket")] + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("__key", "__bucket")
+    )

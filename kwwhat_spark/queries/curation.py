@@ -615,3 +615,73 @@ def kmeans_quantized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", quantize_int8(F.col("embedding"))["q"].alias("codes")
     )
     return kmeans_quantized(emb, "vec_id", "codes", k=8, iterations=2)
+
+
+# ---------------------------------------------------------------------------
+# C4/RefinedWeb-style exact line dedup. The synthetic documents have no
+# newlines, so the entry first reformats each document into
+# deterministic 12-token lines — identically in both engines — then
+# removes every non-first occurrence of a repeated line corpus-wide.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_lines",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), reform AS (
+      SELECT doc_id,
+             array_to_string([array_to_string(list_slice(t, i, i+11), ' ')
+                              FOR i IN generate_series(1, len(t), 12)],
+                             chr(10)) AS text2
+      FROM toks
+    ), ls AS (
+      SELECT doc_id, text2, string_split(text2, chr(10)) AS lines FROM reform
+    ), lr AS (
+      SELECT doc_id, UNNEST(generate_series(1, len(lines))) AS idx, lines
+      FROM ls
+    ), flat AS (
+      SELECT doc_id, idx, lines[idx] AS line FROM lr
+    ), ranked AS (
+      SELECT doc_id, idx, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+      FROM flat
+    ), drops AS (
+      SELECT doc_id, idx FROM ranked WHERE rn > 1 AND len(line) >= 1
+    ), kept AS (
+      SELECT f.doc_id, f.idx, f.line
+      FROM flat f LEFT JOIN drops d ON d.doc_id = f.doc_id AND d.idx = f.idx
+      WHERE d.doc_id IS NULL
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY idx) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+           len(l.lines) AS n_lines,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM ls l LEFT JOIN agg a USING (doc_id)
+    """,
+    cite="LLM-ops: C4-style exact line dedup (operators/corpus.py dedup_lines)",
+)
+def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    lines = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.floor((n - 1) / 12), F.lit(0)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 12 + 1, F.lit(12))),
+    )
+    reformatted = docs.select(
+        "doc_id", F.concat_ws("\n", lines).alias("text")
+    )
+    out = dedup_lines(reformatted, "doc_id", "text", min_chars=1)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "text_clean",
+    )

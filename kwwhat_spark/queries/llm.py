@@ -1078,3 +1078,28 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         F.when(h < "e666", "train").when(h < "f333", "val").otherwise("test"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reproducible corpus shuffle: dense global ordinals under a seeded
+# total order, computed without a single-partition sort (two-pass
+# bucket-offset zipWithIndex; operators/corpus.py deterministic_shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_shuffle",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY md5('epoch0' || '|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS shuffle_ordinal
+    FROM documents
+    """,
+    cite="LLM-ops: deterministic corpus shuffle (distributed ordered zipWithIndex)",
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", salt="epoch0", buckets=64).select(
+        "doc_id", "shuffle_ordinal"
+    )

@@ -18,6 +18,7 @@ def _args(tmp_path, **kw):
         models=["dim_ports", "fact_location_capacity"],
         out=str(tmp_path / "marts"),
         state=str(tmp_path / "state"),
+        partitioned=False,
     )
     base.update(kw)
     return SimpleNamespace(**base)
@@ -53,6 +54,12 @@ def test_cmd_incremental_builds_state(spark, tmp_path):
     assert cmd_incremental(spark, _args(tmp_path)) == 0
     state = spark.read.parquet(str(tmp_path / "state" / "fact_visits" / "v0"))
     assert state.count() > 0
+
+
+def test_cmd_incremental_partitioned_store(spark, tmp_path):
+    assert cmd_incremental(spark, _args(tmp_path, partitioned=True)) == 0
+    part_dir = tmp_path / "state" / "fact_visits" / "partitioned"
+    assert any(p.name.startswith("_part=") for p in part_dir.iterdir())
 
 
 def test_cmd_query_and_list(spark, sf_dir, capsys):

@@ -286,3 +286,49 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     # Replay of batch 2 is idempotent: 12 is now archived too.
     out3 = sorted(r.doc_id for r in incremental_minhash_dedup(b2, store).collect())
     assert out3 == []
+
+
+def test_dedup_lines_keeps_first_occurrence_and_short_lines(spark):
+    from kwwhat_spark.operators.corpus import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma\n--\nshared line here\nunique one"),
+            (2, "shared line here\n--\nanother unique line\nshared line here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_lines(docs, min_chars=3).collect()}
+    # doc 1 owns the first occurrence of the shared line; "--" is under
+    # min_chars and survives everywhere despite repeating.
+    assert rows[1]["n_lines"] == 4 and rows[1]["n_kept"] == 4
+    assert rows[1]["text_clean"] == "alpha beta gamma\n--\nshared line here\nunique one"
+    # doc 2 loses BOTH later occurrences (cross-doc and within-doc).
+    assert rows[2]["n_lines"] == 4 and rows[2]["n_kept"] == 2
+    assert rows[2]["text_clean"] == "--\nanother unique line"
+
+
+def test_deterministic_shuffle_is_a_dense_stable_permutation(spark):
+    from kwwhat_spark.operators.corpus import deterministic_shuffle
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = deterministic_shuffle(docs, "doc_id", salt="s1", buckets=16).collect()
+    ordinals = sorted(r["shuffle_ordinal"] for r in out)
+    assert ordinals == list(range(500))
+    # Partitioning-independent and salt-sensitive.
+    again = {
+        r["doc_id"]: r["shuffle_ordinal"]
+        for r in deterministic_shuffle(
+            docs.repartition(7), "doc_id", salt="s1", buckets=16
+        ).collect()
+    }
+    assert again == {r["doc_id"]: r["shuffle_ordinal"] for r in out}
+    other = {
+        r["doc_id"]: r["shuffle_ordinal"]
+        for r in deterministic_shuffle(docs, "doc_id", salt="s2", buckets=16).collect()
+    }
+    assert other != again
+    # Ordinals follow the global (md5 key, id) order: bucketing refines it.
+    import hashlib
+    expect = sorted(range(500), key=lambda i: (hashlib.md5(f"s1|{i}".encode()).hexdigest(), i))
+    assert [again[i] for i in expect] == list(range(500))
