@@ -1103,3 +1103,48 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(docs, "doc_id", salt="epoch0", buckets=64).select(
         "doc_id", "shuffle_ordinal"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space eval decontamination: flag corpus vectors whose cosine
+# against ANY eval vector reaches the threshold — the semantic
+# complement of the 5-gram decontamination entry. The eval set is small
+# by nature, so it broadcasts and the corpus never shuffles: one narrow
+# scored pass + a per-row max.
+# ---------------------------------------------------------------------------
+@query(
+    "decontaminate_embedding",
+    oracle="""
+    WITH eval_set AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ), scored AS (
+      SELECT c.vec_id,
+             MAX(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])), 6))
+               AS max_eval_sim
+      FROM embeddings c JOIN eval_set e ON c.vec_id <> e.vec_id
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, max_eval_sim, max_eval_sim >= 0.95 AS is_contaminated
+    FROM scored
+    """,
+    cite="LLM-ops: embedding-cosine eval decontamination (broadcast eval set)",
+)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    eval_set = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_vec")
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("eval_vec")), 6)
+    return (
+        emb.join(F.broadcast(eval_set), F.col("vec_id") != F.col("eval_id"))
+        .groupBy("vec_id")
+        .agg(F.max(sim).alias("max_eval_sim"))
+        .select(
+            "vec_id",
+            "max_eval_sim",
+            (F.col("max_eval_sim") >= 0.95).alias("is_contaminated"),
+        )
+    )
