@@ -776,3 +776,66 @@ def deterministic_shuffle(
         )
         .drop("__key", "__bucket")
     )
+
+
+def incremental_line_dedup(
+    batch: DataFrame,
+    store,
+    name: str = "corpus_line_index",
+    key: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Batch-over-batch LINE dedup against a persistent line-hash index —
+    the archive-scale form of dedup_lines (C4-style: a repeated line
+    survives only at its first-ever occurrence across every batch seen
+    so far). Lines shorter than `min_chars` are exempt and never enter
+    the index. Returns the batch with per-doc n_lines / n_kept /
+    text_clean, first-occurrence lines kept in (key, line_idx) order
+    within the batch.
+
+    The store holds only (line_hash) — ~32 bytes per distinct line, no
+    text — so it MERGEs forward like the content-hash index in
+    incremental_exact_dedup. Document text never shuffles: ranking and
+    the archive anti-join move (line_hash, length, key, idx); removals
+    come back to each doc as an integer index list; reconstruction is a
+    narrow index-filter over the re-split text.
+    """
+    lines = batch.select(
+        F.col(key),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__idx", "__line"),
+    ).select(
+        key,
+        "__idx",
+        F.md5(F.col("__line")).alias("__h"),
+        F.length("__line").alias("__len"),
+    )
+    eligible = lines.filter(F.col("__len") >= min_chars)
+    w = Window.partitionBy("__h").orderBy(F.col(key).asc(), F.col("__idx").asc())
+    ranked = eligible.withColumn("__occ", F.row_number().over(w))
+    existing = store.read(name)
+    if existing is not None:
+        seen = ranked.join(existing.select(F.col("line_hash").alias("__h")),
+                           "__h", "left_semi").select(key, "__idx")
+        in_batch_later = ranked.filter(F.col("__occ") > 1).select(key, "__idx")
+        losers = seen.unionByName(in_batch_later).distinct()
+    else:
+        losers = ranked.filter(F.col("__occ") > 1).select(key, "__idx")
+    drop_lists = losers.groupBy(key).agg(F.collect_set("__idx").alias("__drop"))
+    store.merge(
+        name,
+        eligible.select(F.col("__h").alias("line_hash")).distinct(),
+        ["line_hash"],
+    )
+    joined = batch.join(drop_lists, [key], "left")
+    split = F.split(F.col(text_col), "\n")
+    drop = F.coalesce(F.col("__drop"), F.array().cast("array<int>"))
+    return joined.select(
+        F.col(key),
+        F.size(split).alias("n_lines"),
+        (F.size(split) - F.size(drop)).alias("n_kept"),
+        F.concat_ws(
+            "\n", F.filter(split, lambda line, i: ~F.array_contains(drop, i))
+        ).alias("text_clean"),
+    )

@@ -332,3 +332,37 @@ def test_deterministic_shuffle_is_a_dense_stable_permutation(spark):
     import hashlib
     expect = sorted(range(500), key=lambda i: (hashlib.md5(f"s1|{i}".encode()).hexdigest(), i))
     assert [again[i] for i in expect] == list(range(500))
+
+
+def test_incremental_line_dedup_across_batches(spark, tmp_path):
+    from kwwhat_spark.operators.corpus import incremental_line_dedup
+    from kwwhat_spark.plans.incremental import ParquetStateStore
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma\n--\nshared line here"),
+         (2, "shared line here\ndelta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    r1 = {r["doc_id"]: r for r in
+          incremental_line_dedup(b1, store, min_chars=3).collect()}
+    assert r1[1]["n_kept"] == 3  # first occurrence + short "--" kept
+    assert r1[2]["text_clean"] == "delta epsilon zeta"  # cross-doc dup dropped
+
+    # Batch 2: a line from the archive, a batch-internal dup, a new line.
+    b2 = spark.createDataFrame(
+        [(3, "shared line here\nbrand new line\n--"),
+         (4, "brand new line\nanother fresh line")],
+        "doc_id long, text string",
+    )
+    r2 = {r["doc_id"]: r for r in
+          incremental_line_dedup(b2, store, min_chars=3).collect()}
+    # doc 3 loses the archived line, keeps its batch-first new line and "--".
+    assert r2[3]["text_clean"] == "brand new line\n--"
+    # doc 4 loses the batch-internal dup of doc 3's line.
+    assert r2[4]["text_clean"] == "another fresh line"
+
+    # Redelivery of batch 2: everything eligible is already archived.
+    r3 = {r["doc_id"]: r for r in
+          incremental_line_dedup(b2, store, min_chars=3).collect()}
+    assert r3[3]["text_clean"] == "--" and r3[4]["n_kept"] == 0
