@@ -1137,20 +1137,53 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     cite="LLM-ops: embedding-cosine eval decontamination (broadcast eval set)",
 )
 def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/BLAS form (operators/similarity.py pattern): the eval
+    matrix is broadcast and each corpus Arrow batch computes one
+    (batch × E) matmul, masks its own eval row if present, and emits its
+    per-row max — narrow, no join. The expression-tree broadcast-join
+    form of this query measured 130 s at sf1 vs ~1 s here (the
+    lambda-interpreted vector math dead end documented in BASELINE.md)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from kwwhat_spark.operators.similarity import _round6_half_up
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    eval_set = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_vec")
+    eval_rows = emb.filter(F.col("vec_id") % 50 == 0).collect()
+    e_ids = np.array([r["vec_id"] for r in eval_rows], dtype=np.int64)
+    e_mat = np.array([r["embedding"] for r in eval_rows], dtype=np.float64)
+    e_norms = np.linalg.norm(e_mat, axis=1)
+    e_norms[e_norms == 0.0] = 1.0
+    bc = spark.sparkContext.broadcast((e_ids, e_mat, e_norms))
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("max_eval_sim", T.DoubleType()),
+        ]
     )
-    sim = F.round(cosine(F.col("embedding"), F.col("eval_vec")), 6)
-    return (
-        emb.join(F.broadcast(eval_set), F.col("vec_id") != F.col("eval_id"))
-        .groupBy("vec_id")
-        .agg(F.max(sim).alias("max_eval_sim"))
-        .select(
-            "vec_id",
-            "max_eval_sim",
-            (F.col("max_eval_sim") >= 0.95).alias("is_contaminated"),
-        )
+
+    def score(batches):
+        import pandas as pd
+
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cids = pdf["vec_id"].to_numpy()
+            cnorms = np.linalg.norm(vecs, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = _round6_half_up(
+                    (vecs @ mat.T) / (cnorms[:, None] * norms[None, :])
+                )
+            sims[cids[:, None] == ids[None, :]] = -np.inf  # exclude self-pair
+            yield pd.DataFrame({"vec_id": cids, "max_eval_sim": sims.max(axis=1)})
+
+    return emb.mapInPandas(score, schema=schema).select(
+        "vec_id",
+        "max_eval_sim",
+        (F.col("max_eval_sim") >= 0.95).alias("is_contaminated"),
     )

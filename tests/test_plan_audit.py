@@ -19,7 +19,6 @@ WHITELIST = {
     # (similarity_topk left the list: the Arrow/BLAS partial-top-k
     # rewrite eliminated its cross join.)
     "dedup_cosine_exact": "deliberate exact baseline (scale: cosine_near_dup_pairs)",
-    "decontaminate_embedding": "broadcast build side is the eval set (small by construction)",
     "tpch_q22_sales_opportunity": "single-row global-average build side",
     "tpch_q11_important_stock": "single-row cutoff build side",
     "funnel_conversion": "single-row stage totals cross-join",
