@@ -667,8 +667,13 @@ def kmeans_quantized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kwwhat_spark.operators.corpus import dedup_lines
+    from kwwhat_spark.operators.scaling import widen
 
-    docs = load_table(spark, sf_dir, "documents")
+    # The reformat + reconstruction chain is CPU-dense expression work
+    # over every token — compute-partition the input (9.1 -> 1.6 s hot
+    # at sf1 under full materialization; neutral under count() where
+    # the text column prunes away).
+    docs = widen(load_table(spark, sf_dir, "documents"))
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
     n = F.size(toks)
     lines = F.transform(
