@@ -107,3 +107,38 @@ def stream_archive_dedup(
         fresh.write.mode("append").parquet(out_dir)
 
     return stream.writeStream.foreachBatch(_dedup_batch)
+
+
+def stream_line_dedup(
+    stream: DataFrame,
+    store,
+    out_dir: str,
+    *,
+    name: str = "corpus_line_index",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+):
+    """Continuous C4-style line dedup: each micro-batch runs
+    incremental_line_dedup against the persistent line-hash index (the
+    state holds ~32 bytes per distinct line, never document text) and
+    appends the per-doc cleaned output to `out_dir`. Same
+    lambda-architecture shape as stream_archive_dedup: foreachBatch
+    gives the micro-batch a full batch plan (the corpus-wide
+    first-occurrence window is not stream-expressible) and the index
+    merge is idempotent per line hash, so a replayed batch re-drops the
+    same lines instead of re-emitting them as fresh.
+
+    Returns the DataStreamWriter; caller adds checkpoint options and
+    start()s it.
+    """
+    from kwwhat_spark.operators.corpus import incremental_line_dedup
+
+    def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = incremental_line_dedup(
+            batch_df, store, name=name, key=id_col, text_col=text_col,
+            min_chars=min_chars,
+        )
+        cleaned.write.mode("append").parquet(out_dir)
+
+    return stream.writeStream.foreachBatch(_dedup_batch)

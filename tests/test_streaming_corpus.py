@@ -104,3 +104,41 @@ def test_stream_archive_dedup_across_restarts(spark, tmp_path):
 
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 12]
+
+
+def test_stream_line_dedup_across_restarts(spark, tmp_path):
+    from kwwhat_spark.plans.incremental import ParquetStateStore
+    from kwwhat_spark.streaming.corpus import stream_line_dedup
+
+    feed, out = str(tmp_path / "lfeed"), str(tmp_path / "lcleaned")
+    ckpt = str(tmp_path / "lckpt")
+    store = ParquetStateStore(spark, str(tmp_path / "lstate"))
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(feed)
+        q = (
+            stream_line_dedup(stream, store, out, min_chars=3)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "first unique line\nshared boilerplate footer"),
+         (2, "second unique line\nshared boilerplate footer")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(feed)
+    run_once()
+    # Later micro-batch: an archived line resurfaces in a new doc.
+    spark.createDataFrame(
+        [(3, "brand new content line\nshared boilerplate footer")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(feed)
+    run_once()
+
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["text_clean"] == "first unique line\nshared boilerplate footer"
+    assert got[2]["text_clean"] == "second unique line"
+    assert got[3]["text_clean"] == "brand new content line"
+    assert got[3]["n_lines"] == 2 and got[3]["n_kept"] == 1
