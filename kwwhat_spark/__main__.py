@@ -125,9 +125,21 @@ def cmd_corpus(spark: SparkSession, args) -> int:
         F.col("keeper_id").alias("doc_id")
     )
     unique = enriched.join(keepers, "doc_id", "left_semi")
-    sharded = shard_column(unique, "doc_id", args.shards)
+    if getattr(args, "shuffle_salt", None):
+        # Seeded global shuffle: shard by ordinal (balanced, deterministic)
+        # and pack in shuffle order within each shard.
+        from kwwhat_spark.operators.corpus import deterministic_shuffle
+
+        shuffled = deterministic_shuffle(unique, "doc_id", salt=args.shuffle_salt)
+        sharded = shuffled.withColumn(
+            "shard", (F.col("shuffle_ordinal") % args.shards).cast("int")
+        )
+        order_col = "shuffle_ordinal"
+    else:
+        sharded = shard_column(unique, "doc_id", args.shards)
+        order_col = "doc_id"
     bins = materialize_packed_bins(
-        sharded, "text", budget=args.budget, partition_col="shard", order_col="doc_id"
+        sharded, "text", budget=args.budget, partition_col="shard", order_col=order_col
     )
     write_training_shards(
         bins, args.out, order_by=["shard", "bin_id"],
@@ -225,6 +237,11 @@ def main(argv: list[str] | None = None) -> int:
     p_corpus.add_argument("--shards", type=int, default=32)
     p_corpus.add_argument("--rows-per-shard", type=int, default=10000)
     p_corpus.add_argument("--format", choices=("parquet", "json"), default="parquet")
+    p_corpus.add_argument(
+        "--shuffle-salt",
+        default=None,
+        help="seeded global shuffle before packing (same salt -> same permutation)",
+    )
 
     p_curate = sub.add_parser(
         "curate", help="repetition gate, substring strip, length gate, source cap"

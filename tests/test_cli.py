@@ -117,3 +117,27 @@ def test_cmd_curate_writes_capped_output(spark, sf_dir, tmp_path):
     per_source = kept.groupBy("source").count().agg(F.max("count")).collect()[0][0]
     assert per_source <= 40
     assert kept.filter(F.col("n_tokens_clean") < 20).count() == 0
+
+
+def test_cmd_corpus_with_shuffle_salt(spark, sf_dir, tmp_path):
+    from kwwhat_spark.__main__ import cmd_corpus
+
+    def run(out, salt):
+        rc = cmd_corpus(
+            spark,
+            SimpleNamespace(
+                sf_dir=sf_dir, out=out, min_quality=0.3, min_tokens=10,
+                budget=256, shards=8, rows_per_shard=50, format="parquet",
+                shuffle_salt=salt,
+            ),
+        )
+        assert rc == 0
+        return spark.read.parquet(out)
+
+    a = run(str(tmp_path / "s_a"), "epoch0")
+    b = run(str(tmp_path / "s_b"), "epoch0")
+    c = run(str(tmp_path / "s_c"), "epoch1")
+    # Same salt -> identical packed bins; different salt -> different packing.
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(a) == rows(b)
+    assert rows(a) != rows(c)
