@@ -231,7 +231,7 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (ORDER BY ts, event_id)
     ),
     islands AS (
-      SELECT ts, SUM(is_new) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS incident_id
+      SELECT ts, CAST(SUM(is_new) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS incident_id
       FROM flagged
     ),
     incidents AS (
@@ -280,11 +280,11 @@ def interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_matrix",
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events GROUP BY user_id
     """,
     cite="pivot extension (reference pivots JSON properties, int_meter_values.sql:161-165)",
@@ -649,7 +649,7 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
            node // 2 AS entity_id,
-           r AS rank_q
+           CAST(r AS BIGINT) AS rank_q
     FROM p4
 """,
     cite="graph analytics: quantized PageRank (iterative, deterministic)",

@@ -113,7 +113,7 @@ def repetition_signals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
-           SUM(s.lp_q) AS surprisal_q,
+           CAST(SUM(s.lp_q) AS BIGINT) AS surprisal_q,
            SUM(s.lp_q) / (COUNT(*) * 1e6) AS mean_surprisal_bits
     FROM toks t JOIN scored s USING (tok)
     GROUP BY t.doc_id
@@ -397,7 +397,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN surprisal_q END) AS hi
       FROM ranked
     )
-    SELECT d.doc_id, d.n_tokens, d.surprisal_q,
+    SELECT d.doc_id, d.n_tokens, CAST(d.surprisal_q AS BIGINT) AS surprisal_q,
            d.surprisal_q / (d.n_tokens * 1e6) AS mean_surprisal_bits
     FROM docs d, th
     WHERE d.surprisal_q >= th.lo AND d.surprisal_q <= th.hi
@@ -593,7 +593,7 @@ def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) GROUP BY cid
       ) u USING (cid)
     )
-    SELECT vec_id, cid AS cluster_id, dist AS dist_q FROM (
+    SELECT vec_id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist_q FROM (
       SELECT vec_id, cid, dist,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
       FROM (

@@ -106,8 +106,8 @@ def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), islands AS (
-      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM flagged
     )
     SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -230,8 +230,8 @@ def full_outer_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), islands AS (
-      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM flagged
     ), sessions AS (
       SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -280,7 +280,7 @@ def interval_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           SUM(gap_minutes) AS total_gap_minutes,
+           CAST(SUM(gap_minutes) AS BIGINT) AS total_gap_minutes,
            MAX(gap_minutes) AS max_gap_minutes,
            COUNT(gap_minutes) AS gap_count
     FROM gaps
@@ -429,7 +429,7 @@ def weighted_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_agg",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(json_extract_string(props, '$.k')) AS k_count
     FROM events
     GROUP BY event_type

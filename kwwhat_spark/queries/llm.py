@@ -261,8 +261,8 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT lang, source,
            COUNT(*) AS doc_count,
-           SUM(length(text)) AS total_chars,
-           SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
            CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents
     GROUP BY lang, source
@@ -563,7 +563,7 @@ def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS docs_kept,
-           SUM(token_count) AS total_tokens,
+           CAST(SUM(token_count) AS BIGINT) AS total_tokens,
            CAST(SUM(token_count) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM unique_docs u
     WHERE u.doc_id NOT IN (SELECT doc_id FROM dupes)
@@ -690,7 +690,7 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang, n_tokens,
            CAST(floor(CAST(start_tok AS DOUBLE) / 256) AS BIGINT) AS bin_id,
-           start_tok % 256 AS bin_offset,
+           CAST(start_tok % 256 AS BIGINT) AS bin_offset,
            (start_tok % 256) + n_tokens > 256 AS spans_boundary
     FROM c
     """,
@@ -919,7 +919,7 @@ def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, bin_id,
            string_agg(f, ' ' ORDER BY st) AS bin_text,
-           SUM(ft) AS bin_tokens
+           CAST(SUM(ft) AS BIGINT) AS bin_tokens
     FROM frag
     GROUP BY lang, bin_id
     """,

@@ -640,7 +640,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_late_lines",
     oracle="""
     SELECT o.o_orderpriority,
-           SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late_count,
+           CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
            COUNT(*) AS line_count
     FROM orders o
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
