@@ -778,7 +778,7 @@ def deterministic_shuffle(
     )
 
 
-def incremental_line_dedup(
+def line_dedup_plan(
     batch: DataFrame,
     store,
     name: str = "corpus_line_index",
@@ -786,21 +786,16 @@ def incremental_line_dedup(
     text_col: str = "text",
     *,
     min_chars: int = 1,
-) -> DataFrame:
-    """Batch-over-batch LINE dedup against a persistent line-hash index —
-    the archive-scale form of dedup_lines (C4-style: a repeated line
-    survives only at its first-ever occurrence across every batch seen
-    so far). Lines shorter than `min_chars` are exempt and never enter
-    the index. Returns the batch with per-doc n_lines / n_kept /
-    text_clean, first-occurrence lines kept in (key, line_idx) order
-    within the batch.
-
-    The store holds only (line_hash) — ~32 bytes per distinct line, no
-    text — so it MERGEs forward like the content-hash index in
-    incremental_exact_dedup. Document text never shuffles: ranking and
-    the archive anti-join move (line_hash, length, key, idx); removals
-    come back to each doc as an integer index list; reconstruction is a
-    narrow index-filter over the re-split text.
+):
+    """Two-phase form of incremental_line_dedup for exactly-once
+    streaming sinks: returns `(cleaned, commit)` where `cleaned` is the
+    per-doc dedup verdict MATERIALIZED against the CURRENT index state
+    (localCheckpoint — later index merges cannot retroactively change
+    it) and `commit(batch_id=None)` merges this batch's line hashes into
+    the index. A foreachBatch caller writes `cleaned` to a
+    batch-id-scoped path first, then commits — so a replayed micro-batch
+    either skips (batch_id already committed) or reproduces the original
+    verdicts against the unswapped prior index version.
     """
     lines = batch.select(
         F.col(key),
@@ -823,19 +818,57 @@ def incremental_line_dedup(
     else:
         losers = ranked.filter(F.col("__occ") > 1).select(key, "__idx")
     drop_lists = losers.groupBy(key).agg(F.collect_set("__idx").alias("__drop"))
-    store.merge(
-        name,
-        eligible.select(F.col("__h").alias("line_hash")).distinct(),
-        ["line_hash"],
-    )
     joined = batch.join(drop_lists, [key], "left")
     split = F.split(F.col(text_col), "\n")
     drop = F.coalesce(F.col("__drop"), F.array().cast("array<int>"))
-    return joined.select(
+    cleaned = joined.select(
         F.col(key),
         F.size(split).alias("n_lines"),
         (F.size(split) - F.size(drop)).alias("n_kept"),
         F.concat_ws(
             "\n", F.filter(split, lambda line, i: ~F.array_contains(drop, i))
         ).alias("text_clean"),
+    ).localCheckpoint(eager=True)
+
+    def commit(batch_id: int | None = None) -> None:
+        store.merge(
+            name,
+            eligible.select(F.col("__h").alias("line_hash")).distinct(),
+            ["line_hash"],
+            batch_id=batch_id,
+        )
+
+    return cleaned, commit
+
+
+def incremental_line_dedup(
+    batch: DataFrame,
+    store,
+    name: str = "corpus_line_index",
+    key: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Batch-over-batch LINE dedup against a persistent line-hash index —
+    the archive-scale form of dedup_lines (C4-style: a repeated line
+    survives only at its first-ever occurrence across every batch seen
+    so far). Lines shorter than `min_chars` are exempt and never enter
+    the index. Returns the batch with per-doc n_lines / n_kept /
+    text_clean, first-occurrence lines kept in (key, line_idx) order
+    within the batch. The verdicts are materialized BEFORE the index
+    merge, so the returned DataFrame reflects this batch's pre-merge
+    state no matter when the caller consumes it.
+
+    The store holds only (line_hash) — ~32 bytes per distinct line, no
+    text — so it MERGEs forward like the content-hash index in
+    incremental_exact_dedup. Document text never shuffles: ranking and
+    the archive anti-join move (line_hash, length, key, idx); removals
+    come back to each doc as an integer index list; reconstruction is a
+    narrow index-filter over the re-split text.
+    """
+    cleaned, commit = line_dedup_plan(
+        batch, store, name, key, text_col, min_chars=min_chars
     )
+    commit()
+    return cleaned

@@ -316,7 +316,7 @@ def _sig_bands(sig: Column, num_hashes: int, bands: int) -> Column:
     )
 
 
-def incremental_minhash_dedup(
+def minhash_dedup_plan(
     batch: DataFrame,
     store,
     id_col: str = "doc_id",
@@ -327,26 +327,16 @@ def incremental_minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
-) -> DataFrame:
-    """Archive-scale NEAR-duplicate dedup across batches: the persistent
-    index holds each kept document's banded MinHash keys and signature —
-    never the text — so its size is O(kept docs), not O(corpus bytes).
-    The companion to incremental_exact_dedup for the fuzzy half.
-
-    A new batch is first deduped internally (exact-Jaccard-verified
-    pairs from minhash_lsh_pairs; a doc with a smaller-id near-dup in
-    the same batch is dropped). Survivors probe the archive's band
-    buckets; colliding (new, archived) candidates are verified by
-    SIGNATURE-estimated Jaccard (matching minhash components /
-    num_hashes ≥ threshold) — the standard at-scale approximation,
-    since re-verifying against archive shingle sets would require
-    storing the archive text. Fresh survivors' bands+signatures are
-    merged into the store.
-
-    Scale: the band probe is an equi-join on (band_idx, band_hash) —
-    hash-partitioned, no document payloads; signatures are fixed
-    256 bytes/doc. State grows linearly in kept docs and is pruned the
-    same way the exact index is (re-write the store to expire cohorts).
+):
+    """Two-phase form of incremental_minhash_dedup for exactly-once
+    streaming sinks: returns `(survivors, commit)` where `survivors` is
+    materialized (localCheckpoint) against the CURRENT index state and
+    `commit(batch_id=None)` merges the survivors' bands + signatures.
+    Archive matches with the SAME doc_id are excluded from the dup
+    verdict — an archived copy of a doc's own id only occurs when a
+    crashed run already merged this batch's index rows, so the
+    exclusion makes a replayed batch reproduce its original survivor
+    set instead of dropping every doc as a duplicate of itself.
     """
     from kwwhat_spark.functions.text import let_, minhash_signature, word_shingles
 
@@ -382,6 +372,7 @@ def incremental_minhash_dedup(
                 ),
                 ["band_idx", "band_hash"],
             )
+            .filter(F.col("__arch_id") != F.col(id_col))
             .select(id_col, "__arch_id")
             .distinct()
             .join(
@@ -406,28 +397,75 @@ def incremental_minhash_dedup(
         fresh = survivors
 
     fresh = fresh.persist()
-    store.merge(
-        f"{name}_bands",
-        fresh.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(_sig_bands(F.col("__sig"), num_hashes, bands)).alias(
-                "band_idx", "band_hash"
-            ),
-        ).select("band_idx", "band_hash", "doc_id"),
-        ["band_idx", "band_hash", "doc_id"],
-    )
-    store.merge(
-        f"{name}_sigs",
-        fresh.select(F.col(id_col).alias("doc_id"), F.col("__sig").alias("sig")),
-        ["doc_id"],
-    )
-    # The merges above materialized everything downstream of the cached
-    # stages. Eagerly checkpoint the result, then release the caches so a
-    # long-running stream (foreachBatch per micro-batch) does not
-    # accumulate one pinned RDD pair per batch.
+    # Materialize the survivor verdicts BEFORE any index merge: the
+    # returned rows are pinned to this batch's pre-merge state no matter
+    # when (or whether) the caller consumes them relative to commit().
     result = batch.join(
         fresh.select(id_col), id_col, "left_semi"
     ).localCheckpoint(eager=True)
-    sigd.unpersist()
-    fresh.unpersist()
+
+    def commit(batch_id: int | None = None) -> None:
+        store.merge(
+            f"{name}_bands",
+            fresh.select(
+                F.col(id_col).alias("doc_id"),
+                F.posexplode(_sig_bands(F.col("__sig"), num_hashes, bands)).alias(
+                    "band_idx", "band_hash"
+                ),
+            ).select("band_idx", "band_hash", "doc_id"),
+            ["band_idx", "band_hash", "doc_id"],
+            batch_id=batch_id,
+        )
+        store.merge(
+            f"{name}_sigs",
+            fresh.select(F.col(id_col).alias("doc_id"), F.col("__sig").alias("sig")),
+            ["doc_id"],
+            batch_id=batch_id,
+        )
+        # Release the cached stages so a long-running stream
+        # (foreachBatch per micro-batch) does not accumulate one pinned
+        # RDD pair per batch.
+        sigd.unpersist()
+        fresh.unpersist()
+
+    return result, commit
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    name: str = "minhash_index",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Archive-scale NEAR-duplicate dedup across batches: the persistent
+    index holds each kept document's banded MinHash keys and signature —
+    never the text — so its size is O(kept docs), not O(corpus bytes).
+    The companion to incremental_exact_dedup for the fuzzy half.
+
+    A new batch is first deduped internally (exact-Jaccard-verified
+    pairs from minhash_lsh_pairs; a doc with a smaller-id near-dup in
+    the same batch is dropped). Survivors probe the archive's band
+    buckets; colliding (new, archived) candidates are verified by
+    SIGNATURE-estimated Jaccard (matching minhash components /
+    num_hashes ≥ threshold) — the standard at-scale approximation,
+    since re-verifying against archive shingle sets would require
+    storing the archive text. Fresh survivors' bands+signatures are
+    merged into the store.
+
+    Scale: the band probe is an equi-join on (band_idx, band_hash) —
+    hash-partitioned, no document payloads; signatures are fixed
+    256 bytes/doc. State grows linearly in kept docs and is pruned the
+    same way the exact index is (re-write the store to expire cohorts).
+    """
+    result, commit = minhash_dedup_plan(
+        batch, store, id_col, text_col, name=name, k=k,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+    )
+    commit()
     return result

@@ -136,17 +136,15 @@ def select_representatives(
         scores.select(F.col(id_col).alias("node"), F.col(score_col).alias("__score")),
         "node",
     )
-    # max of (score, -id) == highest score, ties to the smallest id.
-    best = (
-        scored.groupBy("component")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("__score").alias("s"), (-F.col("node")).alias("neg_id")
-                )
-            ).alias("__b")
-        )
-        .select("component", (-F.col("__b.neg_id")).alias("__keeper"))
+    # min_by over (-score, id): highest score, ties to the smallest id.
+    # Only the SCORE is negated (always numeric); the id is compared
+    # as-is, so string doc ids order correctly instead of casting to
+    # null under negation.
+    best = scored.groupBy("component").agg(
+        F.min_by(
+            "node",
+            F.struct((-F.col("__score")).alias("neg_s"), F.col("node").alias("id")),
+        ).alias("__keeper")
     )
     return scored.join(best, "component").select(
         F.col("node").alias("doc_id"),

@@ -82,6 +82,19 @@ def brute_force_topk(
     import pandas as pd
     from pyspark.sql import Window as W
     from pyspark.sql import types as T
+
+    # Driver-OOM guard: the contract is a SMALL query side. Count before
+    # collecting so a mistakenly-large query DataFrame fails fast with a
+    # pointer to the scale paths instead of collecting gigabytes.
+    max_query_rows = 2_000_000
+    n_q = queries.count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk collected query side has {n_q} rows "
+            f"(> {max_query_rows}); this operator broadcasts the query "
+            "set — use knn_graph (corpus-sharded), lsh_topk, or ivf_topk "
+            "for large query sets"
+        )
     qrows = queries.select(query_id, vec_col).collect()
     if not qrows:
         empty = corpus.sparkSession.createDataFrame(
@@ -120,10 +133,12 @@ def brute_force_topk(
             cvecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             cids = pdf[corpus_id].to_numpy()
             cnorms = np.linalg.norm(cvecs, axis=1)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = _round6_half_up(
-                    (cvecs @ mat.T) / (cnorms[:, None] * norms[None, :])
-                )
+            # Zero-norm corpus rows: sim defined as 0.0 (matches the
+            # query-side convention above), not NaN silently sorted last.
+            cnorms[cnorms == 0.0] = 1.0
+            sims = _round6_half_up(
+                (cvecs @ mat.T) / (cnorms[:, None] * norms[None, :])
+            )
             out_q, out_c, out_s = [], [], []
             for j in range(nq):
                 order = np.lexsort((cids, -sims[:, j]))[:k]
@@ -401,7 +416,19 @@ def l2_normalize(vec: Column) -> Column:
 def _round6_half_up(x):
     """numpy replica of Spark/DuckDB round(x, 6): HALF_UP (away from
     zero), quotient by the exactly-representable 1e6 — the same doubles
-    as BigDecimal's decimal-then-nearest-double path for 6 places."""
+    as BigDecimal's decimal-then-nearest-double path for 6 places.
+
+    Known boundary risk (distinct from BLAS accumulation order): Spark/
+    DuckDB apply HALF_UP to the exact decimal expansion of the double
+    via BigDecimal, while this formula applies it to |x|*1e6 computed in
+    double arithmetic. When that product rounds ONTO an n+0.5 boundary
+    whose true value lies just below it (or vice versa), the two paths
+    pick adjacent 1e-6 steps, and a threshold compare (e.g. >= 0.95) on
+    the boundary can flip a dup/contamination verdict by 1 ulp. In
+    practice cosine sims land on exact x.xxxxxx5 boundaries with
+    negligible probability; BASELINE.md records oracle-parity runs —
+    re-record whenever a threshold changes.
+    """
     import numpy as np
 
     return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)

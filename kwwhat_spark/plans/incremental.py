@@ -79,26 +79,40 @@ class ParquetStateStore:
         version = json.load(open(ptr))["version"]
         return self.spark.read.parquet(os.path.join(self.state_dir, name, f"v{version}"))
 
-    def write(self, name: str, df: DataFrame) -> None:
+    def last_batch_id(self, name: str) -> int | None:
+        """Stream-commit marker: the batch_id recorded by the most recent
+        write/merge that passed one, or None. Because the pointer swap is
+        a single JSON write, (state version, batch_id) change atomically —
+        a foreachBatch that writes its output BEFORE merging with a
+        batch_id can skip fully-committed replays and recompute partially
+        committed ones against the unswapped prior state."""
+        ptr = self._pointer(name)
+        if not os.path.exists(ptr):
+            return None
+        return json.load(open(ptr)).get("batch_id")
+
+    def write(self, name: str, df: DataFrame, *, batch_id: int | None = None) -> None:
         ptr = self._pointer(name)
         version = (json.load(open(ptr))["version"] + 1) if os.path.exists(ptr) else 0
         path = os.path.join(self.state_dir, name, f"v{version}")
         df.write.mode("overwrite").parquet(path)
         with open(ptr, "w") as f:
-            json.dump({"version": version}, f)
+            json.dump({"version": version, "batch_id": batch_id}, f)
         # Retire old versions (keep previous for debugging).
         for old in range(version - 1):
             shutil.rmtree(os.path.join(self.state_dir, name, f"v{old}"), ignore_errors=True)
 
-    def merge(self, name: str, new: DataFrame, keys: list[str]) -> None:
+    def merge(self, name: str, new: DataFrame, keys: list[str], *,
+              batch_id: int | None = None) -> None:
         """MERGE semantics: rows in `new` replace state rows with the same
         key; all other state rows are kept."""
         existing = self.read(name)
         if existing is None:
-            self.write(name, new)
+            self.write(name, new, batch_id=batch_id)
             return
         keep = existing.join(new.select(*keys).distinct(), keys, "left_anti")
-        self.write(name, keep.unionByName(new.select(*existing.columns)))
+        self.write(name, keep.unionByName(new.select(*existing.columns)),
+                   batch_id=batch_id)
 
 
 class PartitionedStateStore(ParquetStateStore):
@@ -147,18 +161,54 @@ class PartitionedStateStore(ParquetStateStore):
     def _part_path(self, name: str) -> str:
         return os.path.join(self.state_dir, name, "partitioned")
 
+    def _check_no_versioned_state(self, name: str) -> None:
+        """A model newly promoted to partitioned layout may have leftover
+        versioned state from a ParquetStateStore run (e.g., the CLI rerun
+        with --partitioned added). Silently ignoring it would restart the
+        incremental state from empty; refuse instead and tell the
+        operator how to migrate."""
+        ptr = self._pointer(name)
+        if os.path.exists(ptr):
+            raise RuntimeError(
+                f"state for '{name}' exists in the versioned layout "
+                f"({ptr}) but '{name}' is configured as partitioned; "
+                "migrate it (read the versioned state, write() it through "
+                "this store, delete the v*/ dirs and _latest.json) or run "
+                "without the partitioned config for this model"
+            )
+
     def read(self, name: str) -> DataFrame | None:
         if name not in self.partition_exprs:
             return super().read(name)
+        self._check_no_versioned_state(name)
         path = self._part_path(name)
         if not os.path.exists(path):
             return None
         return self.spark.read.parquet(path).drop("_part")
 
-    def write(self, name: str, df: DataFrame) -> None:
+    def last_batch_id(self, name: str) -> int | None:
         if name not in self.partition_exprs:
-            super().write(name, df)
+            return super().last_batch_id(name)
+        marker = os.path.join(self.state_dir, name, "_batch.json")
+        if not os.path.exists(marker):
+            return None
+        return json.load(open(marker)).get("batch_id")
+
+    def _record_batch(self, name: str, batch_id: int | None) -> None:
+        # Sidecar marker for the partitioned layout (written after the
+        # data; weaker atomicity than the versioned pointer swap — a
+        # crash in between replays the batch against already-merged
+        # partitions, which dynamic overwrite makes idempotent).
+        if batch_id is None:
             return
+        with open(os.path.join(self.state_dir, name, "_batch.json"), "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+
+    def write(self, name: str, df: DataFrame, *, batch_id: int | None = None) -> None:
+        if name not in self.partition_exprs:
+            super().write(name, df, batch_id=batch_id)
+            return
+        self._check_no_versioned_state(name)
         from pyspark.sql import functions as F
 
         (
@@ -167,17 +217,19 @@ class PartitionedStateStore(ParquetStateStore):
             .partitionBy("_part")
             .parquet(self._part_path(name))
         )
+        self._record_batch(name, batch_id)
 
-    def merge(self, name: str, new: DataFrame, keys: list[str]) -> None:
+    def merge(self, name: str, new: DataFrame, keys: list[str], *,
+              batch_id: int | None = None) -> None:
         if name not in self.partition_exprs:
-            super().merge(name, new, keys)
+            super().merge(name, new, keys, batch_id=batch_id)
             return
         from pyspark.sql import functions as F
 
         path = self._part_path(name)
         existing = self.read(name)
         if existing is None:
-            self.write(name, new)
+            self.write(name, new, batch_id=batch_id)
             return
         newp = new.select(*existing.columns).withColumn(
             "_part", F.expr(self.partition_exprs[name])
@@ -206,6 +258,7 @@ class PartitionedStateStore(ParquetStateStore):
             .partitionBy("_part")
             .parquet(path)
         )
+        self._record_batch(name, batch_id)
 
 
 class IncrementalRunner:

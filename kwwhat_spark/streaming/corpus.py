@@ -19,6 +19,8 @@ archive.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -86,27 +88,61 @@ def stream_archive_dedup(
     threshold: float = 0.5,
 ):
     """Continuous archive-scale near-dup dedup: each micro-batch runs
-    incremental_minhash_dedup against the persistent band index (state
-    grows with KEPT docs only, never raw corpus bytes) and appends the
-    fresh survivors to `out_dir`. foreachBatch gives the micro-batch a
-    full batch-plan (the LSH self-join is not stream-expressible), and
-    the store merge is idempotent per content, so replays after a
-    restart re-drop the same duplicates instead of duplicating output —
-    the lambda-architecture unification: one index serves the nightly
-    batch job AND the live stream.
+    the minhash-dedup plan against the persistent band index (state
+    grows with KEPT docs only, never raw corpus bytes) and writes the
+    fresh survivors to a batch_id-scoped subdir of `out_dir`.
+    foreachBatch gives the micro-batch a full batch-plan (the LSH
+    self-join is not stream-expressible). Replay safety: survivors are
+    materialized pre-merge, written before the index commit, and
+    archive hits on a doc's own id are excluded — so a replayed batch
+    skips (if committed) or overwrites the same survivor set; a crash
+    between merge and write cannot lose survivors. One index serves the
+    nightly batch job AND the live stream — the lambda-architecture
+    unification. Store lifetime is tied to the checkpoint dir (batch
+    ids restarting at 0 need a fresh index name).
 
     Returns the DataStreamWriter; caller adds checkpoint options and
     start()s it.
     """
-    from kwwhat_spark.operators.dedup import incremental_minhash_dedup
+    handler = archive_dedup_batch_handler(
+        store, out_dir, name=name, text_col=text_col, id_col=id_col,
+        threshold=threshold,
+    )
+    return stream.writeStream.foreachBatch(handler)
+
+
+def archive_dedup_batch_handler(
+    store,
+    out_dir: str,
+    *,
+    name: str = "minhash_index",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+):
+    """The foreachBatch body of stream_archive_dedup, exposed so the
+    replay contract is directly testable: calling it twice with the same
+    batch_id must leave output and index identical to calling it once."""
+    from kwwhat_spark.operators.dedup import minhash_dedup_plan
 
     def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
-        fresh = incremental_minhash_dedup(
+        last = store.last_batch_id(f"{name}_sigs")
+        if last is not None and batch_id <= last:
+            return  # fully-committed replay: output dir already written
+        fresh, commit = minhash_dedup_plan(
             batch_df, store, id_col, text_col, name=name, threshold=threshold
         )
-        fresh.write.mode("append").parquet(out_dir)
+        # Survivors are materialized against the pre-merge index, and the
+        # write lands BEFORE the index commit in a batch_id-scoped dir —
+        # a replayed micro-batch overwrites the same dir with the same
+        # rows (self-id archive matches are excluded from the dup
+        # verdict) instead of appending duplicates or losing survivors.
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        commit(batch_id)
 
-    return stream.writeStream.foreachBatch(_dedup_batch)
+    return _dedup_batch
 
 
 def stream_line_dedup(
@@ -119,26 +155,59 @@ def stream_line_dedup(
     id_col: str = "doc_id",
     min_chars: int = 1,
 ):
-    """Continuous C4-style line dedup: each micro-batch runs
-    incremental_line_dedup against the persistent line-hash index (the
-    state holds ~32 bytes per distinct line, never document text) and
-    appends the per-doc cleaned output to `out_dir`. Same
-    lambda-architecture shape as stream_archive_dedup: foreachBatch
-    gives the micro-batch a full batch plan (the corpus-wide
-    first-occurrence window is not stream-expressible) and the index
-    merge is idempotent per line hash, so a replayed batch re-drops the
-    same lines instead of re-emitting them as fresh.
+    """Continuous C4-style line dedup: each micro-batch runs the
+    line-dedup plan against the persistent line-hash index (the state
+    holds ~32 bytes per distinct line, never document text) and writes
+    the per-doc cleaned output to a batch_id-scoped subdir of `out_dir`.
+    foreachBatch gives the micro-batch a full batch plan (the
+    corpus-wide first-occurrence window is not stream-expressible).
+
+    Replay safety (exactly-once output): verdicts are MATERIALIZED
+    against the pre-merge index version, the output write lands before
+    the index commit, and the commit records batch_id atomically with
+    the index pointer swap — so a replayed micro-batch either skips
+    (already committed; its output dir is on disk) or reproduces the
+    original verdicts and overwrites the same dir. No path re-emits a
+    doc's first-occurrence lines as duplicates or strips them twice.
+    The store's lifetime is tied to the stream's checkpoint dir: a new
+    checkpoint (batch ids restarting at 0) needs a fresh index name.
 
     Returns the DataStreamWriter; caller adds checkpoint options and
     start()s it.
     """
-    from kwwhat_spark.operators.corpus import incremental_line_dedup
+    handler = line_dedup_batch_handler(
+        store, out_dir, name=name, text_col=text_col, id_col=id_col,
+        min_chars=min_chars,
+    )
+    return stream.writeStream.foreachBatch(handler)
+
+
+def line_dedup_batch_handler(
+    store,
+    out_dir: str,
+    *,
+    name: str = "corpus_line_index",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+):
+    """The foreachBatch body of stream_line_dedup, exposed so the replay
+    contract is directly testable: a redelivered batch_id must reproduce
+    the original cleaned output (same verdicts, same path, overwrite) or
+    skip entirely if its commit already landed."""
+    from kwwhat_spark.operators.corpus import line_dedup_plan
 
     def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
-        cleaned = incremental_line_dedup(
+        last = store.last_batch_id(name)
+        if last is not None and batch_id <= last:
+            return  # fully-committed replay: output dir already written
+        cleaned, commit = line_dedup_plan(
             batch_df, store, name=name, key=id_col, text_col=text_col,
             min_chars=min_chars,
         )
-        cleaned.write.mode("append").parquet(out_dir)
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        commit(batch_id)
 
-    return stream.writeStream.foreachBatch(_dedup_batch)
+    return _dedup_batch

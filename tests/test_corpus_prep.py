@@ -283,9 +283,12 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     out2 = sorted(r.doc_id for r in incremental_minhash_dedup(b2, store).collect())
     assert out2 == [12]
 
-    # Replay of batch 2 is idempotent: 12 is now archived too.
+    # Replay of batch 2 is idempotent: 12 is archived now, but an archive
+    # hit on a doc's OWN id is excluded from the dup verdict, so the
+    # replay reproduces the original survivor set instead of dropping
+    # every doc as a duplicate of itself.
     out3 = sorted(r.doc_id for r in incremental_minhash_dedup(b2, store).collect())
-    assert out3 == []
+    assert out3 == [12]
 
 
 def test_dedup_lines_keeps_first_occurrence_and_short_lines(spark):

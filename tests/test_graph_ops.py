@@ -99,3 +99,22 @@ def test_select_representatives_quality_policy(spark):
     comps = {r.doc_id: r.component for r in rows}
     assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert len(rows) == 5
+
+
+def test_select_representatives_string_ids(spark):
+    # Regression: the keeper tie-break used -col(node), which casts
+    # string ids to double -> null and silently marks nobody a keeper.
+    from kwwhat_spark.operators.graph import select_representatives
+
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+        "doc_a string, doc_b string",
+    )
+    scores = spark.createDataFrame(
+        [("doc-a", 5), ("doc-b", 9), ("doc-c", 12), ("doc-x", 7), ("doc-y", 7)],
+        "doc_id string, score long",
+    )
+    rows = select_representatives(pairs, "doc_a", "doc_b", scores, "doc_id", "score").collect()
+    keepers = sorted(r.doc_id for r in rows if r.is_keeper)
+    assert keepers == ["doc-c", "doc-x"]  # best score; tie -> min id
+    assert all(r.is_keeper is not None for r in rows)

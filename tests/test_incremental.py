@@ -228,3 +228,22 @@ def test_partitioned_store_merge_touches_only_batch_partitions(spark, tmp_path):
     store.merge("m", df.limit(0), ["charger_id", "ingested_ts"])
     assert _part_files(state_dir, "m", "2025-10-03") == before_d3
     assert store.read("m").count() == 8
+
+
+def test_partitioned_store_refuses_leftover_versioned_state(spark, tmp_path):
+    # A model promoted to the partitioned layout with versioned state
+    # left on disk must fail loudly, not silently restart from empty.
+    import pytest
+
+    from kwwhat_spark.plans.incremental import ParquetStateStore, PartitionedStateStore
+
+    state_dir = str(tmp_path / "state")
+    old = ParquetStateStore(spark, state_dir)
+    df = spark.createDataFrame([(1, "2024-01-01 00:00:00")], "charger_id long, ingested_ts string")
+    old.write("int_status_changes", df)
+
+    part = PartitionedStateStore(spark, state_dir)
+    with pytest.raises(RuntimeError, match="versioned layout"):
+        part.read("int_status_changes")
+    with pytest.raises(RuntimeError, match="versioned layout"):
+        part.merge("int_status_changes", df, ["charger_id", "ingested_ts"])

@@ -142,3 +142,67 @@ def test_stream_line_dedup_across_restarts(spark, tmp_path):
     assert got[2]["text_clean"] == "second unique line"
     assert got[3]["text_clean"] == "brand new content line"
     assert got[3]["n_lines"] == 2 and got[3]["n_kept"] == 1
+
+
+def test_stream_line_dedup_replay_is_exactly_once(spark, tmp_path):
+    from kwwhat_spark.operators.corpus import line_dedup_plan
+    from kwwhat_spark.plans.incremental import ParquetStateStore
+    from kwwhat_spark.streaming.corpus import line_dedup_batch_handler
+
+    out = str(tmp_path / "out")
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    handler = line_dedup_batch_handler(store, out, min_chars=3)
+    b0 = spark.createDataFrame(
+        [(1, "first unique line\nshared boilerplate footer"),
+         (2, "second unique line\nshared boilerplate footer")],
+        "doc_id long, text string",
+    )
+    handler(b0, 0)
+    first = {r.doc_id: r.text_clean for r in spark.read.parquet(out).collect()}
+    assert first[1] == "first unique line\nshared boilerplate footer"
+    assert first[2] == "second unique line"
+    assert store.last_batch_id("corpus_line_index") == 0
+
+    # Redelivery after a full commit (crash before the stream's own
+    # checkpoint commit): the handler skips — no duplicate doc_ids, no
+    # over-stripped text_clean.
+    handler(b0, 0)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2
+    assert {r.doc_id: r.text_clean for r in rows} == first
+
+    # Crash AFTER the output write but BEFORE the index commit: the
+    # restart replays the batch against the unswapped index version and
+    # overwrites the same dir with the original verdicts.
+    b1 = spark.createDataFrame(
+        [(3, "a genuinely new line\nshared boilerplate footer")],
+        "doc_id long, text string",
+    )
+    cleaned, _never_committed = line_dedup_plan(b1, store, min_chars=3)
+    cleaned.write.mode("overwrite").parquet(out + "/batch_id=1")
+    handler(b1, 1)
+    got = {r.doc_id: r.text_clean for r in spark.read.parquet(out).collect()}
+    assert len(got) == 3
+    assert got[3] == "a genuinely new line"
+    assert store.last_batch_id("corpus_line_index") == 1
+
+
+def test_stream_archive_dedup_replay_is_exactly_once(spark, tmp_path):
+    from kwwhat_spark.plans.incremental import ParquetStateStore
+    from kwwhat_spark.streaming.corpus import archive_dedup_batch_handler
+
+    out = str(tmp_path / "out")
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    handler = archive_dedup_batch_handler(store, out)
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    b0 = spark.createDataFrame(
+        [(1, base), (2, "unrelated words about shuffle partitions and broadcast joins")],
+        "doc_id long, text string",
+    )
+    handler(b0, 0)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2]
+    # Redelivery after a full commit: skipped — survivors are not
+    # re-dropped as duplicates of themselves, output rows not appended.
+    handler(b0, 0)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2]
+    assert store.last_batch_id("minhash_index_sigs") == 0
