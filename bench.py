@@ -1,6 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: run the headline catalog queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+on local[$SPARK_GRAFT_CPUS].
+
+When $SPARK_GRAFT_SF_DIR is unset, the headline scale is sf1: the
+driver's sf0.1 parquet replicated 10x with key offsets into /tmp/sf1
+(built on demand, ~15 s, deterministic — tools/scale_testdata.py).  At
+sf0.1 both engines are constant-overhead-bound and the numbers measure
+session startup, not plans; at sf1 they are data-bound (BASELINE.md
+"honest comparison needs sf>=1").
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
@@ -19,8 +26,18 @@ from kwwhat_spark.queries import REGISTRY  # noqa: E402
 from kwwhat_spark.session import get_spark  # noqa: E402
 
 
+def _default_sf_dir() -> str:
+    """sf1 at /tmp/sf1, replicated from the driver's sf0.1 on first use."""
+    dst = "/tmp/sf1"
+    from tools.scale_testdata import TABLES, build
+
+    if not all(os.path.exists(os.path.join(dst, f"{t}.parquet")) for t in TABLES):
+        build(10, "/root/testdata/sf0.1", dst)
+    return dst
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR") or _default_sf_dir()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="kwh-spark-bench")
     spark.sparkContext.setLogLevel("WARN")

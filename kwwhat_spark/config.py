@@ -25,6 +25,12 @@ class PipelineVars:
     call_message_type_id: str = "2"
     callresult_message_type_id: str = "3"
     callerror_message_type_id: str = "4"
+    # CALLERROR surface: the reference classifies only 2 vs 3 and nulls
+    # the payload for type 4 (stg_ocpp_logs.sql:30-36) even though its
+    # generator emits [4, uid, errorCode, errorDescription, {details}]
+    # (seeds/prompt.txt:13). Off by default for column-level parity;
+    # on, staging adds error_code / error_description / error_details.
+    extract_callerror: bool = False
     # Request→confirmation correlation window, seconds
     # (int_status_changes.sql:84).
     message_response_interval_seconds: int = 15

@@ -19,7 +19,7 @@ from kwwhat_spark.models.base import Pipeline, model
 def stg_ocpp_logs(p: Pipeline) -> DataFrame:
     src = p.source("raw_ocpp_logs")
     msg_type = F.get_json_object("msg", "$[0]")
-    return src.select(
+    cols = [
         F.col("timestamp").cast("timestamp").alias("ingested_timestamp"),
         F.col("id").cast("string").alias("charger_id"),
         F.col("action").cast("string").alias("action"),
@@ -30,7 +30,25 @@ def stg_ocpp_logs(p: Pipeline) -> DataFrame:
         F.when(msg_type == p.vars.call_message_type_id, F.get_json_object("msg", "$[3]"))
         .when(msg_type == p.vars.callresult_message_type_id, F.get_json_object("msg", "$[2]"))
         .alias("payload"),
-    )
+    ]
+    if p.vars.extract_callerror:
+        # CALLERROR envelope [4, uid, errorCode, errorDescription,
+        # {errorDetails}] (seeds/prompt.txt:13) — opt-in beyond-reference
+        # surface; a real fleet emits these and losing errorCode makes
+        # fault triage blind.
+        is_err = msg_type == p.vars.callerror_message_type_id
+        cols += [
+            F.when(is_err, F.get_json_object("msg", "$[2]"))
+            .cast("string")
+            .alias("error_code"),
+            F.when(is_err, F.get_json_object("msg", "$[3]"))
+            .cast("string")
+            .alias("error_description"),
+            F.when(is_err, F.get_json_object("msg", "$[4]"))
+            .cast("string")
+            .alias("error_details"),
+        ]
+    return src.select(*cols)
 
 
 @model("stg_chargers")

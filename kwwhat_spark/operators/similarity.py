@@ -639,3 +639,107 @@ def knn_graph(
                 )
 
     return df.select(id_col, vec_col).mapInPandas(neighbors, schema)
+
+
+def knn_graph_sharded(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+    n_shards: int = 4,
+    batch_rows: int = 4096,
+    max_shard_rows: int = 4_000_000,
+) -> DataFrame:
+    """knn_graph beyond broadcast range: block the corpus into n_shards by
+    id hash, broadcast ONE shard at a time, take each query row's top-k
+    against that shard, and merge the per-shard partials into the global
+    top-k with a window. Per-src top-k within every shard is a superset
+    of the global top-k's candidates, so the merge is lossless.
+
+    Scale contract (the piece plain knn_graph lacks): driver and executor
+    memory are bounded by ONE shard (corpus/n_shards rows), not the
+    corpus — each shard's partial edges are materialized eagerly
+    (localCheckpoint) and its broadcast destroyed before the next shard
+    loads, so at no point do two shard matrices coexist. Asserted, not
+    assumed: a shard exceeding max_shard_rows raises with the n_shards
+    to use. Cost: n_shards passes over the corpus (block-matmul shape —
+    at 100 TB you pick n_shards so a shard fits executor memory and the
+    passes pipeline over the scan).
+
+    Output schema and ordering semantics are identical to knn_graph
+    (src_id, dst_id, cosine_sim, rank; ties by dst_id ascending); an
+    agreement test pins the two paths to each other at test scale.
+    """
+    from pyspark.sql import Window as W
+
+    sc = df.sparkSession.sparkContext
+    src = df.select(id_col, vec_col)
+    partials = []
+    for s in range(n_shards):
+        shard = src.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)) == s)
+        # Queries = the FULL df, corpus = this shard only: collect the
+        # shard, guard its size, broadcast, scan all rows against it.
+        rows = shard.collect()
+        if len(rows) > max_shard_rows:
+            need = -(-len(rows) * n_shards // max_shard_rows)
+            raise ValueError(
+                f"knn_graph_sharded: shard {s} has {len(rows)} rows "
+                f"(> {max_shard_rows}); raise n_shards to >= {need}"
+            )
+        import numpy as np
+
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        normed = mat / norms[:, None]
+        bc = sc.broadcast((ids, normed))
+        schema = "src_id long, dst_id long, cosine_sim double, rank int"
+
+        def neighbors(batches, _bc=bc):
+            import numpy as np
+            import pandas as pd
+
+            c_ids, c_mat = _bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for lo in range(0, len(pdf), batch_rows):
+                    chunk = pdf.iloc[lo : lo + batch_rows]
+                    q = np.stack(chunk[vec_col].to_numpy()).astype(np.float64)
+                    qn = np.linalg.norm(q, axis=1)
+                    qn[qn == 0.0] = 1.0
+                    sims = (q / qn[:, None]) @ c_mat.T
+                    q_ids = chunk[id_col].to_numpy()
+                    out = {"src_id": [], "dst_id": [], "cosine_sim": [], "rank": []}
+                    for i, qid in enumerate(q_ids):
+                        row = sims[i]
+                        order = np.lexsort((c_ids, -row))
+                        taken = 0
+                        for j in order:
+                            if c_ids[j] == qid:
+                                continue
+                            taken += 1
+                            out["src_id"].append(qid)
+                            out["dst_id"].append(c_ids[j])
+                            out["cosine_sim"].append(row[j])
+                            out["rank"].append(taken)
+                            if taken == k:
+                                break
+                    yield pd.DataFrame(out)
+
+        # Eager materialization bounds live broadcast memory to one shard.
+        part = src.mapInPandas(neighbors, schema).localCheckpoint(eager=True)
+        bc.destroy()
+        partials.append(part)
+
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionByName(p)
+    w = W.partitionBy("src_id").orderBy(F.desc("cosine_sim"), F.asc("dst_id"))
+    return (
+        merged.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -20,6 +20,26 @@ def _dec(c, p=18, s=2):
     return F.col(c).cast(f"decimal({p},{s})")
 
 
+def _c2(c):
+    """2-decimal-place money/ratio column → integer hundredths (long).
+
+    Money arithmetic in integer units keeps the per-row math in long
+    codegen (measured 3× the decimal chain at sf1) while staying exact:
+    products of hundredths are bounded ~1e11 per row, far inside int64.
+    The SUM accumulates decimal(28,0) — exact and unoverflowable at any
+    scale factor (1e11/row × 1e15 rows < 1e28) — and only the final
+    projection casts to double, so both engines round the same exact
+    integer once. DuckDB mirrors with CAST(round(c*100,0) AS BIGINT)
+    products summed into HUGEINT.
+    """
+    return F.round(F.col(c) * 100, 0).cast("long")
+
+
+def _sum_exact(expr, scale: float):
+    """Exact integer-unit sum → double at the stated scale."""
+    return F.sum(expr.cast("decimal(28,0)")).cast("double") / F.lit(float(scale))
+
+
 # ---------------------------------------------------------------------------
 # §2.1/§2.4 — scan → hash aggregation (flagship; TPC-H Q1 shape).
 # Mirrors the reference's transaction rollup (int_transactions.sql:118-145):
@@ -33,12 +53,12 @@ def _dec(c, p=18, s=2):
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
-      CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
+      CAST(SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+      CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+      CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+      CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT)) * (100 + CAST(round(l_tax*100,0) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
+      (CAST(SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100.0) / COUNT(*) AS avg_qty,
+      (CAST(SUM(CAST(round(l_discount*100,0) AS BIGINT)) AS DOUBLE)/100.0) / COUNT(*) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -49,18 +69,17 @@ def _dec(c, p=18, s=2):
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    qty, price, disc, tax = (_dec("l_quantity"), _dec("l_extendedprice"),
-                             _dec("l_discount"), _dec("l_tax"))
+    qty, price, disc, tax = _c2("l_quantity"), _c2("l_extendedprice"), _c2("l_discount"), _c2("l_tax")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            _sum_exact(qty, 100).alias("sum_qty"),
+            _sum_exact(price, 100).alias("sum_base_price"),
+            _sum_exact(price * (100 - disc), 10_000).alias("sum_disc_price"),
+            _sum_exact(price * (100 - disc) * (100 + tax), 1_000_000).alias("sum_charge"),
+            (_sum_exact(qty, 100) / F.count(F.lit(1))).alias("avg_qty"),
+            (_sum_exact(disc, 100) / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -131,10 +150,15 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_fact_fact",
     oracle="""
     SELECT o.o_orderpriority,
-           COUNT(DISTINCT o.o_orderkey) AS order_count,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+           COUNT(*) AS order_count,
+           CAST(SUM(l.rev_c) AS DOUBLE)/10000.0 AS revenue
     FROM orders o
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN (
+      SELECT l_orderkey,
+             SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS rev_c
+      FROM lineitem GROUP BY l_orderkey
+    ) l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
     GROUP BY o.o_orderpriority
     """,
@@ -142,17 +166,25 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # COUNT(DISTINCT o_orderkey) over the raw join = COUNT(*) after
+    # pre-aggregating lineitem to order grain: same semantics, but the
+    # shuffle carries one row per order instead of one per line and the
+    # final agg needs no distinct expand. The order-grain partial agg is
+    # the shape that survives 100 TB (map-side combine on l_orderkey).
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    rev_c = _c2("l_extendedprice") * (100 - _c2("l_discount"))
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(rev_c.cast("decimal(28,0)")).alias("rev_c"))
+    )
     return (
         o.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(per_order, o.o_orderkey == per_order.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.countDistinct("o_orderkey").alias("order_count"),
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast("double")
-            .alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+            (F.sum("rev_c").cast("double") / F.lit(10000.0)).alias("revenue"),
         )
     )
 

@@ -44,6 +44,31 @@ def _rev():
 _REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
 
+def _c2(c):
+    """2-dp money/ratio column → integer hundredths (long). Exact and
+    ~3× faster per row than the decimal chain (long codegen); see
+    tpch.py:_c2 for the full rationale and overflow analysis."""
+    return F.round(F.col(c) * 100, 0).cast("long")
+
+
+def _rev_c():
+    """Revenue in 1e-4 units: price_hundredths × (100 − discount_pct_h)."""
+    return _c2("l_extendedprice") * (100 - _c2("l_discount"))
+
+
+# DuckDB mirror of _rev_c(); SUM of it is HUGEINT (exact), cast to DOUBLE
+# only in the final projection, like Spark's decimal(28,0) accumulator.
+_REV_C_SQL = (
+    "CAST(round(l_extendedprice*100,0) AS BIGINT)"
+    " * (100 - CAST(round(l_discount*100,0) AS BIGINT))"
+)
+
+
+def _sum_exact(expr, scale: float):
+    """Exact integer-unit sum → double at the stated scale."""
+    return F.sum(expr.cast("decimal(28,0)")).cast("double") / F.lit(float(scale))
+
+
 def _ts(s: str):
     return F.lit(s).cast("timestamp")
 
@@ -285,37 +310,47 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q3_shipping_priority",
     oracle=f"""
-    SELECT o_orderkey, CAST(rev AS DOUBLE) AS revenue, o_orderdate, o_orderpriority
+    SELECT l.l_orderkey AS o_orderkey,
+           CAST(l.rev_c AS DOUBLE)/10000.0 AS revenue,
+           o.o_orderdate, o.o_orderpriority
     FROM (
-      SELECT l.l_orderkey AS o_orderkey, SUM({_REV_SQL}) AS rev,
-             o.o_orderdate, o.o_orderpriority
-      FROM customer c
-      JOIN orders o ON c.c_custkey = o.o_custkey
-      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-      WHERE c.c_mktsegment = 'BUILDING'
-        AND o.o_orderdate < TIMESTAMP '1998-03-15'
-        AND l.l_shipdate > TIMESTAMP '1998-03-15'
-      GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    )
-    ORDER BY rev DESC, o_orderkey
+      SELECT l_orderkey, SUM({_REV_C_SQL}) AS rev_c
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-03-15'
+      GROUP BY l_orderkey
+    ) l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+    ORDER BY l.rev_c DESC, l.l_orderkey
     LIMIT 10
     """,
     cite="TPC-H Q3 shape; join family int_transactions.sql:247-251",
     headline=True,
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lineitem pre-aggregates to order grain BEFORE the joins (map-side
+    # combinable; the join then matches 1:1 and needs no post-join agg),
+    # and the order-grain side broadcasts into the orders scan — at this
+    # scale it is a few MB; at cluster scale AQE demotes the hint to a
+    # co-partitioned shuffle join on the order key. Top-k orders by the
+    # EXACT integer revenue (TakeOrderedAndProject, no global sort).
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts("1998-03-15"))
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts("1998-03-15"))
+    lagg = li.groupBy("l_orderkey").agg(
+        F.sum(_rev_c().cast("decimal(28,0)")).alias("rev_c")
+    )
     return (
-        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"))
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .groupBy(F.col("l_orderkey").alias("o_orderkey"), "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_rev()).alias("rev"))
-        .orderBy(F.col("rev").desc(), "o_orderkey")
+        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(lagg), F.col("l_orderkey") == o.o_orderkey)
+        .orderBy(F.col("rev_c").desc(), "l_orderkey")
         .limit(10)
-        .select("o_orderkey", F.col("rev").cast("double").alias("revenue"),
-                "o_orderdate", "o_orderpriority")
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            (F.col("rev_c").cast("double") / F.lit(10000.0)).alias("revenue"),
+            "o_orderdate", "o_orderpriority",
+        )
     )
 
 
@@ -365,7 +400,8 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q5_local_supplier",
     oracle=f"""
-    SELECT n.n_name AS nation_name, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    SELECT n.n_name AS nation_name,
+           CAST(SUM({_REV_C_SQL}) AS DOUBLE)/10000.0 AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -381,6 +417,14 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lineitem is the STREAM side everywhere: the one-year orders slice
+    # (⋈ broadcast customer for its nationkey) broadcasts into the
+    # lineitem scan, so the only exchange is the 25-row final agg.
+    # Without the orientation fix the static planner broadcast the
+    # column-pruned 6M-row lineitem itself — a driver-side hash build of
+    # the biggest table (measured 4.3 s vs 1.5 s). At cluster scale the
+    # filtered orders side outgrows the broadcast cap and AQE demotes to
+    # a shuffle join on the order key, which is the correct large shape.
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1997-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
@@ -390,15 +434,16 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    o2 = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_nationkey")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(o2), li.l_orderkey == o2.o_orderkey)
         .join(F.broadcast(s),
               (li.l_suppkey == s.s_suppkey) & (F.col("c_nationkey") == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg(_sum_exact(_rev_c(), 10_000).alias("revenue"))
     )
 
 
@@ -593,9 +638,9 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q10_returned_items",
     oracle=f"""
-    SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue, nation_name
+    SELECT c_custkey, c_name, CAST(rev_c AS DOUBLE)/10000.0 AS revenue, nation_name
     FROM (
-      SELECT c.c_custkey, c.c_name, SUM({_REV_SQL}) AS rev, n.n_name AS nation_name
+      SELECT c.c_custkey, c.c_name, SUM({_REV_C_SQL}) AS rev_c, n.n_name AS nation_name
       FROM customer c
       JOIN orders o ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -605,13 +650,15 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l.l_returnflag = 'R'
       GROUP BY c.c_custkey, c.c_name, n.n_name
     )
-    ORDER BY rev DESC, c_custkey
+    ORDER BY rev_c DESC, c_custkey
     LIMIT 20
     """,
     cite="TPC-H Q10 shape; top-k + broadcast dims",
     headline=True,
 )
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The quarter's orders slice is small → broadcast it into the
+    # lineitem stream (AQE demotes past the cap at cluster scale).
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1997-07-01")) & (F.col("o_orderdate") < _ts("1997-10-01"))
@@ -620,14 +667,15 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount")
     n = load_table(spark, sf_dir, "nation")
     return (
-        o.join(li, li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
-        .agg(F.sum(_rev()).alias("rev"))
-        .orderBy(F.col("rev").desc(), "c_custkey")
+        .agg(F.sum(_rev_c().cast("decimal(28,0)")).alias("rev_c"))
+        .orderBy(F.col("rev_c").desc(), "c_custkey")
         .limit(20)
-        .select("c_custkey", "c_name", F.col("rev").cast("double").alias("revenue"),
+        .select("c_custkey", "c_name",
+                (F.col("rev_c").cast("double") / F.lit(10000.0)).alias("revenue"),
                 "nation_name")
     )
 
@@ -824,11 +872,11 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q18_large_orders",
     oracle="""
     SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           CAST(q.total_qty AS DOUBLE) AS total_qty
+           CAST(q.qty_c AS DOUBLE)/100.0 AS total_qty
     FROM (
-      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      SELECT l_orderkey, SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS qty_c
       FROM lineitem GROUP BY l_orderkey
-      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+      HAVING SUM(CAST(round(l_quantity*100,0) AS BIGINT)) > 30000
     ) q
     JOIN orders o ON o.o_orderkey = q.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -837,20 +885,22 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The HAVING survivor set is tiny → broadcast it back into orders
+    # (the lineitem groupBy is the one real shuffle, map-side combined).
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
-        .filter(F.col("total_qty") > 300)
+        .agg(F.sum(_c2("l_quantity").cast("decimal(28,0)")).alias("qty_c"))
+        .filter(F.col("qty_c") > 30_000)
     )
     return (
-        big.join(o, o.o_orderkey == big.l_orderkey)
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
-                F.col("total_qty").cast("double").alias("total_qty"))
+                (F.col("qty_c").cast("double") / F.lit(100.0)).alias("total_qty"))
     )
 
 

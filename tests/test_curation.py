@@ -186,6 +186,40 @@ def test_knn_graph_agrees_with_expression_topk(spark, sf_dir):
     assert len(counts) == sub.count(), "every vector gets neighbors"
 
 
+def test_knn_graph_sharded_agrees_with_broadcast_path(spark, sf_dir):
+    from kwwhat_spark.operators.similarity import knn_graph, knn_graph_sharded
+    from kwwhat_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    sub = emb.filter(F.col("vec_id") < 120)
+    whole = {
+        (r.src_id, r.rank): (r.dst_id, round(r.cosine_sim, 6))
+        for r in knn_graph(sub, k=4).collect()
+    }
+    sharded = {
+        (r.src_id, r.rank): (r.dst_id, round(r.cosine_sim, 6))
+        for r in knn_graph_sharded(sub, k=4, n_shards=3).collect()
+    }
+    assert set(sharded) == set(whole)
+    for key, (dst, sim) in whole.items():
+        sdst, ssim = sharded[key]
+        assert sdst == dst, (key, sdst, dst)
+        assert abs(ssim - sim) < 2e-6
+
+
+def test_knn_graph_sharded_enforces_shard_bound(spark):
+    import pytest
+
+    from kwwhat_spark.operators.similarity import knn_graph_sharded
+
+    rows = [(i, [float(i), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="raise n_shards"):
+        knn_graph_sharded(df, k=2, n_shards=2, max_shard_rows=5).collect()
+
+
 def test_kmeans_quantized_separates_obvious_groups(spark):
     from kwwhat_spark.operators.clustering import kmeans_quantized
 

@@ -27,10 +27,20 @@ import sys
 import duckdb
 
 
+TABLES = (
+    "region", "nation", "supplier", "part", "customer", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sf1"
+    build(n, src, dst)
+
+
+def build(n: int = 10, src: str = "/root/testdata/sf0.1", dst: str = "/tmp/sf1") -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads={os.cpu_count() or 8}")
