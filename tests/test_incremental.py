@@ -30,11 +30,28 @@ MARTS = Path("/root/reference/models/marts/unit_tests.yml")
 
 ALL_TESTS = {t["name"]: t for t in load_unit_tests(INTERMEDIATE) + load_unit_tests(MARTS)}
 
+# The reference disables this one upstream (marts/unit_tests.yml:1272-1273,
+# config.enabled: false) — and it IS broken as written: the new batch's
+# preparing/transaction rows carry ingested_ts equal to max(this.
+# incremental_ts), which the model's strict `ingested_ts > from_timestamp`
+# window (fact_charge_attempts.sql:55) excludes, so even the compiled
+# reference SQL emits 0 rows against the mock (its `this` mock also
+# carries a stale confirmation_ingested_ts column). The SCENARIO it
+# describes — a buffered attempt gains StopTransaction data on the next
+# run — is real and our engine implements it, so we replay the test with
+# the buffered state stamped one second earlier (the watermark a real
+# prior run would have left, since 10:00:00 data had not been processed
+# yet) and the stale column dropped.
+_ENABLED_ANYWAY = {"test_charge_attempt_incremental_merge_fills_stop_data"}
+
 INCREMENTAL_TESTS = sorted(
     name
     for name, t in ALL_TESTS.items()
     if t.get("overrides", {}).get("macros", {}).get("is_incremental", False)
-    and t.get("config", {}).get("enabled", True) is not False
+    and (
+        t.get("config", {}).get("enabled", True) is not False
+        or name in _ENABLED_ANYWAY
+    )
 )
 
 
@@ -43,12 +60,23 @@ def test_dbt_incremental_unit(spark, name):
     t = ALL_TESTS[name]
     overrides: dict = {}
     this_dfs: dict = {}
+    lenient = name in _ENABLED_ANYWAY
     for given in t["given"]:
         iname = input_name(given["input"])
         if iname == "this":
-            this_dfs[t["model"]] = build_input_df(spark, t["model"], given)
+            if lenient:
+                given = dict(given)
+                given["rows"] = given["rows"].replace(
+                    "cast('2025-10-01 10:00:00' as timestamp)  as incremental_ts",
+                    "cast('2025-10-01 09:59:59' as timestamp)  as incremental_ts",
+                )
+            this_dfs[t["model"]] = build_input_df(
+                spark, t["model"], given, ignore_unknown=lenient
+            )
         else:
-            overrides[iname] = build_input_df(spark, iname, given)
+            overrides[iname] = build_input_df(
+                spark, iname, given, ignore_unknown=lenient
+            )
     vars_over = t.get("overrides", {}).get("vars", {})
     pvars = dataclasses.replace(VARS, **vars_over) if vars_over else VARS
     pipe = Pipeline(
