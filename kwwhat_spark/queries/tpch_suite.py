@@ -25,6 +25,8 @@ Scale notes (100 TB target) are per-query; the common ones:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,6 +69,37 @@ _REV_C_SQL = (
 def _sum_exact(expr, scale: float):
     """Exact integer-unit sum → double at the stated scale."""
     return F.sum(expr.cast("decimal(28,0)")).cast("double") / F.lit(float(scale))
+
+
+def _bc(
+    df: DataFrame, sf_dir: str, table: str, frac: float = 1.0,
+    cap_rows: int = 1_500_000,
+):
+    """Broadcast-hint a (possibly filtered/aggregated) join side when its
+    estimated ROW count — the source table's parquet-footer row count ×
+    the row-selectivity fraction the caller KNOWS from its predicate —
+    fits under the cap; above it, plant no hint and let Catalyst/AQE
+    pick (sort-merge, runtime-converted to broadcast if the true shuffle
+    size is small). The footer read is metadata-only: no Spark job, no
+    scan.
+
+    Why not plain F.broadcast: an explicit hint is honored at ANY size —
+    AQE does not demote it — so hinting a filtered fact slice that is
+    100k rows at sf1 becomes a multi-GB driver hash build (measured: a
+    hinted 7.5M-row key set turned a 1.6 s query into 22 s at sf10, and
+    at cluster scale it is an OOM). And why not no hint at all: Spark's
+    static size estimate ignores filter selectivity entirely (Filter
+    stats = child stats without CBO), which is exactly how the
+    column-pruned 6M-row lineitem got picked as a build side over the
+    50× smaller filtered orders. Row counts are the right unit because
+    hash-relation build cost and memory are per-row dominated, not
+    per-byte; the estimate errs toward NOT hinting, whose fallback
+    (shuffle + AQE) is always safe.
+    """
+    import pyarrow.parquet as pq
+
+    rows = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+    return F.broadcast(df) if rows * frac <= cap_rows else df
 
 
 def _ts(s: str):
@@ -336,11 +369,11 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lineitem pre-aggregates to order grain BEFORE the joins (map-side
-    # combinable; the join then matches 1:1 and needs no post-join agg),
-    # and the order-grain side broadcasts into the orders scan — at this
-    # scale it is a few MB; at cluster scale AQE demotes the hint to a
-    # co-partitioned shuffle join on the order key. Top-k orders by the
-    # EXACT integer revenue (TakeOrderedAndProject, no global sort).
+    # combinable; the join then matches 1:1 and needs no post-join agg);
+    # the order-grain side broadcasts into the orders scan while small
+    # (_bc: late-ship filter ≈ half the lines, the agg folds to roughly
+    # an eighth of the rows), shuffle join past the cap.
+    # Top-k orders by the EXACT integer revenue (TakeOrderedAndProject).
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts("1998-03-15"))
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts("1998-03-15"))
@@ -348,8 +381,9 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_rev_c().cast("decimal(28,0)")).alias("rev_c")
     )
     return (
-        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(lagg), F.col("l_orderkey") == o.o_orderkey)
+        o.join(_bc(c.select("c_custkey"), sf_dir, "customer", 0.2),
+               o.o_custkey == F.col("c_custkey"))
+        .join(_bc(lagg, sf_dir, "lineitem", 0.125), F.col("l_orderkey") == o.o_orderkey)
         .orderBy(F.col("rev_c").desc(), "l_orderkey")
         .limit(10)
         .select(
@@ -391,7 +425,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (
         li.join(
-            F.broadcast(o),
+            _bc(o, sf_dir, "orders", 0.04),  # one quarter of ~7 years
             (li.l_orderkey == o.o_orderkey)
             & (li.l_shipdate > F.col("o_orderdate") + F.expr("interval 60 days")),
         )
@@ -432,9 +466,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem scan, so the only exchange is the 25-row final agg.
     # Without the orientation fix the static planner broadcast the
     # column-pruned 6M-row lineitem itself — a driver-side hash build of
-    # the biggest table (measured 4.3 s vs 1.5 s). At cluster scale the
-    # filtered orders side outgrows the broadcast cap and AQE demotes to
-    # a shuffle join on the order key, which is the correct large shape.
+    # the biggest table (measured 4.3 s vs 1.5 s). Past the _bc cap the
+    # slice stops being hinted and the join falls to the co-partitioned
+    # shuffle shape, which is correct at cluster scale.
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1997-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
@@ -444,10 +478,10 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    o2 = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    o2 = o.join(_bc(c, sf_dir, "customer"), o.o_custkey == c.c_custkey).select(
         "o_orderkey", "c_nationkey")
     return (
-        li.join(F.broadcast(o2), li.l_orderkey == o2.o_orderkey)
+        li.join(_bc(o2, sf_dir, "orders", 0.15), li.l_orderkey == o2.o_orderkey)
         .join(F.broadcast(s),
               (li.l_suppkey == s.s_suppkey) & (F.col("c_nationkey") == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -531,27 +565,30 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact is touched: suppliers and customers shrink to the two nations,
     # the filtered customers broadcast into orders, and the resulting
     # order slice broadcasts into the lineitem stream — no fact-fact
-    # shuffle remains (AQE demotes the hints past the cap at scale).
+    # shuffle remains while the slices fit the _bc cap (≈8% of rows for
+    # 2 of 25 nations); past it the joins fall to the shuffle shape.
     n1f = n1.filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
     n2f = n2.filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
     o2 = (
         o.join(
-            F.broadcast(
+            _bc(
                 c.join(F.broadcast(n2f), c.c_nationkey == F.col("n2_key"))
-                .select("c_custkey", "cust_nation")
+                .select("c_custkey", "cust_nation"),
+                sf_dir, "customer", 0.08,
             ),
             o.o_custkey == F.col("c_custkey"),
         ).select("o_orderkey", "cust_nation")
     )
     return (
         li.join(
-            F.broadcast(
+            _bc(
                 s.join(F.broadcast(n1f), s.s_nationkey == F.col("n1_key"))
-                .select("s_suppkey", "supp_nation")
+                .select("s_suppkey", "supp_nation"),
+                sf_dir, "supplier", 0.08,
             ),
             li.l_suppkey == F.col("s_suppkey"),
         )
-        .join(F.broadcast(o2), F.col("o_orderkey") == li.l_orderkey)
+        .join(_bc(o2, sf_dir, "orders", 0.08), F.col("o_orderkey") == li.l_orderkey)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -607,10 +644,10 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,2)")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        # Two-year orders slice ≈ small side → broadcast into the
-        # STANDARD-parts lineitem stream (AQE demotes at cluster scale).
-        .join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        # Two-year orders slice (~30% of rows) streams
+        # into the STANDARD-parts lineitem while under the _bc cap.
+        .join(_bc(o, sf_dir, "orders", 0.3), o.o_orderkey == li.l_orderkey)
+        .join(_bc(c, sf_dir, "customer"), c.c_custkey == o.o_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
@@ -698,8 +735,8 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount")
     n = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(_bc(o, sf_dir, "orders", 0.04), li.l_orderkey == o.o_orderkey)
+        .join(_bc(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
         .agg(F.sum(_rev_c().cast("decimal(28,0)")).alias("rev_c"))
@@ -916,8 +953,9 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The HAVING survivor set is tiny → broadcast it back into orders
-    # (the lineitem groupBy is the one real shuffle, map-side combined).
+    # The HAVING survivor set is tiny (~1% of orders) → broadcast it back
+    # into orders while under the _bc cap (the lineitem groupBy is the
+    # one real shuffle, map-side combined).
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
@@ -928,8 +966,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty_c") > 30_000)
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(_bc(big, sf_dir, "lineitem", 0.01), o.o_orderkey == big.l_orderkey)
+        .join(_bc(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
                 (F.col("qty_c").cast("double") / F.lit(100.0)).alias("total_qty"))
     )
@@ -1020,7 +1058,8 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    li_f = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey, "left_semi")
+    # F-status row selectivity ≈ half the orders.
+    li_f = li.join(_bc(o, sf_dir, "orders", 0.5), li.l_orderkey == o.o_orderkey, "left_semi")
     supp_last = li_f.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("supp_max_ship")
     )
