@@ -101,6 +101,7 @@ from pyspark.sql import functions as F
 
 from kwwhat_spark.plans.incremental import (
     INCREMENTAL_ORDER,
+    DeltaStateStore,
     IncrementalRunner,
     ParquetStateStore,
     PartitionedStateStore,
@@ -152,7 +153,29 @@ _BOUNDARY_LINK_COLS = {
 _SUPERSET_OK = {"int_status_changes"}
 
 
-@pytest.mark.parametrize("store_cls", [ParquetStateStore, PartitionedStateStore])
+def _delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+@pytest.mark.parametrize(
+    "store_cls",
+    [
+        ParquetStateStore,
+        PartitionedStateStore,
+        pytest.param(
+            DeltaStateStore,
+            marks=pytest.mark.skipif(
+                not _delta_available(),
+                reason="delta-spark not installed in this container; "
+                "DeltaStateStore is the MERGE INTO path and runs wherever it is",
+            ),
+        ),
+    ],
+)
 def test_incremental_runner_converges_to_full_refresh(spark, tmp_path, store_cls):
     sources = load_ocpp_sources(spark)
     store = store_cls(spark, str(tmp_path / "state"))
