@@ -1,0 +1,143 @@
+"""Deterministic chat-BI router acceptance: replay the reference's four
+NL test prompts (demo/chat-bi/tests/*.yml) through kwwhat_spark.bi.ask
+and check every value against DuckDB running the reference's own SQL
+over the same mart data — the full-stack loop the reference only covers
+via its LLM agent, verified here without one."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import duckdb
+import pytest
+import yaml
+
+from kwwhat_spark import bi
+from kwwhat_spark.models import Pipeline
+from kwwhat_spark.sources.ocpp import load_ocpp_sources
+
+BI_DIR = Path("/root/reference/demo/chat-bi/tests")
+BI_TESTS = {
+    t["name"]: (t["prompt"], re.sub(r"analytics\.ANALYTICS\.", "", t["sql"]))
+    for t in (yaml.safe_load(p.read_text()) for p in sorted(BI_DIR.glob("*.yml")))
+}
+
+
+@pytest.fixture(scope="module")
+def bi_env(spark):
+    pipe = Pipeline(spark=spark, sources=load_ocpp_sources(spark))
+    con = duckdb.connect()
+    for name in ("dim_ports", "dim_chargers", "fact_uptime", "fact_charge_attempts"):
+        con.register(name, pipe.ref(name).toPandas())
+    return pipe, con
+
+
+@pytest.mark.parametrize("name", sorted(BI_TESTS))
+def test_reference_prompt_routed(bi_env, name):
+    """ask(prompt) must produce the same values (positionally) as the
+    reference SQL; column names follow the module's documented naming
+    convention, asserted per-prompt below."""
+    pipe, con = bi_env
+    prompt, sql = BI_TESTS[name]
+    got = bi.ask(pipe, prompt).first()
+    want = con.execute(sql).fetchone()
+    assert len(got) == len(want), (name, got, want)
+    for g, w in zip(got, want):
+        if isinstance(g, float) or isinstance(w, float):
+            assert float(g) == pytest.approx(float(w), abs=1e-6), (name, got, want)
+        else:
+            assert g == w, (name, got, want)
+
+
+def test_reference_prompt_column_names(bi_env):
+    pipe, _ = bi_env
+    assert bi.ask(pipe, BI_TESTS["total_ports"][0]).columns == ["total_ports"]
+    assert bi.ask(pipe, BI_TESTS["network_reliability_uptime"][0]).columns == [
+        "overall_uptime_pct"
+    ]
+    assert bi.ask(pipe, BI_TESTS["decommissioned_ports_check"][0]).columns == [
+        "decommissioned_ports"
+    ]
+    assert bi.ask(pipe, BI_TESTS["lately_snapshot"][0]).columns == [
+        "avg_uptime_pct",
+        "failed_attempt_rate_pct",
+    ]
+
+
+def test_unknown_metric_refused():
+    with pytest.raises(bi.UnknownMetricError):
+        bi.route("What is our blended gross margin?")
+
+
+def test_window_parsing():
+    assert bi.route("uptime for the full history").window_days is None
+    assert bi.route("uptime over all time").window_days is None
+    assert bi.route("what is our uptime").window_days == 7  # RULES.md default
+    assert bi.route("uptime for the last 30 days").window_days == 30
+    assert bi.route("uptime last 2 weeks").window_days == 14
+    assert bi.route("uptime over the past month").window_days == 30
+
+
+def test_entity_counts_not_windowed():
+    q = bi.route("How many chargers do we have?")
+    assert q.window_days is None
+    assert q.columns[0].name == "total_chargers"
+
+
+def test_windowed_uptime_matches_hand_filter(bi_env, spark):
+    """Default 7-day window == hand-written filter anchored at the mart's
+    max day (deterministic anchor documented in compile_query)."""
+    pipe, con = bi_env
+    got = bi.ask(pipe, "What is our uptime?").first()[0]
+    want = con.execute(
+        """
+        select round(avg(uptime) * 100, 2) from fact_uptime
+        where cast(date_id as timestamp) >
+              (select max(cast(date_id as timestamp)) from fact_uptime)
+              - interval 7 day
+        """
+    ).fetchone()[0]
+    assert float(got) == pytest.approx(float(want), abs=1e-6)
+
+
+def test_semantic_ratio_metric_routes(bi_env):
+    """A semantic-layer ratio metric (first_attempt_success_rate over
+    fact_visits) routes, renders as a percentage, and matches the
+    measure-level SQL."""
+    pipe, con = bi_env
+    con2 = duckdb.connect()
+    con2.register("fact_visits", pipe.ref("fact_visits").toPandas())
+    got = bi.ask(
+        pipe, "What is the first attempt success rate for the full history?"
+    )
+    assert got.columns == ["first_attempt_success_rate_pct"]
+    want = con2.execute(
+        """
+        select round(100 * cast(
+            sum(case when is_successful and charge_attempt_count = 1
+                then 1 else 0 end) as double) / nullif(count(visit_id), 0), 2)
+        from fact_visits
+        """
+    ).fetchone()[0]
+    assert float(got.first()[0]) == pytest.approx(float(want), abs=1e-6)
+
+
+def test_at_a_glance_shape(bi_env):
+    pipe, _ = bi_env
+    df = bi.ask(pipe, BI_TESTS["lately_snapshot"][0])
+    glance = bi.at_a_glance(df)
+    rows = {r["metric"]: r for r in glance.collect()}
+    assert set(rows) == {"avg_uptime_pct", "failed_attempt_rate_pct"}
+    assert all(r["status"] == "ok" for r in rows.values())
+
+
+def test_period_over_period_shape(bi_env):
+    pipe, _ = bi_env
+    pop = bi.period_over_period(pipe, "What is our uptime?")
+    row = pop.first()
+    assert pop.columns == ["metric", "value", "previous_value", "delta_pp"]
+    assert row["metric"] == "overall_uptime_pct"
+    # Full-history questions carry no previous period.
+    full = bi.period_over_period(pipe, "uptime for the full history").first()
+    assert full["previous_value"] is None and full["delta_pp"] is None
