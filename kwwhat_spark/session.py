@@ -15,6 +15,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    """Scratch dir for shuffle/spill files: $SPARK_LOCAL_DIRS if the
+    platform set one, else tmpfs when present, else Spark's default."""
+    env = os.environ.get("SPARK_LOCAL_DIRS")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm"):
+        return "/dev/shm/kwh-spark-local"
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "kwh-spark",
     master: str | None = None,
@@ -57,6 +68,13 @@ def get_spark(
         # steady-state flat. On a real cluster executor memory is sized
         # by spark-submit and this knob only covers the driver proper.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # Shuffle/spill files default to /tmp, which on this rig is a
+        # shared disk with an ~1 GB page-cache budget — shuffle-write
+        # latency there is bimodal (measured 1.4 s vs 19 s for the same
+        # fact⋈fact plan). tmpfs takes storage out of the loop; a real
+        # cluster sets SPARK_LOCAL_DIRS to instance-local SSDs and this
+        # default never fires.
+        .config("spark.local.dir", _local_dir())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
         # Driver testdata writes TIMESTAMP(NANOS) parquet (pandas ns

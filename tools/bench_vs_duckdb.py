@@ -24,7 +24,9 @@ from kwwhat_spark.sources.testdata import TESTDATA_TABLES
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else (
+        "/dev/shm/sf1" if os.path.isdir("/dev/shm") else "/tmp/sf1"
+    )
     spark = get_spark(app_name="bench-vs-duckdb")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
