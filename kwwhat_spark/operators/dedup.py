@@ -95,17 +95,26 @@ def ngram_jaccard_pairs(
     if strategy == "prefix":
         prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("shingle_count")).cast("int") + F.lit(1)
         prefixes = base.select(
-            "doc_id", "block",
+            "doc_id", "block", "shingle_count",
             F.explode(F.slice("shingles", F.lit(1), prefix_len)).alias("shingle"),
         )
         a = prefixes.alias("a")
         b = prefixes.alias("b")
+        # Length filter (AllPairs): J(A,B) >= t forces
+        # t*|A| <= |B| <= |A|/t, so size-mismatched candidates are pruned
+        # inside the equi-join before any pair reaches the verify stage.
+        # Lossless like the prefix filter; evaluated post-hash-match, so
+        # it costs two comparisons per colliding row and nothing else.
         candidates = (
             a.join(
                 b,
                 (F.col("a.shingle") == F.col("b.shingle"))
                 & (F.col("a.block") == F.col("b.block"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (F.col("b.shingle_count") * F.lit(threshold)
+                   <= F.col("a.shingle_count"))
+                & (F.col("a.shingle_count") * F.lit(threshold)
+                   <= F.col("b.shingle_count")),
             )
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .distinct()
