@@ -17,13 +17,12 @@ from pyspark.sql import SparkSession
 
 def _local_dir() -> str:
     """Scratch dir for shuffle/spill files: $SPARK_LOCAL_DIRS if the
-    platform set one, else tmpfs when present, else Spark's default."""
-    env = os.environ.get("SPARK_LOCAL_DIRS")
-    if env:
-        return env
-    if os.path.isdir("/dev/shm"):
-        return "/dev/shm/kwh-spark-local"
-    return "/tmp"
+    platform set one, else Spark's default. tmpfs was tried here and
+    reverted: shuffle spill is unbounded (a quadratic candidate join at
+    sf10 wrote 101 GB), and spill-to-RAM turns a slow query into an
+    OOM-killed JVM. Input DATA on tmpfs (bench.py) is safe — it is
+    bounded and read-only; scratch is neither."""
+    return os.environ.get("SPARK_LOCAL_DIRS", "/tmp")
 
 
 def get_spark(
