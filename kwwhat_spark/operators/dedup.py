@@ -308,6 +308,68 @@ def simhash_pairs(
     )
 
 
+def minhash_lsh_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Pair-free near-dup clustering: banded MinHash buckets → star edges
+    (member → bucket minimum) → connected components. Returns
+    (doc_id, component) for every input doc; singletons keep their own id.
+
+    Why this exists: enumerating candidate PAIRS (minhash_lsh_pairs,
+    ngram_jaccard_pairs) is quadratic in duplicate-cluster size. Measured
+    fatally at sf10: a corpus where every doc has ~100 near-copies drove
+    the candidate shuffle past 100 GB. Star edges make each bucket
+    contribute |bucket| rows instead of |bucket|²/2, and within-bucket
+    closure is unchanged — a star is a spanning tree of the bucket
+    clique, so the edge sets have identical connected components
+    (equality-tested against all-pairs closure in tests/test_llm_ops.py).
+    This is the shape corpus-scale dedup pipelines actually run
+    (SlimPajama, Lee et al. 2022 §4: bucket → union-find, no pair list).
+
+    Contract vs minhash_lsh_pairs: no exact-Jaccard verification — bucket
+    collisions merge directly, so the false-merge rate is set by
+    bands/rows (8×4 default ≈ s-curve at J≈0.6), and one noisy collision
+    can chain clusters. Use the verified pair path when pair precision
+    matters and cluster sizes are bounded; use this when the corpus is
+    huge or duplication is heavy."""
+    from kwwhat_spark.functions.text import let_
+    from kwwhat_spark.operators.graph import connected_components
+    from pyspark.sql import Window
+
+    df = widen(df)
+    banded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            let_(
+                minhash_signature(
+                    F.array_distinct(word_shingles(F.col(text_col), k)), num_hashes
+                ),
+                lambda sig: _sig_bands(sig, num_hashes, bands),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    # One shuffle on (band_idx, band_hash); the window min never
+    # materializes a bucket cross product.
+    w = Window.partitionBy("band_idx", "band_hash")
+    edges = (
+        banded.withColumn("root", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("root"))
+        .select("doc_id", "root")
+        .dropDuplicates()
+    )
+    comps = connected_components(edges, "doc_id", "root")
+    docs = df.select(F.col(id_col).alias("node"))
+    return docs.join(comps, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("component", "node").alias("component"),
+    )
+
+
 def _sig_bands(sig: Column, num_hashes: int, bands: int) -> Column:
     """Banded LSH keys of a MinHash signature: xxhash64 of each band's
     comma-joined components (same formula as minhash_lsh_pairs)."""

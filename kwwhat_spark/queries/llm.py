@@ -22,6 +22,7 @@ from kwwhat_spark.functions.text import (
 )
 from kwwhat_spark.operators.dedup import (
     exact_dedup,
+    minhash_lsh_components,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -102,6 +103,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5)
+
+
+@query(
+    "dedup_minhash_components",
+    oracle=None,
+    cite="LLM-ops: pair-free LSH dedup (bucket star edges → components), "
+    "the linear-shuffle path for heavily duplicated corpora",
+)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_components(
+        docs, "doc_id", "text", k=3, num_hashes=32, bands=8
+    )
 
 
 @query("dedup_simhash", oracle=None, cite="LLM-ops: SimHash near-dup (chunk blocking)")

@@ -82,6 +82,58 @@ def test_minhash_lsh_agrees_with_exact_jaccard(docs):
     assert (1, 2) in lsh and (1, 3) in lsh
 
 
+def test_minhash_components_equal_allpairs_closure(spark, sf_dir):
+    """Star edges (member → bucket min) must yield EXACTLY the same
+    connected components as enumerating every within-bucket pair — a
+    star is a spanning tree of the bucket clique. Verified on the real
+    documents table so buckets have genuine multi-doc collisions."""
+    from pyspark.sql import Window
+    from kwwhat_spark.functions.text import let_, minhash_signature, word_shingles
+    from kwwhat_spark.operators.dedup import _sig_bands, minhash_lsh_components
+    from kwwhat_spark.operators.graph import connected_components
+    from kwwhat_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = docs.select(
+        F.col("doc_id"),
+        F.posexplode(
+            let_(
+                minhash_signature(
+                    F.array_distinct(word_shingles(F.col("text"), 3)), 32
+                ),
+                lambda sig: _sig_bands(sig, 32, 8),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    all_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+    full = connected_components(all_pairs, "doc_a", "doc_b")
+    want = {r["node"]: r["component"] for r in full.collect()}
+    got = {
+        r["doc_id"]: r["component"]
+        for r in minhash_lsh_components(docs, "doc_id", "text").collect()
+    }
+    n_docs = docs.count()
+    assert len(got) == n_docs
+    # Same membership for every doc that collides at all; singletons
+    # label themselves.
+    multi = {k: v for k, v in got.items() if k in want}
+    assert multi == want
+    assert all(got[k] == k for k in got if k not in want)
+    # Sanity: the star edge list is LINEAR in bucket size, so there is
+    # at least one non-trivial cluster to have exercised the closure.
+    assert any(v != k for k, v in got.items())
+
+
 def test_simhash_identical_docs_hamming_zero(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
