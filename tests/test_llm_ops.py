@@ -134,6 +134,28 @@ def test_minhash_components_equal_allpairs_closure(spark, sf_dir):
     assert any(v != k for k, v in got.items())
 
 
+def test_minhash_components_coarsen_verified_pairs(spark, sf_dir):
+    """Verified LSH pairs are within-bucket by construction, so the star
+    components must place both ends of every verified pair in the same
+    cluster — the pair-free path never splits what verification would
+    join; it can only merge more (false merges are the documented
+    trade-off)."""
+    from kwwhat_spark.operators.dedup import minhash_lsh_components, minhash_lsh_pairs
+    from kwwhat_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in minhash_lsh_components(docs, "doc_id", "text").collect()
+    }
+    verified = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
+    ).collect()
+    assert verified, "testdata should contain near-dup pairs"
+    for r in verified:
+        assert comp[r["doc_a"]] == comp[r["doc_b"]], (r["doc_a"], r["doc_b"])
+
+
 def test_simhash_identical_docs_hamming_zero(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
