@@ -635,6 +635,43 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_clean_corpus_scalable",
+    oracle=None,
+    cite="LLM-ops: heavy-duplication cleaning chain — quality gate → "
+    "exact dedup → pair-free LSH components → keep component minimum. "
+    "Same stages as pipeline_clean_corpus with the quadratic pair "
+    "enumeration replaced by the star-edge closure (sketch-based, so "
+    "rows-only here; cross-tested against the verified path in "
+    "tests/test_llm_ops.py).",
+)
+def pipeline_clean_corpus_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning chain shaped for corpora where duplication is heavy
+    enough that pair lists explode (the measured sf10 failure in
+    BASELINE.md): near-dup removal keeps each LSH component's minimum
+    doc_id instead of dropping the higher id of every verified pair.
+    Every shuffle is linear in the corpus — digest groupBy, band-bucket
+    window, pointer-jumping closure, component groupBy."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "token_count", whitespace_token_count("text")
+    )
+    qualified = docs.filter(F.col("token_count") >= 10)
+    keepers = (
+        qualified.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    unique_docs = qualified.join(keepers, "doc_id", "left_semi")
+    comps = minhash_lsh_components(unique_docs, "doc_id", "text")
+    reps = comps.groupBy("component").agg(F.min("doc_id").alias("doc_id"))
+    cleaned = unique_docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+    return cleaned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("token_count").alias("total_tokens"),
+        (F.sum("token_count").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dataset mixing: resample toward target language proportions under a
 # fixed output budget. Keep rate per group is computed from observed
