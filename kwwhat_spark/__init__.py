@@ -10,6 +10,10 @@ Layout:
   sources    — readers for OCPP logs, hardware CSVs, driver testdata
   models     — the kwwhat transformation DAG (staging→intermediate→marts)
   queries    — driver-facing query catalog with DuckDB oracle SQL
+  metrics    — semantic layer (models/metrics, MetricFlow-equivalent)
+  bi         — deterministic chat-BI routing over the semantic layer
+  streaming  — Structured Streaming variants of the pipeline
+  plans      — incremental engine (state stores, merge strategies)
 """
 
 __version__ = "0.1.0"
