@@ -40,9 +40,30 @@ def _default_sf_dir() -> str:
     return dst
 
 
+def _stage_to_tmpfs(sf_dir: str) -> str:
+    """Copy a disk-resident sf dir to tmpfs before benching.  Same
+    bytes, same queries — only the storage latency changes, and on this
+    rig disk reads are the dominant noise source (see _default_sf_dir).
+    No-op when the dir already sits on tmpfs or tmpfs is absent."""
+    if sf_dir.startswith("/dev/shm") or not os.path.isdir("/dev/shm"):
+        return sf_dir
+    import shutil
+
+    dst = os.path.join("/dev/shm/bench-cache", os.path.basename(sf_dir.rstrip("/")))
+    for name in os.listdir(sf_dir):
+        if not name.endswith(".parquet"):
+            continue
+        s, d = os.path.join(sf_dir, name), os.path.join(dst, name)
+        if not os.path.exists(d) or os.path.getmtime(d) < os.path.getmtime(s):
+            os.makedirs(dst, exist_ok=True)
+            shutil.copy2(s, d)
+    return dst if os.path.isdir(dst) else sf_dir
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR") or _default_sf_dir()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_dir = _stage_to_tmpfs(sf_dir)
     spark = get_spark(app_name="kwh-spark-bench")
     spark.sparkContext.setLogLevel("WARN")
 
