@@ -93,6 +93,26 @@ def cmd_metrics(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_bi(spark: SparkSession, args) -> int:
+    """Ask a natural-language question against the marts (the
+    deterministic core of the reference's chat-BI demo)."""
+    from kwwhat_spark import bi
+
+    pipe = Pipeline(spark=spark, sources=load_ocpp_sources(spark, args.seed_dir))
+    try:
+        df = bi.ask(pipe, args.question)
+    except bi.UnknownMetricError as e:
+        print(f"not defined in the semantic model: {e}")
+        return 2
+    if args.glance:
+        bi.at_a_glance(df).show(100, truncate=False)
+    elif args.pop:
+        bi.period_over_period(pipe, args.question).show(100, truncate=False)
+    else:
+        df.show(100, truncate=False)
+    return 0
+
+
 def cmd_query(spark: SparkSession, args) -> int:
     from kwwhat_spark.queries import REGISTRY
 
@@ -215,6 +235,13 @@ def main(argv: list[str] | None = None) -> int:
     p_metrics.add_argument("--metrics", nargs="*", default=None)
     p_metrics.add_argument("--group-by", nargs="*", default=None)
 
+    p_bi = sub.add_parser("bi", help="ask a natural-language BI question")
+    p_bi.add_argument("question")
+    p_bi.add_argument("--glance", action="store_true",
+                      help="render as the metrics-at-a-glance table")
+    p_bi.add_argument("--pop", action="store_true",
+                      help="include period-over-period pp deltas")
+
     p_query = sub.add_parser("query", help="run one catalog query")
     p_query.add_argument("name")
     p_query.add_argument("--sf-dir", default=os.environ.get(
@@ -258,6 +285,7 @@ def main(argv: list[str] | None = None) -> int:
             "incremental": cmd_incremental,
             "check": cmd_check,
             "metrics": cmd_metrics,
+            "bi": cmd_bi,
             "query": cmd_query,
             "list": cmd_list,
             "corpus": cmd_corpus,
