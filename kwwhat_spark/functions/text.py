@@ -157,22 +157,30 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.xxhash64(normalized)
 
 
+def minhash_from_hashed(hashed: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature over ALREADY-HASHED shingles (array<long>):
+    per-seed family derived as xxhash64(h, seed) — an 8-byte rehash per
+    seed instead of re-hashing the string. Exposed separately so callers
+    that keep a hashed shingle-set column (minhash_lsh_pairs) hash each
+    string exactly once across signature AND verification."""
+    return F.array(
+        *[
+            F.array_min(F.transform(hashed, lambda h: F.xxhash64(h, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: hash each shingle string ONCE (xxhash64), then
     derive the per-seed hash family from the 64-bit value
     (xxhash64(h, seed)) — 8-byte rehash instead of re-hashing the string
     per seed. Pure expression, single pass over the shingle array per
     seed, shingle array bound once (let_)."""
-
-    def from_hashed(hashed: Column) -> Column:
-        return F.array(
-            *[
-                F.array_min(F.transform(hashed, lambda h: F.xxhash64(h, F.lit(i))))
-                for i in range(num_hashes)
-            ]
-        )
-
-    return let_(F.transform(shingles, lambda s: F.xxhash64(s)), from_hashed)
+    return let_(
+        F.transform(shingles, lambda s: F.xxhash64(s)),
+        lambda hashed: minhash_from_hashed(hashed, num_hashes),
+    )
 
 
 def simhash64(tokens: Column) -> Column:

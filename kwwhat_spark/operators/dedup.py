@@ -176,21 +176,40 @@ def minhash_lsh_pairs(
     Jaccard on the shingle sets (standard shingle→minhash→band→bucket-join
     pipeline).
 
-    persist_shingles caches the (doc_id, shingles) stage: it is consumed
-    four times (both sides of the band self-join and both sides of the
-    verification join), and recomputing tokenize+shingle per consumer is
-    the dominant cost. This is the single-node analogue of checkpointing
-    the signature table in a 100 TB run; pass False to keep the plan
-    fully lazy."""
+    persist_shingles caches the (doc_id, hashed shingle set) stage: it is
+    consumed four times (both sides of the band self-join and both sides
+    of the verification join), and recomputing tokenize+shingle per
+    consumer is the dominant cost. This is the single-node analogue of
+    checkpointing the signature table in a 100 TB run; pass False to
+    keep the plan fully lazy.
+
+    Shingles are hashed to 64-bit longs ONCE up front; the signature,
+    the cache, and the verification intersection all work on the long
+    set. Jaccard over the hashed sets equals Jaccard over the string
+    sets up to xxhash64 collisions (P ≈ |set|²/2⁶⁵ per doc — vanishing),
+    and the verify join shuffles 8-byte longs instead of shingle strings
+    (~3× smaller candidate payload, same at 100 TB)."""
     from pyspark.storagelevel import StorageLevel
+
+    from kwwhat_spark.functions.text import minhash_from_hashed
 
     rows = bands and num_hashes // bands
     # Shingle+MinHash is the CPU hot spot; widen narrow scans first
     # (measured 1.7 s single-core shingle pass at sf0.1 without this).
     df = widen(df)
+    from kwwhat_spark.functions.text import let_
+
+    # let_ binds the shingle array before transform maps xxhash64 over
+    # it — without the binding Catalyst re-evaluates the whole shingling
+    # expression per element (the let_ pitfall; measured 6× here).
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
+        F.array_distinct(
+            let_(
+                word_shingles(F.col(text_col), k),
+                lambda sh: F.transform(sh, lambda s: F.xxhash64(s)),
+            )
+        ).alias("shingles"),
     )
     if persist_shingles:
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
@@ -222,7 +241,7 @@ def minhash_lsh_pairs(
     banded = shingled.select(
         "doc_id",
         F.posexplode(
-            let_(minhash_signature(F.col("shingles"), num_hashes), band_hashes)
+            let_(minhash_from_hashed(F.col("shingles"), num_hashes), band_hashes)
         ).alias("band_idx", "band_hash"),
     )
     a = banded.alias("a")
