@@ -236,8 +236,6 @@ def minhash_lsh_pairs(
             ]
         )
 
-    from kwwhat_spark.functions.text import let_
-
     banded = shingled.select(
         "doc_id",
         F.posexplode(
