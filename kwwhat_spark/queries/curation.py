@@ -531,6 +531,22 @@ def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb, k=5)
 
 
+@query("knn_graph_sharded_embeddings", oracle=None,
+       cite="LLM-ops: kNN graph beyond broadcast range (block-matmul "
+       "shards, lossless per-shard top-k merge; agreement with the "
+       "broadcast path asserted in tests/test_llm_ops.py)")
+def knn_graph_sharded_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.scaling import widen
+    from kwwhat_spark.operators.similarity import knn_graph_sharded
+
+    emb = widen(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    return knn_graph_sharded(emb, k=5, n_shards=4)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic integer k-means over int8-quantized embeddings
 # (operators/clustering.py). The oracle unrolls Lloyd iterations as

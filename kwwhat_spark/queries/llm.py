@@ -267,6 +267,42 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "similarity_ivf_fullprobe",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cosine_sim
+      FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+      CROSS JOIN embeddings c
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, corpus_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    cite="LLM-ops: IVF at n_probe=n_cells degenerates to exact brute "
+    "force, so the cell-assign/probe/re-rank machinery itself gets a "
+    "value-hash gate against the brute-force oracle",
+)
+def similarity_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    from kwwhat_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        queries, corpus, "query_id", "corpus_id", "embedding",
+        k=5, n_cells=8, n_probe=8,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text statistics (oracle-checked) and enrichment (heuristics, rows-only).
 # ---------------------------------------------------------------------------
