@@ -330,6 +330,57 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_quality_langid",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS en_hits,
+        len(list_filter(toks, x -> list_contains(['der','die','und','ist','nicht'], x))) AS de_hits,
+        len(list_filter(toks, x -> list_contains(['le','la','et','est','les'], x))) AS fr_hits,
+        len(list_filter(toks, x -> list_contains(['el','la','los','es','de'], x))) AS es_hits,
+        len(list_filter(toks, x -> list_contains(['的','是','不','了','在'], x))) AS zh_hits,
+        LEAST(length(text) / 500.0, 1.0) AS length_term,
+        1.0 - LEAST(CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                    / GREATEST(length(text), 1) * 4, 1.0) AS punct_term,
+        1.0 - LEAST(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                    / GREATEST(length(text), 1) * 4, 1.0) AS digit_term,
+        LEAST(CAST(len(list_filter(toks, x -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','are','was','were',
+                 'be','it','this','that','for','on','with','as','at','by'], x))) AS DOUBLE)
+              / GREATEST(len(toks), 1) * 5, 1.0) AS stop_term,
+        len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token_count
+      FROM t
+    )
+    SELECT doc_id,
+      CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= zh_hits THEN 'en'
+           WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits >= zh_hits THEN 'de'
+           WHEN fr_hits >= es_hits AND fr_hits >= zh_hits THEN 'fr'
+           WHEN es_hits >= zh_hits THEN 'es'
+           ELSE 'zh' END AS predicted_lang,
+      round((length_term + punct_term + digit_term + stop_term) / 4, 6) AS quality,
+      token_count
+    FROM m
+    """,
+    cite="LLM-ops: lang-id heuristic + composite quality score under the "
+    "value-hash gate (the CASE chain replicates greatest-struct "
+    "declaration-order tie-breaking; regexp_replace needs DuckDB's 'g' "
+    "flag to match Spark's global default)",
+)
+def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id("text").alias("predicted_lang"),
+        F.round(quality_score("text"), 6).alias("quality"),
+        whitespace_token_count("text").alias("token_count"),
+    )
+
+
+@query(
     "text_enrich",
     oracle=None,
     cite="LLM-ops: quality score, lang-id heuristic, fingerprint",
