@@ -49,10 +49,21 @@ def _stage_to_tmpfs(sf_dir: str) -> str:
         return sf_dir
     import shutil
 
+    names = [n for n in os.listdir(sf_dir) if n.endswith(".parquet")]
+    # tmpfs is RAM: staging an arbitrarily large sf dir can OOM the rig.
+    # Require the copy to fit with 2 GiB of headroom, else bench from
+    # the source dir (slower but safe) and say so.
+    need = sum(os.path.getsize(os.path.join(sf_dir, n)) for n in names)
+    free = shutil.disk_usage("/dev/shm").free
+    if need + (2 << 30) > free:
+        print(
+            f"# bench: not staging {sf_dir} to tmpfs "
+            f"({need >> 20} MiB needed, {free >> 20} MiB free); reading from disk",
+            file=sys.stderr,
+        )
+        return sf_dir
     dst = os.path.join("/dev/shm/bench-cache", os.path.basename(sf_dir.rstrip("/")))
-    for name in os.listdir(sf_dir):
-        if not name.endswith(".parquet"):
-            continue
+    for name in names:
         s, d = os.path.join(sf_dir, name), os.path.join(dst, name)
         if not os.path.exists(d) or os.path.getmtime(d) < os.path.getmtime(s):
             os.makedirs(dst, exist_ok=True)

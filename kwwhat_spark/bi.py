@@ -193,21 +193,46 @@ def _metric_column(key: str, single: bool) -> BIColumn:
 _FULL_HISTORY = ("full history", "all time", "all-time", "entire history", "ever")
 
 
+# Explicit time phrases the lexicon can't map to a day count.  The
+# module's stance is reject-don't-invent: silently answering a "this
+# quarter" question with the 7-day default is a wrong-window answer.
+_UNPARSED_WINDOWS = (
+    "yesterday", "today", "this week", "this month", "this quarter",
+    "this year", "last quarter", "past quarter", "last year", "past year",
+    "year to date", "month to date", "quarter to date", "ytd", "mtd", "qtd",
+)
+
+
+class UnsupportedWindowError(ValueError):
+    """The question names a time window the router cannot express."""
+
+
 def _window_days(q: str) -> int | None:
     """RULES.md: default window is last 7 days unless the user says
-    otherwise.  "full history"-style phrases drop the window."""
+    otherwise.  "full history"-style phrases drop the window; explicit
+    windows outside the lexicon raise instead of defaulting."""
     if any(p in q for p in _FULL_HISTORY):
         return None
-    m = re.search(r"last\s+(\d+)\s+day", q)
+    m = re.search(r"(?:last|past)\s+(\d+)\s+day", q)
     if m:
         return int(m.group(1))
-    m = re.search(r"last\s+(\d+)\s+week", q)
+    m = re.search(r"(?:last|past)\s+(\d+)\s+week", q)
     if m:
         return 7 * int(m.group(1))
+    m = re.search(r"(?:last|past)\s+(\d+)\s+month", q)
+    if m:
+        return 30 * int(m.group(1))
     if "last week" in q or "past week" in q:
         return 7
     if "last month" in q or "past month" in q:
         return 30
+    for phrase in _UNPARSED_WINDOWS:
+        if re.search(rf"\b{re.escape(phrase)}\b", q):
+            raise UnsupportedWindowError(
+                f"time window {phrase!r} is not in the semantic model's "
+                "lexicon; supported: last/past N days|weeks|months, "
+                "full history"
+            )
     return 7
 
 
@@ -279,6 +304,24 @@ def _mart_view(pipe: Pipeline, model: str) -> str:
     return view
 
 
+def _resolve_anchor(pipe: Pipeline, columns: tuple[BIColumn, ...]) -> str | None:
+    """The window anchor: max event time across ALL marts the query
+    touches (one union-all of per-mart max scans).  Resolved once and
+    inlined as a literal so every predicate — current window and any
+    shifted previous-period window — shares the same anchor."""
+    anchors = []
+    seen: set[str] = set()
+    for c in columns:
+        if c.time_col and c.model not in seen:
+            seen.add(c.model)
+            view = _mart_view(pipe, c.model)
+            anchors.append(f"select max({c.time_col}) as t from {view}")
+    if not anchors:
+        return None
+    row = pipe.spark.sql(" union all ".join(anchors)).agg(F.max("t")).first()
+    return f"timestamp'{row[0]}'" if row[0] is not None else None
+
+
 def compile_query(pipe: Pipeline, bq: BIQuery) -> DataFrame:
     """One aggregate per touched mart (a single shuffle each), scalar
     partials combined via one-row cross joins, percent columns rendered
@@ -295,16 +338,7 @@ def compile_query(pipe: Pipeline, bq: BIQuery) -> DataFrame:
 
     anchor_sql = None
     if bq.window_days is not None:
-        anchors = []
-        for (model, _), cols in by_model.items():
-            tc = next((c.time_col for c in cols if c.time_col), None)
-            if tc:
-                view = _mart_view(pipe, model)
-                anchors.append(f"select max({tc}) as t from {view}")
-        if anchors:
-            row = spark.sql(" union all ".join(anchors)).agg(F.max("t")).first()
-            if row[0] is not None:
-                anchor_sql = f"timestamp'{row[0]}'"
+        anchor_sql = _resolve_anchor(pipe, bq.columns)
 
     partials: list[DataFrame] = []
     for (model, _), cols in by_model.items():
@@ -389,10 +423,13 @@ def period_over_period(
             F.lit(None).cast("double").alias("previous_value"),
             F.lit(None).cast("double").alias("delta_pp"),
         )
-    prev_bq = BIQuery(columns=bq.columns, window_days=2 * bq.window_days)
-    # Previous period = [2w ago, w ago): double-window minus current,
-    # recovered per-metric only for additive columns; for averages we
-    # recompute with an explicit shifted filter instead.
+    # Previous period = [2w ago, w ago), recomputed with an explicit
+    # shifted filter (works for averages too, not just additive sums).
+    # The anchor is resolved ONCE across all touched marts — the same
+    # union-max compile_query uses for the current window — so the two
+    # periods are adjacent by construction even when marts have
+    # different max timestamps.
+    anchor_sql = _resolve_anchor(pipe, bq.columns)
     prev = compile_query(
         pipe,
         BIQuery(
@@ -402,10 +439,10 @@ def period_over_period(
                     model=c.model,
                     expr=c.expr,
                     percent=c.percent,
-                    where=_shifted_where(c, bq.window_days),
+                    where=_shifted_where(c, bq.window_days, anchor_sql),
                     time_col=None,  # window handled by the shifted predicate
                 )
-                for c in prev_bq.columns
+                for c in bq.columns
             ),
             window_days=None,
         ),
@@ -425,18 +462,14 @@ def period_over_period(
     )
 
 
-def _shifted_where(c: BIColumn, days: int) -> str | None:
-    if not c.time_col:
+def _shifted_where(c: BIColumn, days: int, anchor_sql: str | None) -> str | None:
+    """Previous-window predicate anchored at the GLOBAL anchor literal
+    (the caller resolves it via _resolve_anchor) — per-mart max anchors
+    would misalign the two periods for multi-mart questions."""
+    if not c.time_col or anchor_sql is None:
         return c.where
-    # Anchor resolution happens inside compile_query only for windowed
-    # queries; here we inline a self-contained anchor subquery-free form
-    # using the mart's own max — computed by the caller through
-    # compile_query's anchor path is not available, so shift relative to
-    # the mart max directly.
     shifted = (
-        f"{c.time_col} > (select max({c.time_col}) from __bi_{c.model.strip('_')})"
-        f" - interval {2 * days} day and {c.time_col} <="
-        f" (select max({c.time_col}) from __bi_{c.model.strip('_')})"
-        f" - interval {days} day"
+        f"{c.time_col} > {anchor_sql} - interval {2 * days} day"
+        f" and {c.time_col} <= {anchor_sql} - interval {days} day"
     )
     return f"({c.where}) and ({shifted})" if c.where else shifted

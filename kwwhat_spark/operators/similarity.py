@@ -681,6 +681,11 @@ def knn_graph_sharded(
         # Queries = the FULL df, corpus = this shard only: collect the
         # shard, guard its size, broadcast, scan all rows against it.
         rows = shard.collect()
+        if not rows:
+            # A hash bucket can be empty for small corpora; an empty
+            # shard contributes no edges (and np.linalg.norm would
+            # raise AxisError on the 1-D empty matrix below).
+            continue
         if len(rows) > max_shard_rows:
             need = -(-len(rows) * n_shards // max_shard_rows)
             raise ValueError(
@@ -734,6 +739,10 @@ def knn_graph_sharded(
         bc.destroy()
         partials.append(part)
 
+    if not partials:  # empty corpus: every shard was empty
+        return df.sparkSession.createDataFrame(
+            [], "src_id long, dst_id long, cosine_sim double, rank int"
+        )
     merged = partials[0]
     for p in partials[1:]:
         merged = merged.unionByName(p)

@@ -477,7 +477,7 @@ def percentile_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sliding_window_users",
     oracle="""
-    SELECT to_timestamp((epoch_us(ts) // 1000000 // 900) * 900 - k * 900) AS window_start,
+    SELECT make_timestamp(((epoch_us(ts) // 1000000 // 900) * 900 - k * 900) * 1000000) AS window_start,
            COUNT(*) AS event_count,
            COUNT(DISTINCT user_id) AS distinct_users
     FROM events, (VALUES (0), (1), (2), (3)) ks(k)
@@ -583,7 +583,10 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
-        F.percentile_approx("value", [0.5, 0.9], 10_000).alias("approx_p50_p90"),
+        # Two scalar columns, not one ArrayType: list-valued cells crash
+        # pandas-based canonicalizers (observed in the round-2 driver gate).
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
+        F.percentile_approx("value", 0.9, 10_000).alias("approx_p90"),
     )
 
 

@@ -15,16 +15,6 @@ import os
 from pyspark.sql import SparkSession
 
 
-def _local_dir() -> str:
-    """Scratch dir for shuffle/spill files: $SPARK_LOCAL_DIRS if the
-    platform set one, else Spark's default. tmpfs was tried here and
-    reverted: shuffle spill is unbounded (a quadratic candidate join at
-    sf10 wrote 101 GB), and spill-to-RAM turns a slow query into an
-    OOM-killed JVM. Input DATA on tmpfs (bench.py) is safe — it is
-    bounded and read-only; scratch is neither."""
-    return os.environ.get("SPARK_LOCAL_DIRS", "/tmp")
-
-
 def get_spark(
     app_name: str = "kwh-spark",
     master: str | None = None,
@@ -67,13 +57,12 @@ def get_spark(
         # steady-state flat. On a real cluster executor memory is sized
         # by spark-submit and this knob only covers the driver proper.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
-        # Shuffle/spill files default to /tmp, which on this rig is a
-        # shared disk with an ~1 GB page-cache budget — shuffle-write
-        # latency there is bimodal (measured 1.4 s vs 19 s for the same
-        # fact⋈fact plan). tmpfs takes storage out of the loop; a real
-        # cluster sets SPARK_LOCAL_DIRS to instance-local SSDs and this
-        # default never fires.
-        .config("spark.local.dir", _local_dir())
+        # Shuffle/spill scratch stays on disk BY DESIGN (Spark's /tmp
+        # default; SPARK_LOCAL_DIRS overrides it natively, no config
+        # needed): spill is unbounded — a quadratic candidate join at
+        # sf10 wrote 101 GB — and spill-to-tmpfs turns a slow query into
+        # an OOM-killed JVM. Input DATA on tmpfs (bench.py) is safe; it
+        # is bounded and read-only. Scratch is neither.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
         # Driver testdata writes TIMESTAMP(NANOS) parquet (pandas ns

@@ -18,8 +18,7 @@ def test_sketch_error_bounds(spark, sf_dir):
         # HLL++ with rsd=0.01 on |users| <= 150 is near-exact; allow 5%.
         assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users), (
             r.event_type, r.approx_users, r.exact_users)
-        p50, p90 = r.approx_p50_p90
-        assert p50 <= p90
+        assert r.approx_p50 <= r.approx_p90
 
 
 def test_asof_join_orders_strictly_before(spark, sf_dir):

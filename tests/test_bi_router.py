@@ -141,3 +141,54 @@ def test_period_over_period_shape(bi_env):
     # Full-history questions carry no previous period.
     full = bi.period_over_period(pipe, "uptime for the full history").first()
     assert full["previous_value"] is None and full["delta_pp"] is None
+
+
+def test_window_rejects_unparsed_phrases():
+    # reject-don't-invent: an explicit window outside the lexicon must
+    # not silently fall back to the 7-day default.
+    for q in ("uptime this quarter", "uptime yesterday", "uptime last year"):
+        with pytest.raises(bi.UnsupportedWindowError):
+            bi.route(q)
+    assert bi.route("uptime for the last 3 months").window_days == 90
+    assert bi.route("uptime over the past 2 months").window_days == 60
+
+
+def test_shifted_where_uses_global_anchor():
+    """period_over_period must anchor the previous window at the same
+    literal for every mart (per-mart max anchors misalign the periods
+    for multi-mart questions)."""
+    c = bi.BIColumn(
+        name="x", model="fact_uptime", expr="avg(uptime_pct)",
+        time_col="day_ts",
+    )
+    w = bi._shifted_where(c, 7, "timestamp'2024-05-01 00:00:00'")
+    assert w == (
+        "day_ts > timestamp'2024-05-01 00:00:00' - interval 14 day"
+        " and day_ts <= timestamp'2024-05-01 00:00:00' - interval 7 day"
+    )
+    # no per-mart max subquery anywhere in the predicate
+    assert "select" not in w.lower()
+    # no anchor (empty marts) -> unshifted where passthrough
+    assert bi._shifted_where(c, 7, None) is None
+
+
+def test_period_over_period_periods_adjacent(bi_env):
+    """Current and previous windows must partition [anchor-14d, anchor]:
+    recompute both by hand from the global anchor and compare."""
+    pipe, _ = bi_env
+    pop = {r["metric"]: r for r in bi.period_over_period(pipe, "What is our uptime?").collect()}
+    bq = bi.route("What is our uptime?")
+    anchor = bi._resolve_anchor(pipe, bq.columns)
+    spark = pipe.spark
+    tc = "cast(date_id as timestamp)"
+    cur = spark.sql(
+        "select cast(round(avg(uptime) * 100, 2) as double) v from __bi_fact_uptime "
+        f"where {tc} > {anchor} - interval 7 day"
+    ).first()["v"]
+    prev = spark.sql(
+        "select cast(round(avg(uptime) * 100, 2) as double) v from __bi_fact_uptime "
+        f"where {tc} > {anchor} - interval 14 day and {tc} <= {anchor} - interval 7 day"
+    ).first()["v"]
+    row = pop["overall_uptime_pct"]
+    assert row["value"] == pytest.approx(cur, abs=1e-6)
+    assert row["previous_value"] == pytest.approx(prev, abs=1e-6)

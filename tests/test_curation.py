@@ -220,6 +220,21 @@ def test_knn_graph_sharded_enforces_shard_bound(spark):
         knn_graph_sharded(df, k=2, n_shards=2, max_shard_rows=5).collect()
 
 
+def test_knn_graph_sharded_tolerates_empty_shards(spark):
+    """With n_shards >> rows some hash buckets are empty; an empty shard
+    must be skipped, not crash numpy (AxisError on a 1-D empty matrix)."""
+    from kwwhat_spark.operators.similarity import knn_graph_sharded
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = knn_graph_sharded(df, k=2, n_shards=8).collect()
+    assert {r.src_id for r in got} == {1, 2, 3}
+    # empty corpus: empty result with the contract schema
+    empty = knn_graph_sharded(df.filter("vec_id > 99"), k=2, n_shards=4)
+    assert empty.columns == ["src_id", "dst_id", "cosine_sim", "rank"]
+    assert empty.count() == 0
+
+
 def test_kmeans_quantized_separates_obvious_groups(spark):
     from kwwhat_spark.operators.clustering import kmeans_quantized
 
