@@ -1142,3 +1142,290 @@ def ocpp_fact_interval_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase", "meter_15min_interval_start", "meter_15min_interval_stop",
         "avg_value", "_count", "incremental_ts",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental engine under the driver gate (SURVEY §2.8): run
+# int_status_changes in TWO batches through PartitionedStateStore —
+# batch 1 sees only logs before the cutoff (full-refresh branch, no
+# prior state), batch 2 sees the whole source (incremental branch:
+# window from the stored watermark, 30-min look-back buffer of open
+# rows, partition-scoped MERGE) — and return the merged state. The
+# oracle replays the exact same two-batch lifecycle in DuckDB:
+# b1 = full-refresh compile over the pre-cutoff slice, b2 = the
+# incremental branch (buffer union + coalesced lag stitch) compiled
+# from int_status_changes.sql:90-205, merge = anti-join on the model's
+# unique key (int_status_changes.sql:4 unique_key) ∪ batch output.
+# ---------------------------------------------------------------------------
+
+_INC_CUTOFF = "2025-10-08T00"  # raw ISO string; seed format 2025-10-0xT..Z
+
+_INC_STATUS_COLS = (
+    "charger_id", "connector_id", "port_id", "ingested_ts", "unique_id",
+    "status", "error_code", "payload_ts", "confirmation_ingested_ts",
+    "previous_status", "previous_ingested_ts", "previous_payload_ts",
+    "next_status", "next_ingested_ts", "next_payload_ts", "incremental_ts",
+)
+
+_INC_STATUS_ORACLE = f"""
+WITH {_STG_CTES},
+b1_src AS MATERIALIZED (
+    SELECT * FROM stg_ocpp_logs
+    WHERE ingested_timestamp < TIMESTAMP '2025-10-08 00:00:00'
+),
+b1_window AS (
+    SELECT greatest(TIMESTAMP '2025-10-01 00:00:00',
+                    (SELECT min(ingested_timestamp) FROM b1_src)) AS from_ts
+),
+b1_logs AS MATERIALIZED (
+    SELECT charger_id, action, ingested_timestamp, message_type_id, payload, unique_id
+    FROM b1_src, b1_window
+    WHERE ingested_timestamp > from_ts
+      AND ingested_timestamp <= from_ts + INTERVAL 3 MONTH
+),
+b1_inc AS (SELECT max(ingested_timestamp) AS incremental_ts FROM b1_logs),
+b1_req AS (
+    SELECT ingested_timestamp, charger_id, unique_id,
+           json_extract_string(payload, '$.connectorId') AS connector_id,
+           json_extract_string(payload, '$.status') AS status,
+           json_extract_string(payload, '$.errorCode') AS error_code,
+           CAST(json_extract_string(payload, '$.timestamp') AS TIMESTAMP) AS payload_ts
+    FROM b1_logs
+    WHERE action = 'StatusNotification' AND message_type_id = '2'
+),
+b1_conf AS (
+    SELECT r.charger_id, r.connector_id, c.port_id,
+           r.ingested_timestamp AS ingested_ts, r.unique_id, r.status,
+           r.error_code, r.payload_ts,
+           cf.ingested_timestamp AS confirmation_ingested_ts
+    FROM b1_req r
+    LEFT JOIN int_connectors c
+        ON r.charger_id = c.charger_id AND r.connector_id = c.connector_id
+    LEFT JOIN b1_logs cf
+        ON cf.unique_id = r.unique_id AND cf.message_type_id = '3'
+       AND cf.ingested_timestamp >= r.ingested_timestamp
+       AND cf.ingested_timestamp <= r.ingested_timestamp + INTERVAL 15 SECOND
+),
+b1_lag AS (
+    SELECT *,
+           lag(status) OVER w AS previous_status,
+           lag(ingested_ts) OVER w AS previous_ingested_ts,
+           lag(payload_ts) OVER w AS previous_payload_ts
+    FROM b1_conf
+    WINDOW w AS (PARTITION BY charger_id, connector_id ORDER BY ingested_ts)
+),
+b1_change AS (
+    SELECT * FROM b1_lag WHERE previous_status IS NULL OR previous_status <> status
+),
+b1_state AS MATERIALIZED (
+    SELECT *,
+           lead(status) OVER w AS next_status,
+           lead(ingested_ts) OVER w AS next_ingested_ts,
+           lead(payload_ts) OVER w AS next_payload_ts,
+           (SELECT incremental_ts FROM b1_inc) AS incremental_ts
+    FROM b1_change
+    WINDOW w AS (PARTITION BY charger_id, connector_id ORDER BY ingested_ts)
+),
+b2_window AS (
+    SELECT (SELECT max(incremental_ts) FROM b1_state) AS from_ts
+),
+b2_logs AS MATERIALIZED (
+    SELECT charger_id, action, ingested_timestamp, message_type_id, payload, unique_id
+    FROM stg_ocpp_logs, b2_window
+    WHERE ingested_timestamp > from_ts
+      AND ingested_timestamp <= from_ts + INTERVAL 3 MONTH
+),
+b2_inc AS (SELECT max(ingested_timestamp) AS incremental_ts FROM b2_logs),
+b2_req AS (
+    SELECT ingested_timestamp, charger_id, unique_id,
+           json_extract_string(payload, '$.connectorId') AS connector_id,
+           json_extract_string(payload, '$.status') AS status,
+           json_extract_string(payload, '$.errorCode') AS error_code,
+           CAST(json_extract_string(payload, '$.timestamp') AS TIMESTAMP) AS payload_ts
+    FROM b2_logs
+    WHERE action = 'StatusNotification' AND message_type_id = '2'
+),
+b2_conf AS (
+    SELECT r.charger_id, r.connector_id, c.port_id,
+           r.ingested_timestamp AS ingested_ts, r.unique_id, r.status,
+           r.error_code, r.payload_ts,
+           cf.ingested_timestamp AS confirmation_ingested_ts
+    FROM b2_req r
+    LEFT JOIN int_connectors c
+        ON r.charger_id = c.charger_id AND r.connector_id = c.connector_id
+    LEFT JOIN b2_logs cf
+        ON cf.unique_id = r.unique_id AND cf.message_type_id = '3'
+       AND cf.ingested_timestamp >= r.ingested_timestamp
+       AND cf.ingested_timestamp <= r.ingested_timestamp + INTERVAL 15 SECOND
+),
+b2_buffer AS (
+    SELECT charger_id, connector_id, port_id, ingested_ts, unique_id, status,
+           error_code, payload_ts, confirmation_ingested_ts,
+           previous_status, previous_ingested_ts, previous_payload_ts
+    FROM b1_state, b2_window
+    WHERE ingested_ts >= from_ts - INTERVAL 30 MINUTE
+      AND ingested_ts <= from_ts
+      AND next_status IS NULL
+),
+b2_union AS (
+    SELECT charger_id, connector_id, port_id, ingested_ts, unique_id, status,
+           error_code, payload_ts, confirmation_ingested_ts,
+           CAST(NULL AS VARCHAR) AS previous_status,
+           CAST(NULL AS TIMESTAMP) AS previous_ingested_ts,
+           CAST(NULL AS TIMESTAMP) AS previous_payload_ts
+    FROM b2_conf
+    UNION ALL
+    SELECT * FROM b2_buffer
+),
+b2_lag AS (
+    SELECT charger_id, connector_id, port_id, ingested_ts, unique_id, status,
+           error_code, payload_ts, confirmation_ingested_ts,
+           coalesce(previous_status, lag(status) OVER w) AS previous_status,
+           coalesce(previous_ingested_ts, lag(ingested_ts) OVER w) AS previous_ingested_ts,
+           coalesce(previous_payload_ts, lag(payload_ts) OVER w) AS previous_payload_ts
+    FROM b2_union
+    WINDOW w AS (PARTITION BY charger_id, connector_id ORDER BY ingested_ts)
+),
+b2_change AS (
+    SELECT * FROM b2_lag WHERE previous_status IS NULL OR previous_status <> status
+),
+b2_out AS MATERIALIZED (
+    SELECT *,
+           lead(status) OVER w AS next_status,
+           lead(ingested_ts) OVER w AS next_ingested_ts,
+           lead(payload_ts) OVER w AS next_payload_ts,
+           (SELECT incremental_ts FROM b2_inc) AS incremental_ts
+    FROM b2_change
+    WINDOW w AS (PARTITION BY charger_id, connector_id ORDER BY ingested_ts)
+),
+merged AS (
+    SELECT {', '.join(_INC_STATUS_COLS)} FROM b2_out
+    UNION ALL
+    SELECT {', '.join(_INC_STATUS_COLS)} FROM b1_state b1
+    WHERE NOT EXISTS (
+        SELECT 1 FROM b2_out n
+        WHERE n.charger_id = b1.charger_id
+          AND n.connector_id = b1.connector_id
+          AND n.ingested_ts = b1.ingested_ts
+    )
+)
+SELECT {', '.join(_INC_STATUS_COLS)} FROM merged
+"""
+
+
+@query(
+    "ocpp_incremental_status",
+    oracle=_INC_STATUS_ORACLE,
+    cite="int_status_changes.sql:1-225 (incremental branch: window macro "
+    "macros/incremental_date_range.sql, 30-min buffer :90-146, merge on "
+    "unique_key :4); plans/incremental.py PartitionedStateStore",
+)
+def ocpp_incremental_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental lifecycle of int_status_changes through the
+    partition-scoped state store; returns the post-merge state (sf_dir
+    ignored — the demo seed is the canonical fixture both engines read)."""
+    import shutil
+    import tempfile
+
+    from kwwhat_spark.plans.incremental import IncrementalRunner, PartitionedStateStore
+    from kwwhat_spark.sources.ocpp import load_ocpp_sources
+
+    sources = load_ocpp_sources(spark)
+    state_dir = tempfile.mkdtemp(prefix="kwh-inc-status-")
+    try:
+        store = PartitionedStateStore(spark, state_dir)
+        runner = IncrementalRunner(spark, store)
+        batch1 = {
+            **sources,
+            "raw_ocpp_logs": sources["raw_ocpp_logs"].filter(
+                F.col("timestamp") < _INC_CUTOFF
+            ),
+        }
+        runner.run_batch(batch1, models=["int_status_changes"])
+        runner.run_batch(sources, models=["int_status_changes"])
+        out = store.read("int_status_changes").select(*_INC_STATUS_COLS)
+        # Pin the result before the state directory disappears.
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming path under the driver gate (SURVEY §2.9 extension): the
+# stateful change-point stream (streaming/ocpp.py stream_status_changes,
+# applyInPandasWithState) run with an availableNow trigger over the demo
+# seed. The oracle is the change-point semantics compiled to DuckDB —
+# lag over ALL StatusNotification CALLs (a stream has no batch window),
+# change filter — so the STREAMING executor itself sits under the
+# value-hash gate, not just its batch twin.
+# ---------------------------------------------------------------------------
+
+_STREAM_STATUS_ORACLE = f"""
+WITH {_STG_CTES},
+ss_req AS (
+    SELECT charger_id,
+           json_extract_string(payload, '$.connectorId') AS connector_id,
+           ingested_timestamp AS ingested_ts,
+           json_extract_string(payload, '$.status') AS status,
+           json_extract_string(payload, '$.errorCode') AS error_code,
+           CAST(json_extract_string(payload, '$.timestamp') AS TIMESTAMP) AS payload_ts
+    FROM stg_ocpp_logs
+    WHERE action = 'StatusNotification' AND message_type_id = '2'
+),
+ss_lag AS (
+    SELECT *,
+           lag(status) OVER w AS previous_status,
+           lag(ingested_ts) OVER w AS previous_ingested_ts
+    FROM ss_req
+    WINDOW w AS (PARTITION BY charger_id, connector_id ORDER BY ingested_ts)
+)
+SELECT charger_id, connector_id, ingested_ts, status, error_code, payload_ts,
+       previous_status, previous_ingested_ts
+FROM ss_lag
+WHERE previous_status IS NULL OR previous_status <> status
+"""
+
+
+@query(
+    "ocpp_stream_status_changes",
+    oracle=_STREAM_STATUS_ORACLE,
+    cite="int_status_changes.sql:164-189 change-point semantics; "
+    "streaming/ocpp.py:134-196 (applyInPandasWithState executor)",
+)
+def ocpp_stream_status_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful streaming change-point detector end-to-end
+    (availableNow → memory sink) on the demo seed and return its rows
+    (sf_dir ignored — the seed is the canonical fixture)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from kwwhat_spark.sources.ocpp import DEMO_SEED_DIR
+    from kwwhat_spark.streaming import (
+        read_ocpp_stream,
+        stage_stream,
+        stream_status_changes,
+    )
+
+    stream_dir = tempfile.mkdtemp(prefix="kwh-stream-status-")
+    name = f"stream_status_gate_{uuid.uuid4().hex[:8]}"
+    try:
+        shutil.copy(
+            f"{DEMO_SEED_DIR}/ocpp_1_6_synthetic_logs_14d.csv",
+            f"{stream_dir}/logs.csv",
+        )
+        staged = stage_stream(read_ocpp_stream(spark, stream_dir))
+        q = (
+            stream_status_changes(staged)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
