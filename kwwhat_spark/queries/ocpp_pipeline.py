@@ -667,13 +667,10 @@ fv_new_visits AS (
     GROUP BY grouping_key, time_window_minutes, visit_start_ts
 )"""
 
-_FV_ORACLE = f"""
-WITH {_STG_CTES},
-{_STATUS_CTES},
-{_PREPARING_CTES},
-{_TRANSACTIONS_CTES},
-{_ATTEMPTS_CTES},
-{_VISITS_CTES}
+# Final projection over fv_new_visits — shared with the property test
+# (tests/test_visits_property.py), which swaps the seed-compile CTE chain
+# for generated attempt tables.
+_FV_ORACLE_TAIL = f"""
 SELECT {_sk('v.location_id', 'v.first_charger_id', 'v.first_port_id', 'v.visit_start_ts')} AS visit_id,
        {_sk('v.location_id')} AS location_key,
        {_sk("coalesce(v.id_tag, 'UNKNOWN')")} AS driver_key,
@@ -692,6 +689,16 @@ SELECT {_sk('v.location_id', 'v.first_charger_id', 'v.first_port_id', 'v.visit_s
        date_diff('minute', v.visit_start_ts, v.visit_end_ts) AS visit_duration_minutes,
        (SELECT incremental_ts FROM fv_incremental) AS incremental_ts
 FROM fv_new_visits v
+"""
+
+_FV_ORACLE = f"""
+WITH {_STG_CTES},
+{_STATUS_CTES},
+{_PREPARING_CTES},
+{_TRANSACTIONS_CTES},
+{_ATTEMPTS_CTES},
+{_VISITS_CTES}
+{_FV_ORACLE_TAIL}
 """
 
 
