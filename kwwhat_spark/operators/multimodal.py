@@ -1,18 +1,24 @@
 """Multimodal column handling: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake features derived from the bytes, clearly marked); the
-Spark-side plumbing — schemas, batch iteration, partition-preserving
-mapInPandas, metadata propagation — is real and tested. Swapping the stub
-for PIL/torchaudio is a one-function change.
+Decode is REAL for the formats the container can handle with stdlib +
+numpy — WAV audio (`wave`), PPM (P6) and uncompressed 24-bit BMP images —
+and extends to PNG/JPEG wherever PIL is installed (import-gated; absent
+in this container, see BASELINE.md). Payloads no decoder recognizes fall
+back to the deterministic digest stub, clearly marked per-row via
+`decoder`. The Spark-side plumbing — schemas, batch iteration,
+partition-preserving mapInPandas, metadata propagation — is identical
+for every decoder, so adding a codec never changes the plan.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,6 +32,11 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+try:  # optional codec coverage (PNG/JPEG/...); not in this container
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - environment-dependent
+    _PILImage = None
 
 # Canonical multimodal record: opaque payload + typed metadata.
 MEDIA_SCHEMA = StructType(
@@ -46,31 +57,169 @@ FEATURE_SCHEMA = StructType(
         StructField("modality", StringType()),
         StructField("payload_bytes", LongType()),
         StructField("content_sha256", StringType()),
+        StructField("decoder", StringType()),  # wav|ppm|bmp|pil|stub
         StructField("feature", ArrayType(FloatType())),
     ]
 )
 
+FEATURE_DIM = 16
 
-def _stub_decode_features(payload: bytes, dim: int = 16) -> list[float]:
-    """STUB: deterministic fake embedding from the payload digest.
 
-    A real deployment decodes here (PIL.Image.open / librosa.load /
-    frame-sample) — the codecs are not installed in this container.
-    """
+def _stub_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Fallback for payloads no installed decoder recognizes:
+    deterministic fake embedding from the payload digest."""
     digest = hashlib.sha256(payload or b"").digest()
     return [b / 255.0 for b in digest[:dim]]
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+# --- real decoders (stdlib + numpy; PIL widens coverage when present) ---
+
+
+def _image_feature(rgb: np.ndarray, dim: int) -> list[float]:
+    """Fixed-dim feature from an HxWx3 uint8 array: normalized size,
+    per-channel mean/std, 8-bin luma histogram."""
+    h, w = rgb.shape[:2]
+    chans = rgb.reshape(-1, 3).astype(np.float64) / 255.0
+    luma = chans @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(luma, bins=8, range=(0.0, 1.0))
+    hist = hist / max(len(luma), 1)
+    feat = [w / 4096.0, h / 4096.0, *chans.mean(axis=0), *chans.std(axis=0), *hist]
+    return [float(x) for x in (feat + [0.0] * dim)[:dim]]
+
+
+def _decode_ppm(payload: bytes, dim: int):
+    """P6 binary PPM: `P6 <w> <h> <maxval>` header then raw RGB."""
+    if not payload.startswith(b"P6"):
+        return None
+    parts, pos = [], 2
+    while len(parts) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        tok = b""
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            tok += payload[pos : pos + 1]
+            pos += 1
+        parts.append(int(tok))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        return None
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    rgb = raw.reshape(h, w, 3)
+    return _image_feature(rgb, dim), {"width": w, "height": h}
+
+
+def _decode_bmp(payload: bytes, dim: int):
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up rows padded
+    to 4 bytes) — the interchange subset."""
+    if not payload.startswith(b"BM") or len(payload) < 54:
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    bgr = rows[::-1] if flipped else rows
+    rgb = bgr[:, :, ::-1]
+    return _image_feature(rgb, dim), {"width": w, "height": h}
+
+
+def _decode_wav(payload: bytes, dim: int):
+    """PCM WAV via stdlib `wave`: duration, rate, RMS, zero-crossing
+    rate, 12 coarse spectral-band energies."""
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            rate, n, width = wf.getframerate(), wf.getnframes(), wf.getsampwidth()
+            raw = wf.readframes(n)
+            channels = wf.getnchannels()
+    except (wave.Error, EOFError):
+        return None
+    if width == 2:
+        x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    if len(x) == 0:
+        return None
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) if len(x) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x))
+    bands = [float(b.mean()) if len(b) else 0.0 for b in np.array_split(spec, 12)]
+    scale = max(bands) or 1.0
+    feat = [len(x) / rate / 60.0, rate / 48000.0, rms, zcr] + [b / scale for b in bands]
+    duration_ms = int(round(1000 * len(x) / rate))
+    return [float(v) for v in (feat + [0.0] * dim)[:dim]], {"duration_ms": duration_ms}
+
+
+def _decode_pil(payload: bytes, dim: int):  # pragma: no cover - needs PIL
+    if _PILImage is None:
+        return None
+    try:
+        img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+    except Exception:  # noqa: BLE001 - any undecodable payload
+        return None
+    rgb = np.asarray(img, dtype=np.uint8)
+    return _image_feature(rgb, dim), {"width": img.width, "height": img.height}
+
+
+def _real_decode(payload: bytes, dim: int):
+    """(feature, decoder_name) for recognized payloads, else None.
+    Magic-sniffed, so a mislabeled mime_type cannot crash a 100-TB job."""
+    if not payload:
+        return None
+    for fn, name in ((_decode_ppm, "ppm"), (_decode_bmp, "bmp"), (_decode_wav, "wav")):
+        got = fn(payload, dim)
+        if got is not None:
+            return got[0], name
+    got = _decode_pil(payload, dim)
+    if got is not None:
+        return got[0], "pil"
+    return None
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM, decode: str = "auto") -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
+
+    decode='auto' (default) runs the real decoders and falls back to the
+    digest stub per row; 'real' nulls the feature when nothing decodes
+    (strict); 'stub' forces the fake (bit-stable across codec installs).
 
     mapInPandas keeps partitioning (no shuffle) and streams batches —
     at 100 TB the payload column never materializes on the driver and
     batch size is bounded by arrow.maxRecordsPerBatch.
     """
+    if decode not in ("auto", "real", "stub"):
+        raise ValueError(f"decode must be auto|real|stub, got {decode!r}")
+
+    def one(b):
+        payload = bytes(b) if b is not None else b""
+        if decode != "stub":
+            got = _real_decode(payload, dim)
+            if got is not None:
+                return got
+            if decode == "real":
+                return None, "undecodable"
+        return _stub_decode_features(payload, dim), "stub"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            decoded = [one(b) for b in pdf["payload"]]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -79,7 +228,8 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                     "content_sha256": pdf["payload"].map(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
-                    "feature": pdf["payload"].map(lambda b: _stub_decode_features(b, dim)),
+                    "decoder": [d for _, d in decoded],
+                    "feature": [f for f, _ in decoded],
                 }
             )
             yield out
@@ -87,24 +237,66 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def bmp_bytes(w: int, h: int, seed: int = 0) -> bytes:
+    """Encode a deterministic 24-bit uncompressed BMP (test/demo payloads
+    the REAL decoder accepts)."""
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[:, :, ::-1].reshape(h, w * 3)  # BGR, bottom-up
+    pix = rows[::-1].tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def wav_bytes(freq_hz: float, ms: int, rate: int = 8000, amp: float = 0.5) -> bytes:
+    """Encode a deterministic 16-bit mono PCM WAV sine (real payloads)."""
+    import wave
+
+    n = max(1, rate * ms // 1000)
+    t = np.arange(n) / rate
+    samples = (amp * np.sin(2 * np.pi * freq_hz * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    """Deterministic media table for tests: REAL decodable payloads
+    (24-bit BMP images, PCM WAV audio) plus opaque video/garbage rows
+    that exercise the digest-stub fallback."""
     import random
 
     rng = random.Random(seed)
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
-        payload = bytes(rng.randrange(256) for _ in range(128 + (i % 64)))
+        if modality == "image":
+            w, h = 8 + (i % 8), 6 + (i % 5)
+            payload = bmp_bytes(w, h, seed=seed + i)
+            width, height, duration = w, h, None
+        elif modality == "audio":
+            ms = 50 + 10 * (i % 20)
+            payload = wav_bytes(200.0 + 20 * (i % 10), ms)
+            width, height, duration = None, None, ms
+        else:  # opaque container the stub handles
+            payload = bytes(rng.randrange(256) for _ in range(128 + (i % 64)))
+            width, height, duration = 64, 48, 1000 * (i % 30)
         rows.append(
             (
                 i,
                 modality,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality],
+                {"image": "image/bmp", "audio": "audio/wav", "video": "video/mp4"}[modality],
                 payload,
-                64 if modality != "audio" else None,
-                48 if modality != "audio" else None,
-                1000 * (i % 30) if modality != "image" else None,
+                width,
+                height,
+                duration,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

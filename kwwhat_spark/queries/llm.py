@@ -582,14 +582,16 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing: binary payloads → Arrow-batched feature extraction
-# (decode stubbed — no codecs in container; schema/batch path is real).
+# Multimodal: binary payloads → Arrow-batched feature extraction. Decode
+# is REAL for WAV/PPM/BMP (stdlib+numpy; PIL widens coverage where
+# installed) with a digest-stub fallback for opaque containers — the
+# per-row `decoder` column in the output records which path ran.
 # ---------------------------------------------------------------------------
-@query("multimodal_features", oracle=None, cite="LLM-ops: multimodal binary column plumbing")
+@query("multimodal_features", oracle=None, cite="LLM-ops: multimodal binary column decode + features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(spark, n=64)
     feats = extract_features(media, dim=16)
-    return feats.groupBy("modality").agg(
+    return feats.groupBy("modality", "decoder").agg(
         F.count(F.lit(1)).alias("media_count"),
         F.sum("payload_bytes").alias("total_bytes"),
         F.countDistinct("content_sha256").alias("distinct_payloads"),

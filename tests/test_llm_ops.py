@@ -260,6 +260,14 @@ def test_multimodal_feature_plumbing(spark):
         assert len(r["feature"]) == 16
         assert all(0.0 <= x <= 1.0 for x in r["feature"])
         assert len(r["content_sha256"]) == 64
+    # Real decoders handle the decodable modalities; only the opaque
+    # video payloads fall back to the digest stub.
+    decoders = {r["modality"]: set() for r in feats}
+    for r in feats:
+        decoders[r["modality"]].add(r["decoder"])
+    assert decoders["image"] == {"bmp"}
+    assert decoders["audio"] == {"wav"}
+    assert decoders["video"] == {"stub"}
     # Determinism: same seed → same digests.
     again = {r["media_id"]: r["content_sha256"] for r in extract_features(synthesize_media(spark, n=30), dim=16).collect()}
     assert all(again[r["media_id"]] == r["content_sha256"] for r in feats)

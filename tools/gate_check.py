@@ -10,6 +10,8 @@ inside the driver's gate budget.
 from __future__ import annotations
 
 import argparse
+import json
+import os
 import sys
 import time
 
@@ -18,6 +20,8 @@ sys.path.insert(0, ".")
 from kwwhat_spark.queries import REGISTRY  # noqa: E402
 from kwwhat_spark.session import get_spark  # noqa: E402
 from tests.oracle_harness import compare, duckdb_connection  # noqa: E402
+
+TIMINGS_PATH = os.path.join(os.path.dirname(__file__), "gate_timings.json")
 
 
 def main() -> int:
@@ -30,6 +34,7 @@ def main() -> int:
     con = duckdb_connection(args.sf_dir)
     names = args.names or list(REGISTRY)
     failures = []
+    timings: dict[str, float] = {}
     t_total = time.time()
     for name in names:
         q = REGISTRY[name]
@@ -39,6 +44,7 @@ def main() -> int:
             if q.oracle is None:
                 n = df.count()
                 t_spark = time.time() - t0
+                timings[name] = round(t_spark, 2)
                 print(f"{name:40s} rows-only n={n:<8d} spark={t_spark:6.2f}s", flush=True)
                 spark.catalog.clearCache()
                 continue
@@ -46,13 +52,25 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {e!r}"[:300]]
         t_spark = time.time() - t0
+        timings[name] = round(t_spark, 2)
         status = "ok" if not problems else "FAIL"
         print(f"{name:40s} {status:4s} total={t_spark:6.2f}s", flush=True)
         for p in problems:
             failures.append(name)
             print(f"    {p[:400]}", flush=True)
         spark.catalog.clearCache()
-    print(f"TOTAL {time.time() - t_total:.1f}s  failures={sorted(set(failures))}", flush=True)
+    total = time.time() - t_total
+    print(f"TOTAL {total:.1f}s  failures={sorted(set(failures))}", flush=True)
+    # Persist per-entry timings when the whole catalog ran: the budget
+    # tool for keeping all entries inside one driver round (VERDICT r2
+    # item 10). Committed to the repo so rounds can diff it.
+    if not args.names:
+        with open(TIMINGS_PATH, "w") as f:
+            json.dump(
+                {"sf_dir": args.sf_dir, "total_sec": round(total, 1),
+                 "entries": timings},
+                f, indent=1, sort_keys=True,
+            )
     return 1 if failures else 0
 
 
