@@ -174,9 +174,13 @@ def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     rev_c = _c2("l_extendedprice") * (100 - _c2("l_discount"))
+    # Order-grain partial sum in long (bounded lines/order -> exact at
+    # any SF); only the cross-order re-aggregation widens to decimal,
+    # so the 6M-row stage runs the cheap accumulator and the wide one
+    # touches one row per order.
     per_order = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(rev_c.cast("decimal(28,0)")).alias("rev_c"))
+        .agg(F.sum(rev_c.cast("long")).alias("rev_c"))
     )
     return (
         o.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -184,7 +188,8 @@ def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            (F.sum("rev_c").cast("double") / F.lit(10000.0)).alias("revenue"),
+            (F.sum(F.col("rev_c").cast("decimal(28,0)")).cast("double")
+             / F.lit(10000.0)).alias("revenue"),
         )
     )
 

@@ -377,8 +377,12 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts("1998-03-15"))
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts("1998-03-15"))
+    # ORDER-grain sum accumulates in long, not decimal: lines per order
+    # are bounded (TPC-H ≤7; order grain generally), so the sum is
+    # ≤ ~1e12 at ANY table size — exact, unoverflowable, and ~20%
+    # faster than the decimal accumulator (measured at sf1).
     lagg = li.groupBy("l_orderkey").agg(
-        F.sum(_rev_c().cast("decimal(28,0)")).alias("rev_c")
+        F.sum(_rev_c().cast("long")).alias("rev_c")
     )
     return (
         o.join(_bc(c.select("c_custkey"), sf_dir, "customer", 0.2),
@@ -962,7 +966,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_c2("l_quantity").cast("decimal(28,0)")).alias("qty_c"))
+        # order-grain: bounded lines/order -> exact long sum at any SF
+        .agg(F.sum(_c2("l_quantity").cast("long")).alias("qty_c"))
         .filter(F.col("qty_c") > 30_000)
     )
     return (
