@@ -104,14 +104,58 @@ class ParquetStateStore:
         for old in range(version - 1):
             shutil.rmtree(os.path.join(self.state_dir, name, f"v{old}"), ignore_errors=True)
 
+    def _evolve(self, name: str, existing: DataFrame, new: DataFrame) -> DataFrame:
+        """Schema evolution on merge (the state-store analog of the
+        reference's warehouse migration discipline, migrations/
+        001_split_ports.sql): ADDITIVE columns evolve automatically —
+        prior state gets typed NULLs, like Delta mergeSchema — because
+        silently dropping a model's new column (the old
+        `new.select(*existing.columns)`) corrupts every later batch.
+        REMOVED columns refuse with a pointer to migrate(): dropping
+        data is a phase-staged, human-approved operation in the
+        reference and stays one here."""
+        from pyspark.sql import functions as F
+
+        removed = [c for c in existing.columns if c not in new.columns]
+        if removed:
+            raise RuntimeError(
+                f"model '{name}' no longer produces stored column(s) "
+                f"{removed}; dropping state columns is a migration — run "
+                "store.migrate(name, lambda df: df.drop(...)) explicitly, "
+                "then re-run the batch"
+            )
+        added = [f for f in new.schema.fields if f.name not in existing.columns]
+        if added:
+            existing = existing.select(
+                "*",
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in added],
+            )
+        return existing
+
+    def migrate(self, name: str, transform) -> None:
+        """Versioned state migration: read the current state, apply
+        `transform(df) -> df`, write it as a NEW version — the previous
+        version directory stays on disk for rollback, mirroring the
+        reference's phase-staged migration (create new → validate →
+        swap → drop only after sign-off)."""
+        cur = self.read(name)
+        if cur is None:
+            raise RuntimeError(f"no state for '{name}' to migrate")
+        # Materialize before writing: the partitioned layout overwrites
+        # the same directory the lazy plan would still be scanning.
+        out = transform(cur).localCheckpoint(eager=True)
+        self.write(name, out, batch_id=self.last_batch_id(name))
+
     def merge(self, name: str, new: DataFrame, keys: list[str], *,
               batch_id: int | None = None) -> None:
         """MERGE semantics: rows in `new` replace state rows with the same
-        key; all other state rows are kept."""
+        key; all other state rows are kept. Additive schema changes
+        evolve the stored state (see _evolve)."""
         existing = self.read(name)
         if existing is None:
             self.write(name, new, batch_id=batch_id)
             return
+        existing = self._evolve(name, existing, new)
         keep = existing.join(new.select(*keys).distinct(), keys, "left_anti")
         self.write(name, keep.unionByName(new.select(*existing.columns)),
                    batch_id=batch_id)
@@ -232,6 +276,18 @@ class PartitionedStateStore(ParquetStateStore):
         existing = self.read(name)
         if existing is None:
             self.write(name, new, batch_id=batch_id)
+            return
+        if set(new.columns) != set(existing.columns):
+            # Schema change: partition directories cannot mix schemas
+            # (untouched partitions would keep the old footer), so an
+            # additive evolution is a one-off FULL rewrite of the table
+            # with typed NULLs backfilled — the same cost as a warehouse
+            # ALTER TABLE + backfill. Removed columns raise in _evolve.
+            evolved = self._evolve(name, existing, new)
+            keep_all = evolved.join(new.select(*keys).distinct(), keys, "left_anti")
+            merged = keep_all.unionByName(new.select(*evolved.columns))
+            merged = merged.localCheckpoint(eager=True)
+            self.write(name, merged, batch_id=batch_id)
             return
         newp = new.select(*existing.columns).withColumn(
             "_part", F.expr(self.partition_exprs[name])
