@@ -381,10 +381,69 @@ def compile_query(pipe: Pipeline, bq: BIQuery) -> DataFrame:
     return result.selectExpr(*final)
 
 
-def ask(pipe: Pipeline, question: str) -> DataFrame:
-    """Route a question and run it: the deterministic core of the
-    reference's chat-BI loop (demo/chat-bi/tests/*.yml prompts)."""
-    return compile_query(pipe, route(question))
+# --- pluggable agent interface -----------------------------------------
+#
+# The reference's chat-BI demo puts an LLM agent in front of the
+# semantic layer (demo/chat-bi/nao_config.yaml:3-11 hands the agent the
+# marts + RULES.md). The engine-side contract here is planner-agnostic:
+# any agent (LLM or otherwise) receives `catalog()` — the
+# machine-readable semantic model — and must return a typed BIQuery.
+# Execution always flows through compile_query, so a planner can choose
+# WHAT to compute but not HOW: no arbitrary SQL reaches the engine, and
+# the RULES.md reject-don't-invent stance is enforced by construction
+# (a BIQuery can only reference declared marts/metrics shapes).
+
+#: (question, catalog) -> BIQuery. The default planner is `route`.
+Planner = "Callable[[str, dict], BIQuery]"
+
+
+def catalog() -> dict:
+    """Machine-readable semantic catalog for an external planner: the
+    metric lexicon (phrases → metric, mart, percent/window semantics),
+    countable entities, and the window rules. This is what the
+    reference's nao_config.yaml + RULES.md convey to its agent, as data."""
+    metrics = {}
+    for phrase, key in _METRIC_PHRASES:
+        if key not in metrics:
+            col = _metric_column(key, single=True)
+            metrics[key] = {
+                "phrases": [],
+                "percent": col.percent,
+                "column": col.name,
+                "model": col.model,
+                "windowed": col.time_col is not None,
+            }
+        metrics[key]["phrases"].append(phrase)
+    return {
+        "metrics": metrics,
+        "entities": {
+            phrase: {"model": mart, "column": alias}
+            for phrase, (mart, _, alias) in _ENTITIES.items()
+        },
+        "windows": {
+            "default_days": 7,
+            "full_history_phrases": list(_FULL_HISTORY),
+            "parsed": "last/past N day(s)|week(s)|month(s)",
+            "rejected": list(_UNPARSED_WINDOWS),
+        },
+    }
+
+
+def ask(pipe: Pipeline, question: str, planner=None) -> DataFrame:
+    """Plan a question and run it. The default planner is the
+    deterministic lexicon router (`route`) — the reference's four chat-BI
+    prompts replay through it without a model; an LLM agent plugs in as
+    `planner(question, catalog()) -> BIQuery` and inherits the same
+    typed compile path."""
+    if planner is None:
+        bq = route(question)
+    else:
+        bq = planner(question, catalog())
+        if not isinstance(bq, BIQuery):
+            raise TypeError(
+                f"planner must return a BIQuery, got {type(bq).__name__}"
+            )
+    return compile_query(pipe, bq)
 
 
 def at_a_glance(df: DataFrame) -> DataFrame:

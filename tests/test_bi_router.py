@@ -192,3 +192,33 @@ def test_period_over_period_periods_adjacent(bi_env):
     row = pop["overall_uptime_pct"]
     assert row["value"] == pytest.approx(cur, abs=1e-6)
     assert row["previous_value"] == pytest.approx(prev, abs=1e-6)
+
+
+def test_catalog_is_planner_consumable():
+    cat = bi.catalog()
+    assert "uptime" in cat["metrics"]["average_uptime"]["phrases"]
+    assert cat["metrics"]["failed_attempt_rate"]["percent"] is True
+    assert cat["entities"]["ports"] == {"model": "dim_ports", "column": "total_ports"}
+    assert cat["windows"]["default_days"] == 7
+    assert "this quarter" in cat["windows"]["rejected"]
+
+
+def test_pluggable_planner_runs_through_typed_compile(bi_env):
+    """An external planner (stand-in for the reference's LLM agent) picks
+    metrics from the catalog and returns a BIQuery; execution must equal
+    the deterministic router's for the same plan, and non-BIQuery returns
+    (e.g. raw SQL strings) are refused."""
+    pipe, _ = bi_env
+
+    def fake_agent(question, cat):
+        assert "metrics" in cat  # the planner sees the semantic catalog
+        key = "average_uptime" if "up" in question else "failed_attempt_rate"
+        col = bi._metric_column(key, single=True)
+        return bi.BIQuery(columns=(col,), window_days=None)
+
+    got = bi.ask(pipe, "how are we doing on upness?", planner=fake_agent).first()
+    want = bi.ask(pipe, "uptime for the full history").first()
+    assert got["overall_uptime_pct"] == want["overall_uptime_pct"]
+
+    with pytest.raises(TypeError, match="BIQuery"):
+        bi.ask(pipe, "q", planner=lambda q, c: "SELECT 1")
