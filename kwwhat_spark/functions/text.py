@@ -157,17 +157,40 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.xxhash64(normalized)
 
 
-def minhash_from_hashed(hashed: Column, num_hashes: int = 32) -> Column:
+def md5_52(col: Column) -> Column:
+    """52-bit integer from the md5 hex prefix — the cross-engine
+    replayable hash family (DuckDB computes the identical value as
+    ('0x' || substr(md5(x), 1, 13))::UBIGINT). Slower and with less
+    spread than xxhash64; use it where an external engine must replay
+    the sketch bit-for-bit (oracle-gated dedup entries), xxhash64
+    everywhere else."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast("long")
+
+
+def md5_52_seeded(h: Column, seed: int) -> Column:
+    """Seeded member of the md5_52 family: hash of 'seed:h'."""
+    return md5_52(F.concat_ws(":", F.lit(seed), h.cast("string")))
+
+
+def minhash_from_hashed(hashed: Column, num_hashes: int = 32, seed_hash=None) -> Column:
     """MinHash signature over ALREADY-HASHED shingles (array<long>):
-    per-seed family derived as xxhash64(h, seed) — an 8-byte rehash per
-    seed instead of re-hashing the string. Exposed separately so callers
-    that keep a hashed shingle-set column (minhash_lsh_pairs) hash each
-    string exactly once across signature AND verification."""
+    per-seed family derived as seed_hash(h, seed) — default
+    xxhash64(h, seed), an 8-byte rehash per seed instead of re-hashing
+    the string. Exposed separately so callers that keep a hashed
+    shingle-set column (minhash_lsh_pairs) hash each string exactly once
+    across signature AND verification; pass seed_hash=md5_52_seeded for
+    a sketch another engine can replay."""
+    if seed_hash is None:
+        seed_hash = lambda h, i: F.xxhash64(h, F.lit(i))  # noqa: E731
+
+    def seeded(i):
+        # Factory, NOT a default-arg lambda: F.transform treats a
+        # two-parameter callable as (element, array_index) and would
+        # silently bind the index over the seed.
+        return lambda h: seed_hash(h, i)
+
     return F.array(
-        *[
-            F.array_min(F.transform(hashed, lambda h: F.xxhash64(h, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(hashed, seeded(i))) for i in range(num_hashes)]
     )
 
 

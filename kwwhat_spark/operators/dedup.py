@@ -171,10 +171,18 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     persist_shingles: bool = True,
+    replayable_hash: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, verified with exact
     Jaccard on the shingle sets (standard shingle→minhash→band→bucket-join
     pipeline).
+
+    replayable_hash swaps every xxhash64 for the md5_52 family
+    (functions/text.py) — identical values computable in DuckDB SQL —
+    so the WHOLE sketch (shingle hash, seeded signature family, band
+    hash, candidate set, verified jaccard) goes under an external
+    value-hash oracle. Production keeps xxhash64 (faster, full 64-bit
+    spread); the two paths differ ONLY in the hash family.
 
     persist_shingles caches the (doc_id, hashed shingle set) stage: it is
     consumed four times (both sides of the band self-join and both sides
@@ -191,7 +199,20 @@ def minhash_lsh_pairs(
     (~3× smaller candidate payload, same at 100 TB)."""
     from pyspark.storagelevel import StorageLevel
 
-    from kwwhat_spark.functions.text import minhash_from_hashed
+    from kwwhat_spark.functions.text import (
+        md5_52,
+        md5_52_seeded,
+        minhash_from_hashed,
+    )
+
+    if replayable_hash:
+        shingle_hash = md5_52
+        seed_hash = md5_52_seeded
+        combine_hash = lambda c: md5_52(c)  # noqa: E731
+    else:
+        shingle_hash = F.xxhash64
+        seed_hash = None  # minhash_from_hashed's xxhash64 default
+        combine_hash = F.xxhash64
 
     rows = bands and num_hashes // bands
     # Shingle+MinHash is the CPU hot spot; widen narrow scans first
@@ -199,7 +220,7 @@ def minhash_lsh_pairs(
     df = widen(df)
     from kwwhat_spark.functions.text import let_
 
-    # let_ binds the shingle array before transform maps xxhash64 over
+    # let_ binds the shingle array before transform maps the hash over
     # it — without the binding Catalyst re-evaluates the whole shingling
     # expression per element (the let_ pitfall; measured 6× here).
     shingled = df.select(
@@ -207,7 +228,7 @@ def minhash_lsh_pairs(
         F.array_distinct(
             let_(
                 word_shingles(F.col(text_col), k),
-                lambda sh: F.transform(sh, lambda s: F.xxhash64(s)),
+                lambda sh: F.transform(sh, lambda s: shingle_hash(s)),
             )
         ).alias("shingles"),
     )
@@ -223,7 +244,7 @@ def minhash_lsh_pairs(
     def band_hashes(sig: Column) -> Column:
         return F.array(
             *[
-                F.xxhash64(
+                combine_hash(
                     F.concat_ws(
                         ",",
                         *[
@@ -239,7 +260,10 @@ def minhash_lsh_pairs(
     banded = shingled.select(
         "doc_id",
         F.posexplode(
-            let_(minhash_from_hashed(F.col("shingles"), num_hashes), band_hashes)
+            let_(
+                minhash_from_hashed(F.col("shingles"), num_hashes, seed_hash=seed_hash),
+                band_hashes,
+            )
         ).alias("band_idx", "band_hash"),
     )
     a = banded.alias("a")

@@ -105,6 +105,67 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5)
 
 
+# The same operator under a FULL value-hash oracle: replayable_hash
+# swaps xxhash64 for the md5_52 family, and the oracle recomputes the
+# ENTIRE sketch in DuckDB — shingle hashes, the 32-seed signature, the
+# 8 band hashes, the candidate join, and the exact hashed-set Jaccard —
+# so banding itself (not just the verified output) is engine-identical.
+@query(
+    "dedup_minhash_lsh_replayable",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)]
+                  ELSE [array_to_string(t, ' ')]
+             END AS shingles
+      FROM toks
+    ), hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles,
+                 s -> CAST(('0x' || substr(md5(s), 1, 13)) AS UBIGINT)::BIGINT)) AS h
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, h,
+             [list_min(list_transform(h,
+                  x -> CAST(('0x' || substr(md5(i || ':' || CAST(x AS VARCHAR)), 1, 13)) AS UBIGINT)::BIGINT))
+              for i in generate_series(0, 31)] AS sig
+      FROM hs
+    ), banded AS (
+      SELECT doc_id, b - 1 AS band_idx,
+             CAST(('0x' || substr(md5(array_to_string(list_slice(sig, (b-1)*4 + 1, b*4), ',')), 1, 13)) AS UBIGINT)::BIGINT AS band_hash
+      FROM sig, generate_series(1, 8) g(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE)
+             / (len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h))) AS jaccard
+    FROM cand c
+    JOIN hs ha ON ha.doc_id = c.doc_a
+    JOIN hs hb ON hb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE)
+             / (len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h))) >= 0.5
+    """,
+    cite="LLM-ops: MinHash+LSH near-dup, md5_52 replayable hash family "
+    "(functions/text.py md5_52; same operator code path as "
+    "dedup_minhash_lsh modulo the hash)",
+)
+def dedup_minhash_lsh_replayable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5,
+        replayable_hash=True,
+    )
+
+
 @query(
     "dedup_minhash_components",
     oracle=None,

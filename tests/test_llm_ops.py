@@ -307,3 +307,42 @@ def test_multimodal_frame_sample(spark):
     ).collect()
     assert len(feats) == len(frames)
     assert all(len(r["feature"]) == 8 for r in feats)
+
+
+def test_minhash_seed_family_is_actually_seeded(spark):
+    """Regression for the F.transform arity trap: a two-parameter lambda
+    is silently called as (element, array_index), which binds the ARRAY
+    INDEX over the intended seed and collapses every signature slot to
+    the same hash family. The signature of a multi-shingle set must
+    therefore contain many distinct values across seeds, for both hash
+    families, and the xxhash64 slot-0 value must equal the directly
+    computed min."""
+    from kwwhat_spark.functions.text import md5_52_seeded, minhash_from_hashed
+
+    df = spark.createDataFrame([(1, list(range(100, 130)))], "id long, h array<long>")
+    for seed_hash in (None, md5_52_seeded):
+        sig = df.select(
+            minhash_from_hashed(F.col("h"), 16, seed_hash=seed_hash).alias("s")
+        ).first()["s"]
+        assert len(set(sig)) > 8, f"degenerate signature (seed ignored): {sig}"
+    want0 = df.select(
+        F.array_min(F.transform("h", lambda x: F.xxhash64(x, F.lit(0)))).alias("m")
+    ).first()["m"]
+    got = df.select(minhash_from_hashed(F.col("h"), 2).alias("s")).first()["s"]
+    assert got[0] == want0
+
+
+def test_minhash_replayable_matches_xxhash_pairs(spark, sf_dir):
+    """The md5_52 and xxhash64 hash families must find the same verified
+    near-dup pairs on the documents table (banding recall may differ in
+    principle; at this scale both recall every >= 0.5 pair)."""
+    from kwwhat_spark.operators.dedup import minhash_lsh_pairs
+    from kwwhat_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kw = dict(k=3, num_hashes=32, bands=8, threshold=0.5)
+    xx = {(r.doc_a, r.doc_b): round(r.jaccard, 9)
+          for r in minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()}
+    md = {(r.doc_a, r.doc_b): round(r.jaccard, 9)
+          for r in minhash_lsh_pairs(docs, "doc_id", "text", replayable_hash=True, **kw).collect()}
+    assert xx and xx == md
