@@ -194,15 +194,20 @@ def minhash_from_hashed(hashed: Column, num_hashes: int = 32, seed_hash=None) ->
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32, replayable: bool = False
+) -> Column:
     """MinHash signature: hash each shingle string ONCE (xxhash64), then
     derive the per-seed hash family from the 64-bit value
     (xxhash64(h, seed)) — 8-byte rehash instead of re-hashing the string
     per seed. Pure expression, single pass over the shingle array per
-    seed, shingle array bound once (let_)."""
+    seed, shingle array bound once (let_). replayable=True uses the
+    md5_52 family throughout (see md5_52)."""
+    shingle_hash = md5_52 if replayable else F.xxhash64
+    seed_hash = md5_52_seeded if replayable else None
     return let_(
-        F.transform(shingles, lambda s: F.xxhash64(s)),
-        lambda hashed: minhash_from_hashed(hashed, num_hashes),
+        F.transform(shingles, lambda s: shingle_hash(s)),
+        lambda hashed: minhash_from_hashed(hashed, num_hashes, seed_hash=seed_hash),
     )
 
 

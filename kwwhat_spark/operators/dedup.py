@@ -356,10 +356,14 @@ def minhash_lsh_components(
     k: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    replayable_hash: bool = False,
 ) -> DataFrame:
     """Pair-free near-dup clustering: banded MinHash buckets → star edges
     (member → bucket minimum) → connected components. Returns
     (doc_id, component) for every input doc; singletons keep their own id.
+    replayable_hash swaps xxhash64 for the DuckDB-replayable md5_52
+    family so the bucket structure itself can sit under a value-hash
+    oracle (see dedup_minhash_components_replayable).
 
     Why this exists: enumerating candidate PAIRS (minhash_lsh_pairs,
     ngram_jaccard_pairs) is quadratic in duplicate-cluster size. Measured
@@ -388,9 +392,11 @@ def minhash_lsh_components(
         F.posexplode(
             let_(
                 minhash_signature(
-                    F.array_distinct(word_shingles(F.col(text_col), k)), num_hashes
+                    F.array_distinct(word_shingles(F.col(text_col), k)),
+                    num_hashes,
+                    replayable=replayable_hash,
                 ),
-                lambda sig: _sig_bands(sig, num_hashes, bands),
+                lambda sig: _sig_bands(sig, num_hashes, bands, replayable=replayable_hash),
             )
         ).alias("band_idx", "band_hash"),
     )
@@ -411,13 +417,19 @@ def minhash_lsh_components(
     )
 
 
-def _sig_bands(sig: Column, num_hashes: int, bands: int) -> Column:
-    """Banded LSH keys of a MinHash signature: xxhash64 of each band's
-    comma-joined components (same formula as minhash_lsh_pairs)."""
+def _sig_bands(
+    sig: Column, num_hashes: int, bands: int, replayable: bool = False
+) -> Column:
+    """Banded LSH keys of a MinHash signature: hash of each band's
+    comma-joined components (same formula as minhash_lsh_pairs);
+    replayable=True uses md5_52 instead of xxhash64."""
+    from kwwhat_spark.functions.text import md5_52
+
+    combine = md5_52 if replayable else F.xxhash64
     rows = num_hashes // bands
     return F.array(
         *[
-            F.xxhash64(
+            combine(
                 F.concat_ws(
                     ",",
                     *[F.element_at(sig, i + 1) for i in range(b * rows, (b + 1) * rows)],

@@ -166,6 +166,67 @@ def dedup_minhash_lsh_replayable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The pair-free path under a FULL value-hash oracle: md5_52 banding
+# replayed in DuckDB, star edges (member → bucket min) via the same
+# window-min, closure via recursive CTE — the 100 TB dedup shape,
+# bucket structure and all, checked value-exact against another engine.
+@query(
+    "dedup_minhash_components_replayable",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)]
+                  ELSE [array_to_string(t, ' ')]
+             END AS shingles
+      FROM toks
+    ), hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles,
+                 s -> CAST(('0x' || substr(md5(s), 1, 13)) AS UBIGINT)::BIGINT)) AS h
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             [list_min(list_transform(h,
+                  x -> CAST(('0x' || substr(md5(i || ':' || CAST(x AS VARCHAR)), 1, 13)) AS UBIGINT)::BIGINT))
+              for i in generate_series(0, 15)] AS sig
+      FROM hs
+    ), banded AS (
+      SELECT doc_id, b - 1 AS band_idx,
+             CAST(('0x' || substr(md5(array_to_string(list_slice(sig, (b-1)*4 + 1, b*4), ',')), 1, 13)) AS UBIGINT)::BIGINT AS band_hash
+      FROM sig, generate_series(1, 4) g(b)
+    ), stars AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY band_idx, band_hash) AS root
+      FROM banded
+    ), edges AS (
+      SELECT DISTINCT doc_id AS a, root AS b FROM stars WHERE doc_id <> root
+      UNION
+      SELECT DISTINCT root, doc_id FROM stars WHERE doc_id <> root
+    ), reach(node, lbl) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ), comp AS (
+      SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    cite="LLM-ops: pair-free LSH components, md5_52 replayable family "
+    "(same code path as dedup_minhash_components modulo the hash; "
+    "SlimPajama / Lee et al. bucket→union-find shape)",
+)
+def dedup_minhash_components_replayable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_components(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, replayable_hash=True
+    )
+
+
 @query(
     "dedup_minhash_components",
     oracle=None,
