@@ -33,6 +33,9 @@ _PRIORITY = (
     "weighted_sample_stratified", "semdedup_clustered", "vocab_coverage",
     "kmeans_quantized_clusters", "knn_graph_embeddings",
     "knn_graph_sharded_embeddings",
+    # Was rows-only in r1/r2; gained a full value-hash oracle in round 3
+    # (md5_52 replayable fingerprint) — never value-checked by the driver.
+    "text_enrich",
 )
 
 

@@ -151,10 +151,11 @@ def lang_id(text: Column | str) -> Column:
     return F.greatest(*scores).getField("lang")
 
 
-def doc_fingerprint(text: Column | str) -> Column:
-    """64-bit content fingerprint of whitespace/case-normalized text."""
+def doc_fingerprint(text: Column | str, replayable: bool = False) -> Column:
+    """64-bit content fingerprint of whitespace/case-normalized text
+    (replayable=True: 52-bit md5 prefix, identical in DuckDB)."""
     normalized = F.lower(F.regexp_replace(_col(text), r"\s+", " "))
-    return F.xxhash64(normalized)
+    return md5_52(normalized) if replayable else F.xxhash64(normalized)
 
 
 def md5_52(col: Column) -> Column:
@@ -211,10 +212,15 @@ def minhash_signature(
     )
 
 
-def simhash64(tokens: Column) -> Column:
+def simhash64(tokens: Column, replayable: bool = False) -> Column:
     """64-bit SimHash over a token array: sign-sum per bit of xxhash64.
     Token hashes are computed once and let_-bound; the 64 bit votes then
-    iterate over 8-byte longs only."""
+    iterate over 8-byte longs only. replayable=True votes over the
+    52-bit md5_52 token hash instead — fewer bits, but every bit is
+    recomputable in DuckDB SQL (the sketch itself goes under the
+    value-hash gate, dedup_simhash_replayable)."""
+    n_bits = 52 if replayable else 64
+    token_hash = md5_52 if replayable else F.xxhash64
 
     def from_hashed(h: Column) -> Column:
         def bit_vote(mask):
@@ -226,7 +232,7 @@ def simhash64(tokens: Column) -> Column:
             )
 
         bits = []
-        for b in range(64):
+        for b in range(n_bits):
             # Two's-complement literal: bit 63 is the sign bit of a long.
             mask = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
             bits.append(
@@ -237,7 +243,7 @@ def simhash64(tokens: Column) -> Column:
             out = out.bitwiseOR(b)
         return out
 
-    return let_(F.transform(tokens, lambda t: F.xxhash64(t)), from_hashed)
+    return let_(F.transform(tokens, lambda t: token_hash(t)), from_hashed)
 
 
 def _run_starts(arr: Column, n: Column) -> Column:

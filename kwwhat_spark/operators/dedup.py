@@ -309,12 +309,17 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    replayable_hash: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: 4×16-bit chunk blocking (pigeonhole-complete
-    for hamming ≤ 3), verified by bit_count(xor)."""
+    for hamming ≤ 3), verified by bit_count(xor). replayable_hash uses
+    the 52-bit md5 token-hash family so the sketch replays in DuckDB
+    (top chunk then carries 4 bits; pigeonhole completeness over 4
+    chunks is unaffected)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = widen(df).select(
-        F.col(id_col).alias("doc_id"), simhash64(toks).alias("simhash")
+        F.col(id_col).alias("doc_id"),
+        simhash64(toks, replayable=replayable_hash).alias("simhash"),
     )
 
     chunks = base.select(

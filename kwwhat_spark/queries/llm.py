@@ -246,6 +246,53 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+# SimHash under a FULL value-hash oracle: 52-bit md5 token hashes, bit
+# votes, chunk blocking, and bit_count(xor) hamming all recomputed in
+# DuckDB — the sketch checked bit-exact cross-engine.
+@query(
+    "dedup_simhash_replayable",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), th AS (
+      SELECT doc_id, UNNEST(t) AS tok FROM toks
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 13)) AS UBIGINT)::BIGINT AS h
+      FROM th
+    ), votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, generate_series(0, 51) g(b)
+      GROUP BY doc_id, b
+    ), sim AS (
+      SELECT d.doc_id,
+             COALESCE(SUM(CASE WHEN v.v > 0 THEN (CAST(1 AS BIGINT) << v.b) ELSE 0 END), 0) AS simhash
+      FROM documents d LEFT JOIN votes v ON v.doc_id = d.doc_id
+      GROUP BY d.doc_id
+    ), chunks AS (
+      SELECT doc_id, simhash, i - 1 AS chunk_idx,
+             (simhash >> ((i-1)*16)) & 65535 AS chunk
+      FROM sim, generate_series(1, 4) g(i)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    cite="LLM-ops: SimHash near-dup, md5_52 replayable family (same "
+    "operator code path as dedup_simhash modulo the 52-bit hash)",
+)
+def dedup_simhash_replayable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash_pairs(docs, "doc_id", "text", max_hamming=3, replayable_hash=True)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup: exact pairwise (oracle) — the LSH-blocked
 # variant is in similarity_lsh_topk.
@@ -504,8 +551,44 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_enrich",
-    oracle=None,
-    cite="LLM-ops: quality score, lang-id heuristic, fingerprint",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang, text,
+        LEAST(length(text) / 500.0, 1.0) AS length_term,
+        1.0 - LEAST(CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                    / GREATEST(length(text), 1) * 4, 1.0) AS punct_term,
+        1.0 - LEAST(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                    / GREATEST(length(text), 1) * 4, 1.0) AS digit_term,
+        LEAST(CAST(len(list_filter(toks, x -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','are','was','were',
+                 'be','it','this','that','for','on','with','as','at','by'], x))) AS DOUBLE)
+              / GREATEST(len(toks), 1) * 5, 1.0) AS stop_term,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS en_hits,
+        len(list_filter(toks, x -> list_contains(['der','die','und','ist','nicht'], x))) AS de_hits,
+        len(list_filter(toks, x -> list_contains(['le','la','et','est','les'], x))) AS fr_hits,
+        len(list_filter(toks, x -> list_contains(['el','la','los','es','de'], x))) AS es_hits,
+        len(list_filter(toks, x -> list_contains(['的','是','不','了','在'], x))) AS zh_hits,
+        len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token_count
+      FROM t
+    )
+    SELECT doc_id, lang,
+      round((length_term + punct_term + digit_term + stop_term) / 4, 6) AS quality,
+      CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= zh_hits THEN 'en'
+           WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits >= zh_hits THEN 'de'
+           WHEN fr_hits >= es_hits AND fr_hits >= zh_hits THEN 'fr'
+           WHEN es_hits >= zh_hits THEN 'es'
+           ELSE 'zh' END AS predicted_lang,
+      CAST(('0x' || substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 13)) AS UBIGINT)::BIGINT AS fingerprint,
+      token_count
+    FROM m
+    """,
+    cite="LLM-ops: quality score, lang-id heuristic, fingerprint — fully "
+    "value-hash gated (fingerprint uses the replayable md5_52 family; "
+    "doc_fingerprint keeps xxhash64 as the default for callers)",
 )
 def text_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -514,7 +597,7 @@ def text_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.round(quality_score("text"), 6).alias("quality"),
         lang_id("text").alias("predicted_lang"),
-        doc_fingerprint("text").alias("fingerprint"),
+        doc_fingerprint("text", replayable=True).alias("fingerprint"),
         whitespace_token_count("text").alias("token_count"),
     )
 
