@@ -258,11 +258,15 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 2,
     centroid_vecs: list[list[float]] | None = None,
+    replayable_hash: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     `n_cells` cells (centroids = a deterministic hash-ordered sample of
     corpus vectors), probe each query's `n_probe` nearest cells, exact
-    cosine re-rank inside the probed cells.
+    cosine re-rank inside the probed cells. replayable_hash orders the
+    centroid sample by md5_52(id) (with id tiebreak) so an external
+    engine can reproduce the exact cell structure (see
+    similarity_ivf_multiprobe_replayable).
 
     Scale shape: the corpus is scanned once to assign cells (a pure
     projection against broadcast centroid literals — no shuffle); the
@@ -287,12 +291,16 @@ def ivf_topk(
         ]
     else:
         # Deterministic centroid sample: first n_cells corpus vectors in
-        # xxhash64(id) order (at 100 TB: sample() + takeOrdered instead).
+        # hash(id) order (at 100 TB: sample() + takeOrdered instead).
+        if replayable_hash:
+            from kwwhat_spark.functions.text import md5_52
+
+            order = [md5_52(F.col(corpus_id).cast("string")), F.col(corpus_id)]
+        else:
+            order = [F.xxhash64(F.col(corpus_id).cast("string"))]
         centroids = [
             (row["c_vec"], float(row["c_norm"]))
-            for row in c.orderBy(F.xxhash64(F.col(corpus_id).cast("string")))
-            .limit(n_cells)
-            .collect()
+            for row in c.orderBy(*order).limit(n_cells).collect()
         ]
 
     def cell_sims(vec: Column, norm: Column) -> list[Column]:

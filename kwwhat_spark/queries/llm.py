@@ -436,6 +436,86 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-probe IVF under a FULL value-hash oracle: md5_52-ordered
+# centroid sample, argmax cell assignment (ties -> higher cell, the
+# greatest-struct rule), top-n_probe cell selection per query, exact
+# cosine re-rank — every stage recomputed in DuckDB.
+@query(
+    "similarity_ivf_multiprobe_replayable",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cent0 AS (
+      SELECT vec_id, e FROM corpus
+      ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13)) AS UBIGINT), vec_id
+      LIMIT 16
+    ), cent AS (
+      SELECT e AS ce,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13)) AS UBIGINT), vec_id
+             ) - 1 AS cell
+      FROM cent0
+    ), assigned AS (
+      SELECT corpus_id, e FROM (
+        SELECT c.vec_id AS corpus_id, c.e, ct.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_cosine_similarity(c.e, ct.ce) DESC, ct.cell DESC
+               ) AS rn
+        FROM corpus c CROSS JOIN cent ct
+      ) WHERE rn = 1
+    ), cell_of AS (
+      SELECT corpus_id, cell FROM (
+        SELECT c.vec_id AS corpus_id, ct.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_cosine_similarity(c.e, ct.ce) DESC, ct.cell DESC
+               ) AS rn
+        FROM corpus c CROSS JOIN cent ct
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT q.vec_id AS query_id, q.e AS qe, ct.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.e, ct.ce) DESC, ct.cell DESC
+               ) AS rn
+        FROM (SELECT * FROM corpus WHERE vec_id < 20) q CROSS JOIN cent ct
+      ) WHERE rn <= 3
+    ), scored AS (
+      SELECT p.query_id, co.corpus_id,
+             round(list_cosine_similarity(p.qe, c2.e), 6) AS cosine_sim
+      FROM probes p
+      JOIN cell_of co ON co.cell = p.cell
+      JOIN corpus c2 ON c2.vec_id = co.corpus_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, corpus_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    cite="LLM-ops: multi-probe IVF with a replayable centroid sample — "
+    "cell assignment, probe selection, and re-rank all under the "
+    "value-hash gate (same code path as similarity_ivf_topk modulo the "
+    "centroid ordering hash)",
+)
+def similarity_ivf_multiprobe_replayable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    from kwwhat_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        queries, corpus, "query_id", "corpus_id", "embedding",
+        k=5, n_cells=16, n_probe=3, replayable_hash=True,
+    )
+
+
 @query(
     "similarity_ivf_fullprobe",
     oracle="""
