@@ -38,3 +38,25 @@ def test_partition_pruning(spark, written):
     # The scan must prune to one partition directory, not read-all+filter.
     assert "PartitionFilters: [isnotnull(_date" in plan, plan[:500]
     assert pruned.count() > 0
+
+
+def test_rows_sorted_within_date_partition(spark, written):
+    """cluster_by analog: each date partition's files hold rows sorted by
+    the cluster timestamp, so parquet row-group min/max stats prune
+    sub-day time ranges (BASELINE/SURVEY §4 clustering)."""
+    import pyarrow.parquet as pq
+
+    _, paths = written
+    path = paths["fact_charge_attempts"]
+    days = sorted(d for d in os.listdir(path) if d.startswith("_date="))
+    checked = 0
+    for day in days[:5]:
+        for f in os.listdir(os.path.join(path, day)):
+            if not f.endswith(".parquet"):
+                continue
+            col = pq.read_table(
+                os.path.join(path, day, f), columns=["charge_attempt_start_ts"]
+            )["charge_attempt_start_ts"].to_pylist()
+            assert col == sorted(col), (day, f)
+            checked += 1
+    assert checked > 0
