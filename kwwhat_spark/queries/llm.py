@@ -1046,6 +1046,101 @@ def pipeline_clean_corpus_scalable(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# The scalable cleaning chain under a FULL value-hash oracle: identical
+# stages with the md5_52 hash family, so DuckDB replays the quality
+# gate, digest dedup, banding, star edges, recursive closure, and
+# component-minimum keeper selection end-to-end.
+@query(
+    "pipeline_clean_corpus_scalable_replayable",
+    oracle=r"""
+    WITH RECURSIVE qualified AS (
+      SELECT doc_id, text, lang,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token_count
+      FROM documents
+      WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 10
+    ), keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM qualified GROUP BY md5(text)
+    ), unique_docs AS (
+      SELECT q.* FROM qualified q JOIN keepers k ON q.doc_id = k.doc_id
+    ), toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM unique_docs
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)]
+                  ELSE [array_to_string(t, ' ')]
+             END AS shingles
+      FROM toks
+    ), hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles,
+                 s -> CAST(('0x' || substr(md5(s), 1, 13)) AS UBIGINT)::BIGINT)) AS h
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             [list_min(list_transform(h,
+                  x -> CAST(('0x' || substr(md5(i || ':' || CAST(x AS VARCHAR)), 1, 13)) AS UBIGINT)::BIGINT))
+              for i in generate_series(0, 15)] AS sig
+      FROM hs
+    ), banded AS (
+      SELECT doc_id, b - 1 AS band_idx,
+             CAST(('0x' || substr(md5(array_to_string(list_slice(sig, (b-1)*4 + 1, b*4), ',')), 1, 13)) AS UBIGINT)::BIGINT AS band_hash
+      FROM sig, generate_series(1, 4) g(b)
+    ), stars AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY band_idx, band_hash) AS root
+      FROM banded
+    ), edges AS (
+      SELECT DISTINCT doc_id AS a, root AS b FROM stars WHERE doc_id <> root
+      UNION
+      SELECT DISTINCT root, doc_id FROM stars WHERE doc_id <> root
+    ), reach(node, lbl) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ), comp AS (
+      SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    ), cleaned AS (
+      SELECT u.* FROM unique_docs u
+      LEFT JOIN comp c ON c.node = u.doc_id
+      WHERE c.component IS NULL OR c.component = u.doc_id
+    )
+    SELECT lang,
+           COUNT(*) AS docs_kept,
+           CAST(SUM(token_count) AS BIGINT) AS total_tokens,
+           CAST(SUM(token_count) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM cleaned
+    GROUP BY lang
+    """,
+    cite="LLM-ops: the heavy-duplication cleaning chain (quality gate → "
+    "digest dedup → star-edge LSH components → component-min keepers) "
+    "with the md5_52 family — the 100 TB dedup SHAPE value-hash checked "
+    "end-to-end; the xxhash64 production twin stays rows-only",
+)
+def pipeline_clean_corpus_scalable_replayable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "token_count", whitespace_token_count("text")
+    )
+    qualified = docs.filter(F.col("token_count") >= 10)
+    keepers = (
+        qualified.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    unique_docs = qualified.join(keepers, "doc_id", "left_semi")
+    comps = minhash_lsh_components(
+        unique_docs, "doc_id", "text", num_hashes=16, bands=4, replayable_hash=True
+    )
+    reps = comps.groupBy("component").agg(F.min("doc_id").alias("doc_id"))
+    cleaned = unique_docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+    return cleaned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("token_count").alias("total_tokens"),
+        (F.sum("token_count").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dataset mixing: resample toward target language proportions under a
 # fixed output budget. Keep rate per group is computed from observed
