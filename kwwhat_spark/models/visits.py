@@ -180,6 +180,15 @@ def fact_visits(p: Pipeline) -> DataFrame:
             "preparing_ingested_ts",
             "id_tag",
         )
+        # Orphan attempts (a transaction whose StartTransaction CALLRESULT
+        # was lost: no preparing, no start) carry a NULL start_ts. The
+        # reference's boundary range-join drops them from every visit
+        # group (fact_visits.sql:143 `att.start_ts >= b.group_start_ts`
+        # is NULL), and its NULLS-LAST ordering keeps them out of the
+        # lag chains; the gaps-and-islands rewrite must exclude them
+        # explicitly or they become phantom NULL-start visits (found by
+        # the generated-fleet harness, tests/test_ocpp_dag_property.py).
+        .filter(F.col("charge_attempt_start_ts").isNotNull())
     )
     incremental_ts = p.scalar_max(att, "preparing_ingested_ts")
 

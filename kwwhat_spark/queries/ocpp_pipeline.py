@@ -59,9 +59,13 @@ def _sorted_merge(a: str, b: str) -> str:
 
 # Staging + entity models (stg_ocpp_logs.sql, stg_* + int_connectors /
 # int_chargers / int_ports).
-_STG_CTES = f"""
+def _stg_ctes(seed_dir: str) -> str:
+    """Staging + entity CTEs over an arbitrary seed directory — the
+    property harness (tests/test_ocpp_dag_property.py) points these at
+    GENERATED fleets; the module-level _STG_CTES binds the demo seed."""
+    return f"""
 raw_logs AS (
-    SELECT * FROM read_csv('{SEED_DIR}/ocpp_1_6_synthetic_logs_14d.csv',
+    SELECT * FROM read_csv('{seed_dir}/ocpp_1_6_synthetic_logs_14d.csv',
         header=true,
         columns={{'timestamp':'VARCHAR','id':'VARCHAR','action':'VARCHAR','msg':'VARCHAR'}})
 ),
@@ -82,19 +86,19 @@ stg_chargers AS (
     SELECT DISTINCT charge_point_id AS charger_id, location_id,
            CAST(commissioned_ts AS TIMESTAMP) AS commissioned_ts,
            CAST(decommissioned_ts AS TIMESTAMP) AS decommissioned_ts
-    FROM read_csv('{SEED_DIR}/chargers.csv', header=true,
+    FROM read_csv('{seed_dir}/chargers.csv', header=true,
         columns={{'charge_point_id':'VARCHAR','location_id':'VARCHAR',
                   'commissioned_ts':'VARCHAR','decommissioned_ts':'VARCHAR'}})
 ),
 stg_ports AS (
     SELECT DISTINCT charge_point_id AS charger_id, port_id
-    FROM read_csv('{SEED_DIR}/ports.csv', header=true,
+    FROM read_csv('{seed_dir}/ports.csv', header=true,
         columns={{'charge_point_id':'VARCHAR','port_id':'VARCHAR'}})
 ),
 int_connectors AS (
     SELECT DISTINCT charge_point_id AS charger_id, port_id, connector_id,
            connector_type
-    FROM read_csv('{SEED_DIR}/connectors.csv', header=true,
+    FROM read_csv('{seed_dir}/connectors.csv', header=true,
         columns={{'charge_point_id':'VARCHAR','port_id':'VARCHAR',
                   'connector_id':'VARCHAR','connector_type':'VARCHAR'}})
 ),
@@ -113,6 +117,9 @@ int_chargers AS (
                FROM stg_ports GROUP BY charger_id) pc
         ON ch.charger_id = pc.charger_id
 )"""
+
+
+_STG_CTES = _stg_ctes(SEED_DIR)
 
 # int_status_changes.sql, full-refresh: window from = greatest(start date,
 # min(ingested)), to = from + 3 months; SN CALLs + confirmation
@@ -502,6 +509,68 @@ def _mart(spark: SparkSession, name: str) -> DataFrame:
     return _MART_CACHE[key]
 
 
+def mart_oracle_for_seed_dir(name: str, seed_dir: str) -> str:
+    """Mart oracle SQL with the staging CTEs re-pointed at another seed
+    directory (same file names). The property harness uses this to run
+    the full-refresh compile against GENERATED fleets."""
+    base = {
+        "fact_charge_attempts": _FCA_ORACLE,
+        "fact_visits": _FV_ORACLE,
+        "fact_uptime": _FU_ORACLE,
+        "fact_interval_data": _FID_ORACLE,
+    }[name]
+    return base.replace(_STG_CTES, _stg_ctes(seed_dir))
+
+
+def mart_projection(name: str, df: DataFrame) -> DataFrame:
+    """The driver-facing deterministic projection of each mart (arrays
+    joined to strings, money cast to double) — shared by the catalog
+    entries and the property harness so compared columns cannot drift."""
+    if name == "fact_charge_attempts":
+        return df.select(
+            "charge_attempt_id", "port_key", "location_key", "charger_id",
+            "connector_id", "charge_attempt_start_ts", "charge_attempt_stop_ts",
+            "preparing_unique_id", "preparing_ingested_ts", "preparing_payload_ts",
+            "preparing_next_payload_ts", "previous_status", "status", "next_status",
+            F.array_join("id_tags", "|").alias("id_tags"),
+            F.array_join("id_tag_statuses", "|").alias("id_tag_statuses"),
+            "id_tag", "id_tag_status", "transaction_id", "transaction_ingested_ts",
+            "transaction_start_ts", "transaction_stop_ts", "transaction_stop_reason",
+            F.col("meter_start_wh").cast("double").alias("meter_start_wh"),
+            F.col("meter_stop_wh").cast("double").alias("meter_stop_wh"),
+            F.col("energy_transferred_kwh").cast("double").alias("energy_transferred_kwh"),
+            F.array_join("error_codes", "|").alias("error_codes"),
+            "is_successful", "incremental_ts",
+        )
+    if name == "fact_visits":
+        return df.select(
+            "visit_id", "location_key", "driver_key", "first_port_key",
+            "last_port_key", "location_id",
+            F.array_join("charger_ids", "|").alias("charger_ids"),
+            "id_tag", "visit_start_ts", "visit_end_ts", "charge_attempt_count",
+            F.array_join("charge_attempt_ids", "|").alias("charge_attempt_ids"),
+            F.col("total_energy_transferred_kwh").cast("double").alias(
+                "total_energy_transferred_kwh"
+            ),
+            "first_charge_attempt_id", "last_charge_attempt_id", "first_charger_id",
+            "last_charger_id", "first_port_id", "last_port_id", "is_successful",
+            "grouping_key", "visit_duration_minutes", "incremental_ts",
+        )
+    if name == "fact_uptime":
+        return df.filter(F.col("date_id") <= F.lit("2026-01-01").cast("date")).select(
+            "uptime_id", "port_key", "location_key", "charger_id", "port_id",
+            "date_id", "uptime",
+        )
+    if name == "fact_interval_data":
+        return df.select(
+            "interval_data_id", "port_key", "location_key", "charger_id",
+            "transaction_id", "ingested_ts", "connector_id", "measurand", "unit",
+            "phase", "meter_15min_interval_start", "meter_15min_interval_stop",
+            "avg_value", "_count", "incremental_ts",
+        )
+    raise KeyError(name)
+
+
 _FCA_ORACLE = f"""
 WITH {_STG_CTES},
 {_STATUS_CTES},
@@ -535,22 +604,7 @@ FROM fact_charge_attempts
 def ocpp_fact_charge_attempts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full mart DAG on the demo seed (sf_dir ignored — the seed is the
     canonical fixture both engines read)."""
-    df = _mart(spark, "fact_charge_attempts")
-    return df.select(
-        "charge_attempt_id", "port_key", "location_key", "charger_id",
-        "connector_id", "charge_attempt_start_ts", "charge_attempt_stop_ts",
-        "preparing_unique_id", "preparing_ingested_ts", "preparing_payload_ts",
-        "preparing_next_payload_ts", "previous_status", "status", "next_status",
-        F.array_join("id_tags", "|").alias("id_tags"),
-        F.array_join("id_tag_statuses", "|").alias("id_tag_statuses"),
-        "id_tag", "id_tag_status", "transaction_id", "transaction_ingested_ts",
-        "transaction_start_ts", "transaction_stop_ts", "transaction_stop_reason",
-        F.col("meter_start_wh").cast("double").alias("meter_start_wh"),
-        F.col("meter_stop_wh").cast("double").alias("meter_stop_wh"),
-        F.col("energy_transferred_kwh").cast("double").alias("energy_transferred_kwh"),
-        F.array_join("error_codes", "|").alias("error_codes"),
-        "is_successful", "incremental_ts",
-    )
+    return mart_projection("fact_charge_attempts", _mart(spark, "fact_charge_attempts"))
 
 
 # fact_visits.sql, full-refresh (two-step sessionization; dims collapse to
@@ -709,20 +763,7 @@ WITH {_STG_CTES},
     "sessionization, unit_tests.yml:35-990)",
 )
 def ocpp_fact_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _mart(spark, "fact_visits")
-    return df.select(
-        "visit_id", "location_key", "driver_key", "first_port_key",
-        "last_port_key", "location_id",
-        F.array_join("charger_ids", "|").alias("charger_ids"),
-        "id_tag", "visit_start_ts", "visit_end_ts", "charge_attempt_count",
-        F.array_join("charge_attempt_ids", "|").alias("charge_attempt_ids"),
-        F.col("total_energy_transferred_kwh").cast("double").alias(
-            "total_energy_transferred_kwh"
-        ),
-        "first_charge_attempt_id", "last_charge_attempt_id", "first_charger_id",
-        "last_charger_id", "first_port_id", "last_port_id", "is_successful",
-        "grouping_key", "visit_duration_minutes", "incremental_ts",
-    )
+    return mart_projection("fact_visits", _mart(spark, "fact_visits"))
 
 
 # int_faulted_outages.sql + int_offline_outages.sql + fact_downtime_daily.sql
@@ -963,11 +1004,7 @@ def ocpp_fact_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     the still-commissioned charger's open-ended span (coalesce to NOW in
     both engines) cannot leak a clock-dependent partial day into the
     compared output."""
-    df = _mart(spark, "fact_uptime")
-    return df.filter(F.col("date_id") <= F.lit("2026-01-01").cast("date")).select(
-        "uptime_id", "port_key", "location_key", "charger_id", "port_id",
-        "date_id", "uptime",
-    )
+    return mart_projection("fact_uptime", _mart(spark, "fact_uptime"))
 
 
 # int_meter_values.sql + fact_interval_data.sql, full-refresh (double JSON
@@ -1142,13 +1179,7 @@ FROM fact_interval_data
     "15-min interval averages)",
 )
 def ocpp_fact_interval_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _mart(spark, "fact_interval_data")
-    return df.select(
-        "interval_data_id", "port_key", "location_key", "charger_id",
-        "transaction_id", "ingested_ts", "connector_id", "measurand", "unit",
-        "phase", "meter_15min_interval_start", "meter_15min_interval_stop",
-        "avg_value", "_count", "incremental_ts",
-    )
+    return mart_projection("fact_interval_data", _mart(spark, "fact_interval_data"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,252 @@
+"""Full-DAG property harness: a GENERATED adversarial fleet runs through
+the entire OCPP model DAG on Spark and through the hand-compiled
+full-refresh DuckDB oracle, and all four marts must match value-exact.
+
+The demo seed exercises the happy paths; this fleet pins the boundaries:
+ - request→confirmation delays straddling the 15 s window (14.9/15/15.1,
+   and missing confirmations),
+ - preparing→StartTransaction delays straddling the 300 s authorize
+   threshold and 45 s retry window,
+ - StartTransaction with a missing CALLRESULT (no transactionId),
+ - missing StopTransaction (open transaction buffered),
+ - energy below/above the 0.1 kWh success floor, stop reasons valid and
+   invalid, explicit and defaulted,
+ - repeated same-status notifications (non-changes),
+ - Faulted on ALL connectors vs a partial subset (faulted-outage merge),
+ - heartbeat gaps straddling the 300 s offline threshold, a zero-message
+   charger, and a mid-window decommission,
+ - visit gaps at exactly 2/30 minutes with conflicting/absent id tags.
+
+Determinism rules the generator obeys (both engines must agree to the
+bit): per-charger millisecond offsets keep every ORDER BY ingested_ts
+free of exact ties, and every meter value is an exact binary fraction
+(multiples of 0.25) so averages are one exact division in both engines.
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime as dt
+import json
+import random
+
+import duckdb
+import pytest
+
+from kwwhat_spark.models import Pipeline
+from kwwhat_spark.queries.ocpp_pipeline import (
+    _MART_NAMES,
+    mart_oracle_for_seed_dir,
+    mart_projection,
+)
+from kwwhat_spark.sources.ocpp import load_ocpp_sources
+from tests.oracle_harness import compare
+
+BASE = dt.datetime(2025, 10, 2, 6, 0, 0)
+
+
+class Gen:
+    def __init__(self, rng: random.Random, charger: str, offset_ms: int):
+        self.rng = rng
+        self.charger = charger
+        self.t = BASE + dt.timedelta(milliseconds=offset_ms)
+        self.rows: list[tuple[str, str, str, str]] = []
+        self._uid = 0
+
+    def uid(self, prefix: str) -> str:
+        self._uid += 1
+        return f"{prefix}-{self.charger}-{self._uid:04d}"
+
+    def ts(self) -> str:
+        return self.t.isoformat(timespec="milliseconds") + "Z"
+
+    def advance(self, seconds: float) -> None:
+        self.t += dt.timedelta(seconds=seconds)
+
+    def call(self, action: str, payload: dict, conf_payload=None, conf_delay=0.1):
+        uid = self.uid(action[:5].lower())
+        self.rows.append(
+            (self.ts(), self.charger, action,
+             json.dumps([2, uid, action, payload]))
+        )
+        if conf_payload is not None:
+            conf_t = self.t + dt.timedelta(seconds=conf_delay)
+            self.rows.append(
+                (conf_t.isoformat(timespec="milliseconds") + "Z", self.charger, "",
+                 json.dumps([3, uid, conf_payload]))
+            )
+        return uid
+
+    def status(self, connector: int, status: str, error="NoError", conf_delay=0.1):
+        self.call(
+            "StatusNotification",
+            {"connectorId": connector, "status": status, "errorCode": error},
+            conf_payload=None if conf_delay is None else {},
+            conf_delay=conf_delay or 0.1,
+        )
+
+    def heartbeat(self):
+        self.call("Heartbeat", {}, conf_payload={"currentTime": self.ts()})
+
+
+def _session(g: Gen, rng, connector: int, meter: int, txn_id: int, id_tag):
+    """One charge attempt with randomized boundary timings; returns the
+    meter register after the session."""
+    conf_delay = rng.choice([0.1, 5.0, 14.8, 15.0, 15.2, None])
+    g.status(connector, "Preparing", conf_delay=conf_delay)
+    if id_tag and rng.random() < 0.7:
+        g.advance(rng.choice([1, 5]))
+        g.call("Authorize", {"idTag": id_tag},
+               conf_payload={"idTagInfo": {"status": rng.choice(["Accepted", "Blocked"])}})
+    if rng.random() < 0.4:
+        # RemoteStart retries straddling the 45 s retry window
+        for gap in rng.choice([[10], [44], [46], [10, 44]]):
+            g.advance(gap)
+            g.call("RemoteStartTransaction",
+                   {"connectorId": connector, "idTag": id_tag or "TAG-REMOTE"},
+                   conf_payload={"status": "Accepted"})
+    start_delay = rng.choice([1, 30, 299, 300, 301])
+    g.advance(start_delay)
+    has_start = rng.random() < 0.85
+    started = False
+    if has_start:
+        start_conf = (
+            {"transactionId": txn_id, "idTagInfo": {"status": "Accepted"}}
+            if rng.random() < 0.85 else None  # missing CALLRESULT -> no txn id
+        )
+        g.call("StartTransaction",
+               {"connectorId": connector, "idTag": id_tag or "TAG-ANON",
+                "timestamp": g.ts(), "meterStart": meter},
+               conf_payload=start_conf, conf_delay=0.2)
+        started = True
+        g.advance(2)
+        g.status(connector, "Charging")
+        n_meter = rng.randint(1, 3)
+        for _ in range(n_meter):
+            g.advance(rng.choice([60, 300, 900]))
+            v = meter + rng.choice([0, 25, 150, 2000])
+            g.call("MeterValues", {
+                "connectorId": connector, "transactionId": txn_id,
+                "meterValue": [{
+                    "timestamp": g.ts(),
+                    "sampledValue": [
+                        {"value": f"{v}.0", "unit": "Wh",
+                         "measurand": "Energy.Active.Import.Register"},
+                        {"value": f"{210 + (v % 8) * 0.25}", "unit": "V",
+                         "measurand": "Voltage", "phase": "L1"},
+                        {"value": f"{(v % 16) * 0.25}", "unit": "A",
+                         "measurand": "Current.Import", "phase": "L1"},
+                    ],
+                }],
+            }, conf_payload={})
+        energy_wh = rng.choice([50, 99, 100, 150, 2500])  # 0.1 kWh floor
+        meter += energy_wh
+        if rng.random() < 0.85:  # missing stop -> open transaction
+            g.advance(rng.choice([30, 120]))
+            stop = {"transactionId": txn_id, "meterStop": meter, "timestamp": g.ts()}
+            reason = rng.choice(
+                ["EVDisconnected", "Local", "Remote", "PowerLoss", None]
+            )
+            if reason is not None:
+                stop["reason"] = reason
+            g.call("StopTransaction", stop, conf_payload={})
+    g.advance(2)
+    if rng.random() < 0.2 and started:
+        g.status(connector, "Charging")  # repeated non-change
+    g.status(connector, rng.choice(["Finishing", "Available"]))
+    g.advance(1)
+    g.status(connector, "Available")
+    return meter
+
+
+def _charger_timeline(g: Gen, rng, connectors: list[int], tags: list):
+    meter = 2_000_000 + rng.randrange(100) * 1000
+    txn = 1000 + rng.randrange(50)
+    hb = rng.choice([240, 299, 301, 600])
+    for c in connectors:
+        g.status(c, "Available")
+        g.advance(1)
+    n_sessions = rng.randint(1, 4)
+    for s in range(n_sessions):
+        conn = rng.choice(connectors)
+        tag = rng.choice(tags)
+        meter = _session(g, rng, conn, meter, txn, tag)
+        txn += 1
+        # heartbeat run, then a visit-boundary gap (minutes)
+        for _ in range(rng.randint(1, 3)):
+            g.advance(hb)
+            g.heartbeat()
+        g.advance(60 * rng.choice([1, 2, 3, 29, 30, 31, 45]))
+    if rng.random() < 0.35:
+        # Faulted episode: all connectors (merged outage) or a subset
+        bad = connectors if rng.random() < 0.5 else connectors[:1]
+        for c in bad:
+            g.status(c, "Faulted", error="GroundFailure")
+            g.advance(2)
+        g.advance(rng.choice([300, 900]))
+        for c in bad:
+            g.status(c, "Available")
+            g.advance(2)
+    g.advance(hb)
+    g.heartbeat()
+
+
+@pytest.fixture(scope="module")
+def fleet_dir(tmp_path_factory):
+    rng = random.Random(20260814)
+    out = tmp_path_factory.mktemp("ocpp_fleet")
+    chargers, ports, connectors, logs = [], [], [], []
+    n = 24
+    for i in range(n):
+        ch = f"CH-P{i:03d}"
+        loc = f"LOC-P{i // 3:02d}"
+        commissioned = rng.choice(["2025-09-20T00:00:00.000Z", "2025-10-05T12:00:00.000Z"])
+        decommissioned = "2025-10-20T09:30:00.000Z" if i == 5 else ""
+        chargers.append((ch, loc, commissioned, decommissioned))
+        conn_ids, conn_no = [], 1
+        for p in range(1, rng.randint(1, 2) + 1):
+            ports.append((ch, str(p)))
+            for _ in range(rng.randint(1, 2)):
+                connectors.append((ch, str(p), str(conn_no), rng.choice(["CCS", "NACS"])))
+                conn_ids.append(conn_no)
+                conn_no += 1
+        if i == n - 1:
+            continue  # zero-message charger: dims only
+        g = Gen(rng, ch, offset_ms=i * 7 + 1)
+        tags = [f"TAG-{loc}-A", f"TAG-{loc}-B", None]
+        _charger_timeline(g, rng, conn_ids, tags)
+        logs.extend(g.rows)
+
+    logs.sort(key=lambda r: r[0])
+    with open(out / "ocpp_1_6_synthetic_logs_14d.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["timestamp", "id", "action", "msg"])
+        w.writerows(logs)
+    with open(out / "chargers.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["charge_point_id", "location_id", "commissioned_ts", "decommissioned_ts"])
+        w.writerows(chargers)
+    with open(out / "ports.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["charge_point_id", "port_id"])
+        w.writerows(ports)
+    with open(out / "connectors.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["charge_point_id", "port_id", "connector_id", "connector_type"])
+        w.writerows(connectors)
+    return str(out)
+
+
+@pytest.mark.parametrize("mart", _MART_NAMES)
+def test_generated_fleet_mart_matches_reference_compile(spark, fleet_dir, mart):
+    pipe = Pipeline(
+        spark=spark,
+        sources=load_ocpp_sources(spark, fleet_dir),
+        cache_views=("stg_ocpp_logs",),
+    )
+    got = mart_projection(mart, pipe.ref(mart))
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    problems = compare(got, con, mart_oracle_for_seed_dir(mart, fleet_dir))
+    assert not problems, (mart, problems[:3])
+    assert got.count() > 0, mart
