@@ -78,8 +78,25 @@ class ParquetStateStore:
         ptr = self._pointer(name)
         if not os.path.exists(ptr):
             return None
-        version = json.load(open(ptr))["version"]
-        return self.spark.read.parquet(os.path.join(self.state_dir, name, f"v{version}"))
+        meta = json.load(open(ptr))
+        path = os.path.join(self.state_dir, name, f"v{meta['version']}")
+        return self._read_with_schema(path, meta.get("schema"))
+
+    def _read_with_schema(self, path: str, schema_json: str | None) -> DataFrame:
+        """Read state parquet; an EMPTY state writes no part files (only
+        _SUCCESS), so schema inference fails — reconstruct the empty
+        DataFrame from the schema recorded at write time instead of
+        flipping the model back to full-refresh."""
+        from pyspark.sql.types import StructType
+
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            if schema_json is None:
+                raise
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
 
     def last_batch_id(self, name: str) -> int | None:
         """Stream-commit marker: the batch_id recorded by the most recent
@@ -99,7 +116,11 @@ class ParquetStateStore:
         path = os.path.join(self.state_dir, name, f"v{version}")
         df.write.mode("overwrite").parquet(path)
         with open(ptr, "w") as f:
-            json.dump({"version": version, "batch_id": batch_id}, f)
+            json.dump(
+                {"version": version, "batch_id": batch_id,
+                 "schema": json.dumps(df.schema.jsonValue())},
+                f,
+            )
         # Retire old versions (keep previous for debugging).
         for old in range(version - 1):
             shutil.rmtree(os.path.join(self.state_dir, name, f"v{old}"), ignore_errors=True)
@@ -223,6 +244,13 @@ class PartitionedStateStore(ParquetStateStore):
                 "without the partitioned config for this model"
             )
 
+    def _schema_path(self, name: str) -> str:
+        return os.path.join(self.state_dir, name, "_schema.json")
+
+    def _record_schema(self, name: str, df: DataFrame) -> None:
+        with open(self._schema_path(name), "w") as f:
+            json.dump(df.schema.jsonValue(), f)
+
     def read(self, name: str) -> DataFrame | None:
         if name not in self.partition_exprs:
             return super().read(name)
@@ -230,7 +258,10 @@ class PartitionedStateStore(ParquetStateStore):
         path = self._part_path(name)
         if not os.path.exists(path):
             return None
-        return self.spark.read.parquet(path).drop("_part")
+        schema_json = None
+        if os.path.exists(self._schema_path(name)):
+            schema_json = json.dumps(json.load(open(self._schema_path(name))))
+        return self._read_with_schema(path, schema_json).drop("_part")
 
     def last_batch_id(self, name: str) -> int | None:
         if name not in self.partition_exprs:
@@ -263,6 +294,7 @@ class PartitionedStateStore(ParquetStateStore):
             .partitionBy("_part")
             .parquet(self._part_path(name))
         )
+        self._record_schema(name, df)
         self._record_batch(name, batch_id)
 
     def merge(self, name: str, new: DataFrame, keys: list[str], *,
@@ -301,12 +333,17 @@ class PartitionedStateStore(ParquetStateStore):
         pred = F.col("_part").isin(non_null)
         if len(non_null) < len(affected):
             pred = pred | F.col("_part").isNull()
-        keep = (
-            self.spark.read.parquet(path)
-            .filter(pred)
-            .join(newp.select(*keys).distinct(), keys, "left_anti")
-        )
-        out = keep.unionByName(newp.select(*keep.columns))
+        try:
+            prior_raw = self.spark.read.parquet(path)
+        except Exception:
+            prior_raw = None  # empty prior state wrote no part files
+        if prior_raw is None:
+            out = newp
+        else:
+            keep = prior_raw.filter(pred).join(
+                newp.select(*keys).distinct(), keys, "left_anti"
+            )
+            out = keep.unionByName(newp.select(*keep.columns))
         # Materialize before overwriting the directory the plan reads
         # from; only the affected partitions' rows are checkpointed.
         out = out.localCheckpoint(eager=True)

@@ -121,3 +121,27 @@ def test_state_store_refuses_dropped_columns_until_migrate(spark, tmp_path, stor
     rows = store.read(name).collect()
     assert {r["status"] for r in rows} == {"Available", "Charging"}
     assert "error_code" not in store.read(name).columns
+
+
+@pytest.mark.parametrize("store_cls", [ParquetStateStore, PartitionedStateStore])
+def test_state_store_survives_empty_state(spark, tmp_path, store_cls):
+    """An EMPTY batch writes a parquet dir with no part files; the next
+    read must reconstruct the empty state from the recorded schema (not
+    crash on schema inference, not flip the model to full-refresh)."""
+    store = store_cls(spark, str(tmp_path / "state"))
+    name = "int_status_changes"
+    empty = spark.createDataFrame(
+        [],
+        "charger_id string, connector_id string, ingested_ts timestamp, status string",
+    )
+    store.write(name, empty)
+    got = store.read(name)
+    assert got is not None and got.count() == 0
+    assert got.columns == ["charger_id", "connector_id", "ingested_ts", "status"]
+    # merge into empty state works and subsequent reads see the rows
+    batch = spark.createDataFrame(
+        [("CH-1", "1", "2025-10-01 10:00:00", "Available")],
+        "charger_id string, connector_id string, ingested_ts string, status string",
+    ).withColumn("ingested_ts", F.col("ingested_ts").cast("timestamp"))
+    store.merge(name, batch, ["charger_id", "connector_id", "ingested_ts"])
+    assert store.read(name).count() == 1
