@@ -1467,3 +1467,53 @@ def ocpp_stream_status_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Chat-BI layer under the driver gate (SURVEY §3.3): the deterministic
+# NL router answers the reference's entity-count prompt family over the
+# semantic dims, and the oracle recomputes each count from the staged
+# entity tables. Entity metrics are point-in-time (clock-free), so the
+# comparison is fully deterministic; the windowed uptime/rate metrics
+# are pinned by tests/test_bi_router.py against the reference's own SQL.
+# ---------------------------------------------------------------------------
+
+_BI_ENTITIES_ORACLE = f"""
+WITH {_STG_CTES}
+SELECT
+    (SELECT count(DISTINCT port_id) FROM int_ports) AS total_ports,
+    (SELECT count(DISTINCT charger_id) FROM int_chargers) AS total_chargers,
+    (SELECT count(DISTINCT md5(concat_ws('-',
+         coalesce(CAST(charger_id AS VARCHAR), '{_SK_NULL}'),
+         coalesce(CAST(port_id AS VARCHAR), '{_SK_NULL}'),
+         coalesce(CAST(connector_id AS VARCHAR), '{_SK_NULL}'))))
+     FROM int_connectors) AS total_connectors,
+    (SELECT count(DISTINCT location_id) FROM int_chargers) AS total_locations,
+    (SELECT count(*) FROM int_ports p JOIN int_chargers c USING (charger_id)
+     WHERE c.decommissioned_ts IS NOT NULL) AS decommissioned_ports
+"""
+
+
+@query(
+    "ocpp_chat_bi_entities",
+    oracle=_BI_ENTITIES_ORACLE,
+    cite="demo/chat-bi tests (total_ports.yml, decommissioned_ports_check"
+    ".yml prompt family); bi.py route/compile over the semantic dims",
+)
+def ocpp_chat_bi_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five NL entity prompts through bi.ask on the demo seed, combined
+    into one row (sf_dir ignored — the seed is the canonical fixture)."""
+    from kwwhat_spark import bi
+    from kwwhat_spark.models.base import Pipeline
+    from kwwhat_spark.sources.ocpp import load_ocpp_sources
+
+    pipe = Pipeline(spark=spark, sources=load_ocpp_sources(spark))
+    out = bi.ask(pipe, "How many ports do we have?")
+    for prompt in (
+        "How many chargers do we have?",
+        "How many connectors do we have?",
+        "How many locations do we have?",
+        "How many decommissioned ports do we have?",
+    ):
+        out = out.crossJoin(bi.ask(pipe, prompt))
+    return out
