@@ -1125,3 +1125,44 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew machinery under the driver gate: salted_join + salted_groupby_agg
+# must be row-for-row equivalent to the plain join+aggregate — salting
+# is a physical rewrite, never a semantic one. The oracle is the PLAIN
+# SQL; any fabricated/dropped row under the salt explode or a broken
+# two-stage merge breaks the value hash. (Measured salting-vs-AQE
+# tradeoffs live in operators/skew.py + BASELINE.md.)
+# ---------------------------------------------------------------------------
+@query(
+    "skew_salted_join_agg",
+    oracle="""
+    SELECT l.l_suppkey AS suppkey, s.s_name,
+           CAST(SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS qty_c,
+           COUNT(*) AS line_count
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    """,
+    cite="skew-safe join/agg (operators/skew.py salted_join + "
+    "salted_groupby_agg; equivalence is the contract)",
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.skew import salted_groupby_agg, salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", _c2("l_quantity").alias("qty_c_row")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(li, s, ["l_suppkey"], salt=8)
+    out = salted_groupby_agg(
+        joined,
+        ["l_suppkey", "s_name"],
+        {"qty_c": ("sum", "qty_c_row"), "line_count": ("count", "l_suppkey")},
+        salt=8,
+    )
+    return out.select(
+        F.col("l_suppkey").alias("suppkey"), "s_name", "qty_c", "line_count"
+    )
