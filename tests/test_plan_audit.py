@@ -24,6 +24,8 @@ WHITELIST = {
     "funnel_conversion": "single-row stage totals cross-join",
     "tfidf_top_terms": "single-row corpus-size build side",
     "semantic_dedup": "exact cosine pair side is the deliberate baseline (scale: cosine_near_dup_pairs)",
+    "ocpp_chat_bi_entities": "five single-row metric partials cross-joined "
+    "into one row (the BI module's whitelisted scalar-combine pattern)",
 }
 
 
