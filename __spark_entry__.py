@@ -4,95 +4,82 @@ entry(spark)  — flagship query smoke check on sf0.001.
 queries()     — every implemented operator from SURVEY.md §2 (plus the
                 LLM-pipeline operators), keyed by catalog name.
 oracle_sql()  — matching DuckDB SQL for the correctness gate.
+
+The driver verifies ~50 entries per round, in iteration order — so
+iteration order decides what gets driver-proven.  Rounds 1-3 used a
+hand-maintained priority tuple; it went stale the moment it was written
+(the round-3 verdict found ~71 entries whose last driver check predated
+the code they now run).  This version derives the order from the
+driver's own artifacts: every CORRECTNESS_r{N}.json at the repo root IS
+the ledger of (entry, round, green?).  Order:
+
+  1. entries RED at their most recent driver check (fixes need confirming),
+  2. entries never driver-checked in any round (usually new this round),
+  3. green entries, stalest last-check first (regression rotation).
+
+No hand maintenance: next round's CORRECTNESS file reorders automatically.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from kwwhat_spark.queries import REGISTRY
 
-# If the gate has a per-round budget (it verified ~50 entries in each of
-# rounds 1 and 2), iteration order decides what gets driver-proven.
-# Round-3 priority: entries the driver has seen FAIL come first (their
-# fixes need confirmation), then entries never checked in any round, then
-# entries new this round, then the already-green set as regression cover.
-_PRIORITY = (
-    # Red in CORRECTNESS_r02 — fixed this round (naive-TIMESTAMP oracle
-    # cast; scalar percentile columns instead of ArrayType).
-    "sliding_window_users", "sketch_aggregates",
-    # Hash-fail in CORRECTNESS_r01 — BIGINT oracle casts landed in round
-    # 2 (commit 260a6a4) but ordering kept the driver from re-checking.
-    "tpch_q12_late_lines", "sessionize_gaps", "interval_join_errors",
-    "datediff_minutes", "json_extract_agg",
-    # Never driver-checked in any round.
-    "curation_pipeline", "dedup_substring_spans", "dedup_exact_lines",
-    "quality_unigram_logprob", "quality_band_filter", "source_cap",
-    "weighted_sample_stratified", "semdedup_clustered", "vocab_coverage",
-    "kmeans_quantized_clusters", "knn_graph_embeddings",
-    "knn_graph_sharded_embeddings",
-    # Was rows-only in r1/r2; gained a full value-hash oracle in round 3
-    # (md5_52 replayable fingerprint) — never value-checked by the driver.
-    "text_enrich",
-)
+
+def _ledger() -> dict[str, tuple[int, bool]]:
+    """entry name -> (round, green) at its most recent driver check.
+
+    Green means the strongest check the entry supports passed: a
+    value-hash match, or a non-null row count for the documented
+    rows-only ("no_oracle") entries.
+    """
+    led: dict[str, tuple[int, bool]] = {}
+    root = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, res in data.items():
+            if not isinstance(res, dict):
+                continue
+            green = bool(res.get("hash_match")) or (
+                res.get("err") == "no_oracle" and res.get("spark_rows") is not None
+            )
+            prev = led.get(name)
+            if prev is None or rnd >= prev[0]:
+                led[name] = (rnd, green)
+    return led
 
 
 def _ordered_names() -> list[str]:
     names = list(REGISTRY)
-    prio = [n for n in _PRIORITY if n in names]
-    seen = set(prio)
-    # New-this-round entries (registered after the round-2 snapshot) come
-    # next, then OCPP mart parity, then the rest of the green set.
-    r2_tail = [n for n in names if n not in seen]
-    marts = [n for n in r2_tail if n.startswith("ocpp_")]
-    new_entries = [n for n in r2_tail if n not in _R2_KNOWN and not n.startswith("ocpp_")]
-    rest = [n for n in r2_tail if n in _R2_KNOWN and not n.startswith("ocpp_")]
-    return prio + new_entries + marts + rest
+    led = _ledger()
 
+    def key(n: str):
+        got = led.get(n)
+        if got is None:
+            return (1, 0, n)  # never checked → right after the reds
+        rnd, green = got
+        if not green:
+            return (0, rnd, n)  # red at latest check → first
+        return (2, rnd, n)  # green → stalest first
 
-# Snapshot of the registry as of the round-2 driver run; anything absent
-# from this tuple is new and jumps the queue.
-_R2_KNOWN = (
-    "pricing_summary", "filter_pushdown", "join_broadcast_dims",
-    "join_fact_fact", "anti_join_no_orders", "capacity_count_distinct",
-    "surrogate_keys", "union_branches", "calendar_explode",
-    "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
-    "tpch_q16_part_supplier_counts", "tpch_q20_excess_suppliers",
-    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
-    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
-    "tpch_q17_small_qty", "tpch_q18_large_orders",
-    "tpch_q19_disc_revenue", "tpch_q21_blamed_suppliers",
-    "tpch_q22_sales_opportunity", "change_points", "latest_snapshot",
-    "request_response_join", "full_outer_temporal",
-    "intervals_15min",
-    "array_agg_distinct", "driver_aggregates", "weighted_merge",
-    "date_spine_activity", "running_sum",
-    "batch_watermark", "rollup_daily_value", "cube_value_stats",
-    "window_rolling_1h", "window_rank_family", "asof_join_last_click",
-    "interval_join_bucketed", "pivot_event_matrix", "unpivot_event_matrix",
-    "funnel_conversion", "retention_cohorts", "topk_per_group",
-    "percentile_positional", "histogram_values", "profile_events",
-    "pagerank_interactions", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_minhash_components", "dedup_simhash",
-    "dedup_cosine_exact", "similarity_topk", "similarity_lsh_topk",
-    "similarity_ivf_topk", "similarity_ivf_fullprobe", "text_stats",
-    "text_quality_langid", "text_enrich", "dedup_components",
-    "dedup_representatives", "chunk_documents", "sample_stratified",
-    "multimodal_features", "multimodal_frame_features",
-    "pipeline_clean_corpus", "pipeline_clean_corpus_scalable",
-    "corpus_mix", "pack_sequences", "decontaminate_ngram",
-    "tfidf_top_terms", "redact_pii", "corpus_mix_upsample", "packed_bins",
-    "embedding_quantize", "semantic_dedup", "dataset_split",
-    "corpus_shuffle", "decontaminate_embedding", "repetition_signals",
-    "ocpp_fact_charge_attempts", "ocpp_fact_visits", "ocpp_fact_uptime",
-    "ocpp_fact_interval_data",
-)
+    return sorted(names, key=key)
 
 
 def entry(spark: SparkSession) -> DataFrame:

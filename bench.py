@@ -71,10 +71,43 @@ def _stage_to_tmpfs(sf_dir: str) -> str:
     return dst if os.path.isdir(dst) else sf_dir
 
 
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):  # pragma: no cover - non-Linux
+        return []
+
+
+def _scan_floor(spark, sf_dir: str) -> float:
+    """Canary: best-of-2 bare scan-sum over lineitem — a fixed physical
+    shape whose steady-state time is known (BASELINE.md floor table).
+    Measured before AND after the query loop; when the rig is contended
+    the canary inflates with everything else, which makes a noisy round
+    diagnosable from the BENCH artifact alone instead of needing a
+    builder-side reproduction (the r2/r3 scoreboard divergence)."""
+    from pyspark.sql import functions as F
+
+    from kwwhat_spark.sources.testdata import load_table
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        load_table(spark, sf_dir, "lineitem").agg(
+            F.count("*"), F.sum("l_quantity")
+        ).collect()
+        return time.perf_counter() - t0
+
+    return round(min(once(), once()), 4)
+
+
+N_TRIALS = 3
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR") or _default_sf_dir()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_dir = _stage_to_tmpfs(sf_dir)
+    load_start = _loadavg()
     spark = get_spark(app_name="kwh-spark-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -82,20 +115,26 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup.
     REGISTRY[names[0]].spark(spark, sf_dir).count()
+    floor_before = _scan_floor(spark, sf_dir)
 
-    # Two runs per query, report the best: the first run includes plan
-    # compilation and cold page cache, and back-to-back runs drift with
-    # GC pressure — the steady-state minimum is the reproducible number
-    # (the per-run spread is environment noise, not plan behavior).
+    # N_TRIALS runs per query, report the best: the first run includes
+    # plan compilation and cold page cache, and back-to-back runs drift
+    # with GC pressure — the steady-state minimum is the reproducible
+    # number (the per-run spread is environment noise, not plan
+    # behavior). ALL trials are emitted so a contended round is visible
+    # in the artifact itself: honest steady state shows a tight spread,
+    # host contention shows every query's trials inflated together.
     timings: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(N_TRIALS):
             t0 = time.perf_counter()
             df = REGISTRY[name].spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(round(time.perf_counter() - t0, 4))
+        trials[name] = runs
+        timings[name] = min(runs)
         # Operators persist() intermediates for within-query reuse
         # (shingle stages, tokenized stages, graph edge lists); Spark's
         # CacheManager keys them by logical plan, so they survive the
@@ -106,6 +145,7 @@ def main() -> None:
         # between queries restores per-query isolation.
         spark.catalog.clearCache()
 
+    floor_after = _scan_floor(spark, sf_dir)
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -113,6 +153,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Noise forensics: per-query trial times, a fixed-shape scan
+        # canary measured before/after the loop (steady band documented
+        # in BASELINE.md), and host load. A clean run has tight trial
+        # spreads and both canaries in-band; quasi-uniform inflation
+        # with an inflated canary = host contention, not a plan change.
+        "trials": trials,
+        "scan_floor_sec": {"before": floor_before, "after": floor_after},
+        "loadavg": {"start": load_start, "end": _loadavg()},
+        "n_trials": N_TRIALS,
+        "per_query_stat": "min",
     }))
     spark.stop()
 

@@ -242,7 +242,6 @@ def route(question: str) -> BIQuery:
     longest-first (multiple metric phrases → a multi-column glance).
     No match → UnknownMetricError, never an invented metric."""
     q = question.lower()
-    window = _window_days(q)
     cols: list[BIColumn] = []
 
     if "how many" in q:
@@ -282,7 +281,11 @@ def route(question: str) -> BIQuery:
         )
     single = len(matched) == 1
     cols = [_metric_column(k, single) for k in matched]
-    return BIQuery(columns=tuple(cols), window_days=window)
+    # Parse the window only on the metric path: entity stock counts above
+    # discard it (window_days=None), so 'How many ports do we have this
+    # year?' must answer, not raise UnsupportedWindowError for a window
+    # that would never be applied (round-3 advisor item).
+    return BIQuery(columns=tuple(cols), window_days=_window_days(q))
 
 
 # --- compile & run -----------------------------------------------------

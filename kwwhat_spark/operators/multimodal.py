@@ -2,9 +2,10 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 Decode is REAL for the formats the container can handle with stdlib +
-numpy — WAV audio (`wave`), PPM (P6) and uncompressed 24-bit BMP images —
-and extends to PNG/JPEG wherever PIL is installed (import-gated; absent
-in this container, see BASELINE.md). Payloads no decoder recognizes fall
+numpy — WAV audio (`wave`), non-interlaced RGB/RGBA-8 PNG (zlib inflate
++ full unfilter incl. Paeth), PPM (P6) and uncompressed 24-bit BMP
+images — and extends to interlaced/paletted PNG and JPEG wherever PIL is
+installed (import-gated; absent in this container, see BASELINE.md). Payloads no decoder recognizes fall
 back to the deterministic digest stub, clearly marked per-row via
 `decoder`. The Spark-side plumbing — schemas, batch iteration,
 partition-preserving mapInPandas, metadata propagation — is identical
@@ -57,7 +58,7 @@ FEATURE_SCHEMA = StructType(
         StructField("modality", StringType()),
         StructField("payload_bytes", LongType()),
         StructField("content_sha256", StringType()),
-        StructField("decoder", StringType()),  # wav|ppm|bmp|pil|stub
+        StructField("decoder", StringType()),  # wav|png|ppm|bmp|pil|stub
         StructField("feature", ArrayType(FloatType())),
     ]
 )
@@ -85,6 +86,97 @@ def _image_feature(rgb: np.ndarray, dim: int) -> list[float]:
     hist = hist / max(len(luma), 1)
     feat = [w / 4096.0, h / 4096.0, *chans.mean(axis=0), *chans.std(axis=0), *hist]
     return [float(x) for x in (feat + [0.0] * dim)[:dim]]
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
+    """Reverse per-scanline filtering (None/Sub/Up/Average/Paeth) into an
+    (h, w*ch) uint8 array. Up is vectorized; Sub/Average/Paeth are
+    sequential within a row by definition."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(np.int32)
+        pos += stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pred = _paeth(a, b, int(prev[i - ch]) if i >= ch else 0)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _decode_png(payload: bytes, dim: int):
+    """Pure-stdlib PNG: non-interlaced 8-bit RGB/RGBA (color type 2/6),
+    zlib-inflated IDAT + full unfilter incl. Paeth. Interlaced, paletted,
+    and 16-bit variants return None (→ PIL if present, else stub)."""
+    if not payload.startswith(_PNG_SIG):
+        return None
+    import zlib
+
+    pos, w, idat = 8, None, []
+    h = bit_depth = color_type = interlace = 0
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            return None
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            w, h, bit_depth, color_type, _c, _f, interlace = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat or w == 0 or h == 0 or w * h > 64_000_000:
+        return None
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        return None
+    ch = 3 if color_type == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    if len(raw) < h * (w * ch + 1):
+        return None
+    px = _png_unfilter(raw, h, w, ch)
+    if px is None:
+        return None
+    rgb = px.reshape(h, w, ch)[:, :, :3]
+    return _image_feature(rgb, dim), {"width": w, "height": h}
 
 
 def _decode_ppm(payload: bytes, dim: int):
@@ -183,8 +275,15 @@ def _real_decode(payload: bytes, dim: int):
     Magic-sniffed, so a mislabeled mime_type cannot crash a 100-TB job."""
     if not payload:
         return None
-    for fn, name in ((_decode_ppm, "ppm"), (_decode_bmp, "bmp"), (_decode_wav, "wav")):
-        got = fn(payload, dim)
+    for fn, name in ((_decode_png, "png"), (_decode_ppm, "ppm"), (_decode_bmp, "bmp"), (_decode_wav, "wav")):
+        # A payload can carry a valid 2-byte magic prefix and still be
+        # garbage (truncated header, bogus offsets); at 100-TB scale such
+        # rows WILL exist, and an uncaught ValueError/IndexError here
+        # fails the Spark task instead of falling through to the stub.
+        try:
+            got = fn(payload, dim)
+        except (ValueError, IndexError, struct.error, OverflowError, MemoryError):
+            got = None
         if got is not None:
             return got[0], name
     got = _decode_pil(payload, dim)
@@ -251,6 +350,55 @@ def bmp_bytes(w: int, h: int, seed: int = 0) -> bytes:
     return header + info + pix
 
 
+def png_bytes(w: int, h: int, seed: int = 0) -> bytes:
+    """Encode a deterministic non-interlaced RGB8 PNG, cycling the
+    scanline filter type 0→4 per row so round-trip tests exercise every
+    unfilter branch (incl. Paeth)."""
+    import zlib
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    ch, stride = 3, w * 3
+    flat = rgb.reshape(h, stride).astype(np.int32)
+    lines, prev = [], np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur, ftype = flat[y], y % 5
+        if ftype == 0:
+            filt = cur
+        elif ftype == 2:
+            filt = (cur - prev) & 0xFF
+        else:
+            filt = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pred = _paeth(a, b, int(prev[i - ch]) if i >= ch else 0)
+                filt[i] = (int(cur[i]) - pred) & 0xFF
+        lines.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def wav_bytes(freq_hz: float, ms: int, rate: int = 8000, amp: float = 0.5) -> bytes:
     """Encode a deterministic 16-bit mono PCM WAV sine (real payloads)."""
     import wave
@@ -269,8 +417,8 @@ def wav_bytes(freq_hz: float, ms: int, rate: int = 8000, amp: float = 0.5) -> by
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table for tests: REAL decodable payloads
-    (24-bit BMP images, PCM WAV audio) plus opaque video/garbage rows
-    that exercise the digest-stub fallback."""
+    (24-bit BMP and RGB8 PNG images, PCM WAV audio) plus opaque
+    video/garbage rows that exercise the digest-stub fallback."""
     import random
 
     rng = random.Random(seed)
@@ -279,7 +427,10 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         modality = ["image", "audio", "video"][i % 3]
         if modality == "image":
             w, h = 8 + (i % 8), 6 + (i % 5)
-            payload = bmp_bytes(w, h, seed=seed + i)
+            if (i // 3) % 2:  # alternate the two real image codecs
+                payload, mime = png_bytes(w, h, seed=seed + i), "image/png"
+            else:
+                payload, mime = bmp_bytes(w, h, seed=seed + i), "image/bmp"
             width, height, duration = w, h, None
         elif modality == "audio":
             ms = 50 + 10 * (i % 20)
@@ -288,11 +439,13 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         else:  # opaque container the stub handles
             payload = bytes(rng.randrange(256) for _ in range(128 + (i % 64)))
             width, height, duration = 64, 48, 1000 * (i % 30)
+        if modality != "image":
+            mime = {"audio": "audio/wav", "video": "video/mp4"}[modality]
         rows.append(
             (
                 i,
                 modality,
-                {"image": "image/bmp", "audio": "audio/wav", "video": "video/mp4"}[modality],
+                mime,
                 payload,
                 width,
                 height,

@@ -760,3 +760,70 @@ def knn_graph_sharded(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_graph_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Replayable twin of knn_graph: exact kNN over integer-quantized
+    vectors as pure DataFrame expressions — no BLAS, no float
+    accumulation-order ambiguity, so the result is bit-identical in any
+    engine that replays the integer math (the md5_52 trick applied to
+    vector similarity; round-3 verdict #4).
+
+    Determinism argument: the dot product and squared norms are BIGINT
+    sums over quantized codes (exact); sim = dot / (sqrt(na)*sqrt(nb))
+    is then three exactly-rounded IEEE-754 ops on exactly-representable
+    integers (|codes|<=127, 64-dim => na <= 64*127^2 ~ 1.03e6 << 2^53),
+    so both engines produce the same double bit pattern and the same
+    (-sim, dst_id) order. Semantics mirror knn_graph: top-k per src,
+    self-edges excluded, ties by dst_id ascending.
+
+    This is the ORACLE TWIN shape — an all-pairs join meant for a
+    bounded slice (the catalog entry caps the corpus). The production
+    paths are knn_graph (broadcast matmul) and knn_graph_sharded (block
+    matmul); an agreement test binds this twin's neighbor sets to the
+    BLAS path at matching quantization error.
+    """
+    from pyspark.sql import Window as W
+
+    zero = F.lit(0).cast("long")
+    norms = df.select(
+        F.col(id_col),
+        F.col(codes_col).alias("_c"),
+        F.aggregate(
+            codes_col, zero, lambda acc, x: acc + x.cast("long") * x.cast("long")
+        ).alias("_n2"),
+    )
+    a = norms.select(
+        F.col(id_col).alias("src_id"), F.col("_c").alias("_ca"), F.col("_n2").alias("_na")
+    )
+    b = norms.select(
+        F.col(id_col).alias("dst_id"), F.col("_c").alias("_cb"), F.col("_n2").alias("_nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("_ca", "_cb", lambda x, y: x.cast("long") * y.cast("long")),
+        zero,
+        lambda acc, v: acc + v,
+    )
+    sim = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        F.col("_dot")
+        / (F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))),
+    ).otherwise(F.lit(0.0))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .withColumn("_dot", dot)
+        .select("src_id", "dst_id", sim.alias("cosine_sim"), "_na", "_nb")
+    )
+    w = W.partitionBy("src_id").orderBy(F.desc("cosine_sim"), F.asc("dst_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "dst_id", "cosine_sim", "rank")
+    )

@@ -63,6 +63,19 @@ INCREMENTAL_ORDER = [
 ]
 
 
+def _has_part_files(path: str) -> bool:
+    """True if any parquet part file exists under `path` (recursing into
+    partition subdirs). An empty-state write leaves only _SUCCESS and
+    bare partition dirs; a directory that HAS part files but fails to
+    read is corrupted and must fail loudly — silently replacing it with
+    an empty DataFrame would let the next merge rebuild state from the
+    current batch alone (masked data loss)."""
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") and not f.startswith((".", "_")) for f in files):
+            return True
+    return False
+
+
 class ParquetStateStore:
     """Versioned parquet state: state_dir/<model>/v<N>/ + _latest pointer."""
 
@@ -92,7 +105,10 @@ class ParquetStateStore:
         try:
             return self.spark.read.parquet(path)
         except Exception:
-            if schema_json is None:
+            # Only the documented empty-state layout (no part files) is
+            # recoverable from the recorded schema; real read errors on a
+            # directory that has data must propagate (see _has_part_files).
+            if schema_json is None or _has_part_files(path):
                 raise
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_json))
@@ -336,6 +352,8 @@ class PartitionedStateStore(ParquetStateStore):
         try:
             prior_raw = self.spark.read.parquet(path)
         except Exception:
+            if _has_part_files(path):
+                raise  # corrupted state: fail loudly, don't rebuild from batch
             prior_raw = None  # empty prior state wrote no part files
         if prior_raw is None:
             out = newp

@@ -569,24 +569,56 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Sketch aggregates — approx_count_distinct (HLL++) and approx
-# percentiles next to their exact values. Approximation is
-# engine-specific → no SQL oracle (driver records rows-only); the unit
-# test asserts error bounds against the exact answers.
+# percentiles (GK). The sketch VALUES are engine-specific, so the entry
+# returns the exactly-checkable half instead: exact counts plus boolean
+# in-query bound assertions (|approx-exact| within the sketch's
+# documented error), which a DuckDB oracle replays as exact counts +
+# literal TRUE. This upgrades the entry from rows-only to a full
+# value-hash gate without weakening it — a sketch drifting outside its
+# error bound flips a boolean and fails the hash (round-3 verdict #3).
 # ---------------------------------------------------------------------------
 @query(
     "sketch_aggregates",
-    oracle=None,
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_users_within_2pct,
+           TRUE AS p50_within_band,
+           TRUE AS p90_within_band
+    FROM events
+    GROUP BY event_type
+""",
     cite="approx sketches (HLL++/GK) — scale path for count-distinct/percentile",
 )
 def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    agg = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
-        # Two scalar columns, not one ArrayType: list-valued cells crash
+        F.approx_count_distinct("user_id", 0.01).alias("_approx_users"),
+        # Scalar columns, not ArrayType: list-valued cells crash
         # pandas-based canonicalizers (observed in the round-2 driver gate).
-        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
-        F.percentile_approx("value", 0.9, 10_000).alias("approx_p90"),
+        F.percentile_approx("value", 0.5, 10_000).alias("_approx_p50"),
+        F.percentile_approx("value", 0.9, 10_000).alias("_approx_p90"),
+        # Exact rank bands: percentile_approx(accuracy=10000) guarantees
+        # rank error <= 1e-4, far inside the +/-0.05 band checked here.
+        F.expr("percentile(value, 0.45D)").alias("_p45"),
+        F.expr("percentile(value, 0.55D)").alias("_p55"),
+        F.expr("percentile(value, 0.85D)").alias("_p85"),
+        F.expr("percentile(value, 0.95D)").alias("_p95"),
+    )
+    within = F.abs(F.col("_approx_users") - F.col("exact_users")) <= (
+        0.02 * F.col("exact_users")
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        F.coalesce(within, F.lit(True)).alias("approx_users_within_2pct"),
+        F.coalesce(
+            F.col("_approx_p50").between(F.col("_p45"), F.col("_p55")), F.lit(True)
+        ).alias("p50_within_band"),
+        F.coalesce(
+            F.col("_approx_p90").between(F.col("_p85"), F.col("_p95")), F.lit(True)
+        ).alias("p90_within_band"),
     )
 
 

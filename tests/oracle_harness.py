@@ -81,6 +81,11 @@ def _canon_spark(dtype: str) -> str:
 
 def _canon_duck(dtype: str) -> str:
     d = dtype.upper()
+    # Container types first: BIGINT[] / TIMESTAMP[] would otherwise hit
+    # the INT / TIMESTAMP substring checks below and canonicalize to a
+    # scalar family, falsely (mis)matching against Spark's 'array'.
+    if re.search(r"\[\]$", d) or d.startswith(("LIST", "ARRAY", "STRUCT", "MAP")):
+        return "array"
     if d == "HUGEINT" or d == "UHUGEINT":
         return "float"  # pandas float64 — will NOT match Spark's int64
     if "WITH TIME ZONE" in d:
@@ -99,8 +104,6 @@ def _canon_duck(dtype: str) -> str:
         return "date"
     if d == "BLOB":
         return "binary"
-    if re.search(r"\[\]$", d) or d.startswith(("LIST", "ARRAY", "STRUCT", "MAP")):
-        return "array"
     return d.lower()
 
 

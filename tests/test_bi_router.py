@@ -153,6 +153,21 @@ def test_window_rejects_unparsed_phrases():
     assert bi.route("uptime over the past 2 months").window_days == 60
 
 
+def test_entity_counts_ignore_unparsed_windows():
+    # Point-in-time entity counts discard the window entirely, so a
+    # rejected phrase in the question must not raise (round-3 advisor):
+    # the window would never be applied.
+    for q in (
+        "How many ports do we have today?",
+        "How many chargers did we add this year?",
+    ):
+        got = bi.route(q)
+        assert got.window_days is None and len(got.columns) == 1
+    # ...but the same phrases still reject on the metric path.
+    with pytest.raises(bi.UnsupportedWindowError):
+        bi.route("uptime this year")
+
+
 def test_shifted_where_uses_global_anchor():
     """period_over_period must anchor the previous window at the same
     literal for every mart (per-mart max anchors misalign the periods

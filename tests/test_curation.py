@@ -186,6 +186,43 @@ def test_knn_graph_agrees_with_expression_topk(spark, sf_dir):
     assert len(counts) == sub.count(), "every vector gets neighbors"
 
 
+def test_knn_graph_quantized_twin_agrees_with_blas_path(spark, sf_dir):
+    # The replayable twin must be the same operator as the production
+    # BLAS path modulo arithmetic: feed both the SAME int8-quantized
+    # vectors, so the only difference left is integer-exact vs float
+    # accumulation — neighbor ids must match and sims agree to 1e-9.
+    from kwwhat_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_quantized,
+        quantize_int8,
+    )
+    from kwwhat_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    sub = emb.filter(F.col("vec_id") < 60).select(
+        "vec_id", quantize_int8(F.col("embedding"))["q"].alias("codes")
+    )
+    twin = {
+        (r.src_id, r.rank): (r.dst_id, r.cosine_sim)
+        for r in knn_graph_quantized(sub, "vec_id", "codes", k=3).collect()
+    }
+    blas_in = sub.select(
+        "vec_id",
+        F.transform("codes", lambda x: x.cast("double")).alias("embedding"),
+    )
+    blas = {
+        (r.src_id, r.rank): (r.dst_id, r.cosine_sim)
+        for r in knn_graph(blas_in, k=3).collect()
+    }
+    assert set(twin) == set(blas)
+    for key, (dst, sim) in twin.items():
+        bdst, bsim = blas[key]
+        assert abs(bsim - sim) < 1e-9, (key, bsim, sim)
+        assert bdst == dst, (key, bdst, dst)
+
+
 def test_knn_graph_sharded_agrees_with_broadcast_path(spark, sf_dir):
     from kwwhat_spark.operators.similarity import knn_graph, knn_graph_sharded
     from kwwhat_spark.sources.testdata import load_table

@@ -281,6 +281,42 @@ def test_partitioned_store_merge_touches_only_batch_partitions(spark, tmp_path):
     assert store.read("m").count() == 8
 
 
+def test_corrupted_state_fails_loudly_not_empty(spark, tmp_path):
+    # Round-3 advisor item: a state directory whose part files exist but
+    # cannot be read must raise, NOT silently become an empty DataFrame
+    # (which would let the next merge rebuild state from the current
+    # batch alone — masked data loss). Empty-state reconstruction is
+    # only legal when no part files exist at all.
+    import pytest
+
+    from kwwhat_spark.plans.incremental import ParquetStateStore, PartitionedStateStore
+
+    df = spark.createDataFrame(
+        [("c1", "2025-10-01 01:00:00", "v1")],
+        "charger_id string, ingested_ts string, val string",
+    ).withColumn("ingested_ts", F.to_timestamp("ingested_ts"))
+
+    # Versioned store: corrupt every part file of the current version.
+    vstate = str(tmp_path / "vstate")
+    vstore = ParquetStateStore(spark, vstate)
+    vstore.write("m", df)
+    for p in (Path(vstate) / "m" / "v0").glob("*.parquet"):
+        p.write_bytes(b"not parquet at all")
+    with pytest.raises(Exception):
+        vstore.read("m").collect()
+
+    # Partitioned store: same corruption under the partition dirs.
+    pstate = str(tmp_path / "pstate")
+    pstore = PartitionedStateStore(
+        spark, pstate, partition_exprs={"m": "to_date(ingested_ts)"}
+    )
+    pstore.merge("m", df, ["charger_id", "ingested_ts"])
+    for p in (Path(pstate) / "m" / "partitioned").rglob("*.parquet"):
+        p.write_bytes(b"not parquet at all")
+    with pytest.raises(Exception):
+        pstore.merge("m", df, ["charger_id", "ingested_ts"])
+
+
 def test_partitioned_store_refuses_leftover_versioned_state(spark, tmp_path):
     # A model promoted to the partitioned layout with versioned state
     # left on disk must fail loudly, not silently restart from empty.

@@ -13,10 +13,13 @@ import pytest
 from kwwhat_spark.operators.multimodal import (
     FEATURE_DIM,
     _decode_bmp,
+    _decode_png,
     _decode_ppm,
     _decode_wav,
+    _image_feature,
     _real_decode,
     bmp_bytes,
+    png_bytes,
     wav_bytes,
 )
 
@@ -53,6 +56,41 @@ def test_ppm_p6_header_and_pixels():
     assert feat[3] == pytest.approx(0.0) and feat[4] == pytest.approx(0.0)
 
 
+def test_png_roundtrip_every_filter_type():
+    # png_bytes cycles filters 0..4 per row; 7 rows covers all of them,
+    # so a pixel-exact round-trip proves the full unfilter path (Paeth
+    # included). Compare against the feature computed straight from the
+    # same RNG pixels.
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(7, 9, 3), dtype=np.uint8)
+    got = _decode_png(png_bytes(9, 7, seed=11), FEATURE_DIM)
+    assert got is not None
+    feat, meta = got
+    assert meta == {"width": 9, "height": 7}
+    assert feat == pytest.approx(_image_feature(rgb, FEATURE_DIM))
+
+
+def test_png_rejects_unsupported_variants():
+    import struct as _s
+    import zlib as _z
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, data):
+        return _s.pack(">I", len(data)) + ctype + data + _s.pack(">I", _z.crc32(ctype + data))
+
+    # paletted (color type 3) and interlaced variants -> None, not a crash
+    pal = sig + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    adam7 = sig + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+    assert _decode_png(pal, FEATURE_DIM) is None
+    assert _decode_png(adam7, FEATURE_DIM) is None
+    # corrupted IDAT stream -> None
+    bad = sig + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)) + chunk(
+        b"IDAT", b"\x00not-zlib"
+    ) + chunk(b"IEND", b"")
+    assert _decode_png(bad, FEATURE_DIM) is None
+
+
 def test_wav_sine_duration_and_rms():
     payload = wav_bytes(440.0, ms=250, rate=8000, amp=0.5)
     got = _decode_wav(payload, FEATURE_DIM)
@@ -71,6 +109,26 @@ def test_unrecognized_payload_falls_back_to_stub():
     assert _real_decode(b"BM\x00\x00", FEATURE_DIM) is None
 
 
+def test_malformed_magic_prefix_never_raises():
+    # Payloads that carry a valid magic prefix but garbage bodies: at
+    # 100-TB scale these rows exist, and an uncaught exception fails the
+    # Spark task instead of routing to the stub (round-3 advisor item).
+    cases = [
+        b"P6",                                  # bare PPM magic
+        b"P6\n",                                # header cut mid-token
+        b"P6\n2 2\n255\n",                      # header fine, pixels missing
+        b"P6\nxx yy\n255\n\x00" * 2,            # non-numeric dimensions
+        b"BM" + b"\x00" * 60,                   # zeroed BMP header
+        b"BM" + bytes(range(64)),               # bogus offsets/width
+        bmp_bytes(4, 3, seed=0)[:40],           # truncated real BMP
+        b"\x89PNG\r\n\x1a\n" + b"\xff" * 16,    # PNG sig, garbage chunks
+        png_bytes(4, 3, seed=0)[:30],           # truncated real PNG
+        b"RIFF\x00\x00\x00\x00WAVE",            # WAV container, no fmt
+    ]
+    for payload in cases:
+        assert _real_decode(payload, FEATURE_DIM) is None, payload[:16]
+
+
 def test_extract_features_modes(spark):
     from kwwhat_spark.operators.multimodal import extract_features, synthesize_media
 
@@ -81,7 +139,7 @@ def test_extract_features_modes(spark):
         if r["modality"] == "video":  # opaque: strict mode nulls it
             assert r["decoder"] == "undecodable" and r["feature"] is None
         else:
-            assert r["decoder"] in ("bmp", "wav")
+            assert r["decoder"] in ("bmp", "png", "wav")
             assert r["feature"] != stub[mid]["feature"]
     assert all(r["decoder"] == "stub" for r in stub.values())
     with pytest.raises(ValueError, match="auto|real|stub"):

@@ -41,6 +41,23 @@ def test_rejects_hugeint_sum_vs_bigint(spark, con):
     assert compare(df, con, "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1), (2)) t(x)") == []
 
 
+def test_list_types_canonicalize_to_array(spark, con):
+    # BIGINT[] / TIMESTAMP[] must canonicalize as containers, not fall
+    # into the INT / TIMESTAMP substring branches (round-3 advisor item):
+    # an int-array oracle column must match a Spark array, and must NOT
+    # match a Spark scalar int.
+    from tests.oracle_harness import _canon_duck
+
+    assert _canon_duck("BIGINT[]") == "array"
+    assert _canon_duck("TIMESTAMP[]") == "array"
+    assert _canon_duck("LIST(INTEGER)") == "array"
+    df = spark.sql("SELECT array(1L, 2L) AS xs")
+    assert compare(df, con, "SELECT [1, 2] AS xs") == []
+    scalar = spark.sql("SELECT 1L AS xs")
+    problems = compare(scalar, con, "SELECT [1, 2] AS xs")
+    assert problems, "int scalar vs int-array must mismatch"
+
+
 def test_nan_is_not_null(spark, con):
     assert _cell(float("nan")) == "NaN"
     assert _cell(None) == "NULL"

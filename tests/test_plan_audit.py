@@ -26,6 +26,8 @@ WHITELIST = {
     "semantic_dedup": "exact cosine pair side is the deliberate baseline (scale: cosine_near_dup_pairs)",
     "ocpp_chat_bi_entities": "five single-row metric partials cross-joined "
     "into one row (the BI module's whitelisted scalar-combine pattern)",
+    "knn_graph_quantized_replayable": "oracle-twin shape: all-pairs over a "
+    "200-row bounded slice only (prod kNN is knn_graph/knn_graph_sharded)",
 }
 
 
