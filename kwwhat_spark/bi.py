@@ -325,12 +325,16 @@ def _resolve_anchor(pipe: Pipeline, columns: tuple[BIColumn, ...]) -> str | None
     return f"timestamp'{row[0]}'" if row[0] is not None else None
 
 
-def compile_query(pipe: Pipeline, bq: BIQuery) -> DataFrame:
+def compile_query(pipe: Pipeline, bq: BIQuery, anchor: str | None = None) -> DataFrame:
     """One aggregate per touched mart (a single shuffle each), scalar
     partials combined via one-row cross joins, percent columns rendered
-    round(x*100, 2) last.  Window anchor is the max event time across
-    the touched facts (deterministic on static test data; a live
-    deployment would pass wall-clock via the anchor parameter of ask)."""
+    round(x*100, 2) last.  Window anchor defaults to the max event time
+    across the touched facts (deterministic on static test data); a live
+    deployment passes wall-clock (or a pinned as-of time) via `anchor`,
+    a SQL timestamp literal like "timestamp'2025-10-15 00:00:00'".  An
+    explicit anchor also UPPER-bounds the current window (ts <= anchor):
+    that is what "the last 7 days as of T" means, and it keeps the answer
+    reproducible when the marts contain events after T."""
     spark = pipe.spark
     # Group key includes the non-count WHERE so two differently-filtered
     # averages on one mart never share (and wrongly AND) a predicate.
@@ -341,7 +345,7 @@ def compile_query(pipe: Pipeline, bq: BIQuery) -> DataFrame:
 
     anchor_sql = None
     if bq.window_days is not None:
-        anchor_sql = _resolve_anchor(pipe, bq.columns)
+        anchor_sql = anchor if anchor is not None else _resolve_anchor(pipe, bq.columns)
 
     partials: list[DataFrame] = []
     for (model, _), cols in by_model.items():
@@ -363,6 +367,8 @@ def compile_query(pipe: Pipeline, bq: BIQuery) -> DataFrame:
             wheres.append(
                 f"{tc} > {anchor_sql} - interval {bq.window_days} day"
             )
+            if anchor is not None:
+                wheres.append(f"{tc} <= {anchor_sql}")
         if wheres:
             sql += " where " + " and ".join(wheres)
         partials.append(spark.sql(sql))
@@ -432,7 +438,7 @@ def catalog() -> dict:
     }
 
 
-def ask(pipe: Pipeline, question: str, planner=None) -> DataFrame:
+def ask(pipe: Pipeline, question: str, planner=None, anchor: str | None = None) -> DataFrame:
     """Plan a question and run it. The default planner is the
     deterministic lexicon router (`route`) — the reference's four chat-BI
     prompts replay through it without a model; an LLM agent plugs in as
@@ -446,7 +452,7 @@ def ask(pipe: Pipeline, question: str, planner=None) -> DataFrame:
             raise TypeError(
                 f"planner must return a BIQuery, got {type(bq).__name__}"
             )
-    return compile_query(pipe, bq)
+    return compile_query(pipe, bq, anchor=anchor)
 
 
 def at_a_glance(df: DataFrame) -> DataFrame:
@@ -467,16 +473,18 @@ def at_a_glance(df: DataFrame) -> DataFrame:
 
 
 def period_over_period(
-    pipe: Pipeline, question: str
+    pipe: Pipeline, question: str, anchor: str | None = None
 ) -> DataFrame:
     """RULES.md: "Always include period-over-period change in percentage
     points (pp)."  Runs the question's windowed metrics for the current
     window and the immediately preceding one, returning one row per
     metric: (metric, value, previous_value, delta_pp).  Full-history
     questions have no previous period → single-window result with null
-    deltas."""
+    deltas.  `anchor` pins both windows to an explicit as-of timestamp
+    literal (see compile_query) — required for reproducible comparisons
+    when any touched mart extends to wall-clock."""
     bq = route(question)
-    cur = compile_query(pipe, bq)
+    cur = compile_query(pipe, bq, anchor=anchor)
     if bq.window_days is None:
         g = at_a_glance(cur)
         return g.select(
@@ -491,7 +499,7 @@ def period_over_period(
     # union-max compile_query uses for the current window — so the two
     # periods are adjacent by construction even when marts have
     # different max timestamps.
-    anchor_sql = _resolve_anchor(pipe, bq.columns)
+    anchor_sql = anchor if anchor is not None else _resolve_anchor(pipe, bq.columns)
     prev = compile_query(
         pipe,
         BIQuery(

@@ -110,9 +110,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ENTIRE sketch in DuckDB — shingle hashes, the 32-seed signature, the
 # 8 band hashes, the candidate join, and the exact hashed-set Jaccard —
 # so banding itself (not just the verified output) is engine-identical.
-@query(
-    "dedup_minhash_lsh_replayable",
-    oracle=r"""
+_MINHASH_PAIRS_REPLAYABLE_SQL = r"""
     WITH toks AS (
       SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
       FROM documents
@@ -153,7 +151,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN hs hb ON hb.doc_id = c.doc_b
     WHERE CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE)
              / (len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h))) >= 0.5
-    """,
+    """
+
+
+@query(
+    "dedup_minhash_lsh_replayable",
+    oracle=_MINHASH_PAIRS_REPLAYABLE_SQL,
     cite="LLM-ops: MinHash+LSH near-dup, md5_52 replayable hash family "
     "(functions/text.py md5_52; same operator code path as "
     "dedup_minhash_lsh modulo the hash)",
@@ -170,9 +173,7 @@ def dedup_minhash_lsh_replayable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replayed in DuckDB, star edges (member → bucket min) via the same
 # window-min, closure via recursive CTE — the 100 TB dedup shape,
 # bucket structure and all, checked value-exact against another engine.
-@query(
-    "dedup_minhash_components_replayable",
-    oracle=r"""
+_MINHASH_COMPONENTS_REPLAYABLE_SQL = r"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
       FROM documents
@@ -215,7 +216,12 @@ def dedup_minhash_lsh_replayable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
     FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-    """,
+    """
+
+
+@query(
+    "dedup_minhash_components_replayable",
+    oracle=_MINHASH_COMPONENTS_REPLAYABLE_SQL,
     cite="LLM-ops: pair-free LSH components, md5_52 replayable family "
     "(same code path as dedup_minhash_components modulo the hash; "
     "SlimPajama / Lee et al. bucket→union-find shape)",
@@ -291,6 +297,133 @@ def dedup_simhash_replayable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = simhash_pairs(docs, "doc_id", "text", max_hamming=3, replayable_hash=True)
     return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Twin-equivalence entries (round-3 verdict #10): value-gated queries
+# that bind each xxhash64 PRODUCTION sketch path to its md5_52
+# replayable twin inside the driver gate, instead of resting on local
+# agreement tests. Each entry runs BOTH paths and emits the replayable
+# side's exactly-recomputable summary plus boolean equivalence claims;
+# the oracle recomputes the summary in DuckDB and asserts the booleans
+# as literal TRUE — if the prod path ever drifts from the twin on gate
+# data, a boolean flips and the value hash fails.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_minhash_twin_equivalence",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS pairs_equal
+    FROM ({_MINHASH_PAIRS_REPLAYABLE_SQL}) q
+    """,
+    cite="LLM-ops: prod(xxhash64) vs replayable(md5_52) MinHash-LSH pair-"
+    "set equality under the gate (same operator, same params; verified "
+    "jaccard is hash-independent so both families recall every >=0.5 pair)",
+)
+def dedup_minhash_twin_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kw = dict(k=3, num_hashes=32, bands=8, threshold=0.5)
+    prod = minhash_lsh_pairs(docs, "doc_id", "text", **kw).select(
+        "doc_a", "doc_b", F.round("jaccard", 9).alias("j_p")
+    )
+    twin = minhash_lsh_pairs(
+        docs, "doc_id", "text", replayable_hash=True, **kw
+    ).select("doc_a", "doc_b", F.round("jaccard", 9).alias("j_t"))
+    joined = prod.join(twin, ["doc_a", "doc_b"], "full_outer")
+    return joined.agg(
+        F.count("j_t").cast("long").alias("n_pairs"),
+        (
+            F.count(
+                F.when(
+                    F.col("j_p").isNull()
+                    | F.col("j_t").isNull()
+                    | (F.col("j_p") != F.col("j_t")),
+                    1,
+                )
+            )
+            == 0
+        ).alias("pairs_equal"),
+    )
+
+
+@query(
+    "dedup_components_twin_equivalence",
+    oracle=f"""
+    SELECT CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS partitions_equal
+    FROM ({_MINHASH_COMPONENTS_REPLAYABLE_SQL}) q
+    """,
+    cite="LLM-ops: prod(xxhash64) vs replayable(md5_52) LSH-component "
+    "partition equality under the gate — both label a component by its "
+    "min doc_id, so map equality == partition equality",
+)
+def dedup_components_twin_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kw = dict(k=3, num_hashes=16, bands=4)
+    prod = minhash_lsh_components(docs, "doc_id", "text", **kw).select(
+        "doc_id", F.col("component").alias("c_p")
+    )
+    twin = minhash_lsh_components(
+        docs, "doc_id", "text", replayable_hash=True, **kw
+    ).select("doc_id", F.col("component").alias("c_t"))
+    joined = prod.join(twin, "doc_id", "full_outer")
+    return joined.agg(
+        F.countDistinct("c_t").cast("long").alias("n_components"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.count(
+                F.when(
+                    F.col("c_p").isNull()
+                    | F.col("c_t").isNull()
+                    | (F.col("c_p") != F.col("c_t")),
+                    1,
+                )
+            )
+            == 0
+        ).alias("partitions_equal"),
+    )
+
+
+@query(
+    "dedup_simhash_twin_exact_recall",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_dup_pairs,
+           TRUE AS prod_finds_all, TRUE AS replayable_finds_all
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id AND a.text = b.text
+    """,
+    cite="LLM-ops: SimHash twin recall gate — 64-bit(xxhash64) and "
+    "52-bit(md5) hamming thresholds are NOT pair-set-equivalent by "
+    "design, so the gated claim is the structural guarantee both share: "
+    "every identical-text pair (simhash equal, hamming 0) is recalled "
+    "by BOTH paths; the exact-dup pair set is SQL-recomputable",
+)
+def dedup_simhash_twin_exact_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("doc_a"), "text")
+    b = docs.select(F.col("doc_id").alias("doc_b"), "text")
+    exact = (
+        a.join(b, "text")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    prod = simhash_pairs(docs, "doc_id", "text", max_hamming=3).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_p")
+    )
+    twin = simhash_pairs(
+        docs, "doc_id", "text", max_hamming=3, replayable_hash=True
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_t"))
+    joined = (
+        exact.join(prod, ["doc_a", "doc_b"], "left")
+        .join(twin, ["doc_a", "doc_b"], "left")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_dup_pairs"),
+        (F.count(F.when(F.col("in_p").isNull(), 1)) == 0).alias("prod_finds_all"),
+        (F.count(F.when(F.col("in_t").isNull(), 1)) == 0).alias(
+            "replayable_finds_all"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1050,9 +1183,7 @@ def pipeline_clean_corpus_scalable(spark: SparkSession, sf_dir: str) -> DataFram
 # stages with the md5_52 hash family, so DuckDB replays the quality
 # gate, digest dedup, banding, star edges, recursive closure, and
 # component-minimum keeper selection end-to-end.
-@query(
-    "pipeline_clean_corpus_scalable_replayable",
-    oracle=r"""
+_SCALABLE_CHAIN_REPLAYABLE_SQL = r"""
     WITH RECURSIVE qualified AS (
       SELECT doc_id, text, lang,
              len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token_count
@@ -1112,7 +1243,12 @@ def pipeline_clean_corpus_scalable(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(SUM(token_count) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM cleaned
     GROUP BY lang
-    """,
+    """
+
+
+@query(
+    "pipeline_clean_corpus_scalable_replayable",
+    oracle=_SCALABLE_CHAIN_REPLAYABLE_SQL,
     cite="LLM-ops: the heavy-duplication cleaning chain (quality gate → "
     "digest dedup → star-edge LSH components → component-min keepers) "
     "with the md5_52 family — the 100 TB dedup SHAPE value-hash checked "
@@ -1138,6 +1274,68 @@ def pipeline_clean_corpus_scalable_replayable(spark: SparkSession, sf_dir: str) 
         F.count(F.lit(1)).alias("docs_kept"),
         F.sum("token_count").alias("total_tokens"),
         (F.sum("token_count").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+@query(
+    "pipeline_scalable_twin_equivalence",
+    oracle=f"""
+    SELECT lang, docs_kept, total_tokens, avg_tokens, TRUE AS agrees_with_prod
+    FROM ({_SCALABLE_CHAIN_REPLAYABLE_SQL}) q
+    """,
+    cite="LLM-ops: the xxhash64 production cleaning chain vs its md5_52 "
+    "replayable twin at identical stage params — per-lang outputs must "
+    "coincide (same quality gate, same digest dedup, partition-equal "
+    "LSH components ⇒ same keeper set), gated end-to-end",
+)
+def pipeline_scalable_twin_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the scalable chain twice — prod hash family and replayable —
+    at the replayable entry's params, and emit the replayable per-lang
+    summary plus a row-level agreement boolean."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "token_count", whitespace_token_count("text")
+    )
+    qualified = docs.filter(F.col("token_count") >= 10)
+    keepers = (
+        qualified.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    unique_docs = qualified.join(keepers, "doc_id", "left_semi")
+
+    def chain(replayable: bool) -> DataFrame:
+        comps = minhash_lsh_components(
+            unique_docs, "doc_id", "text",
+            num_hashes=16, bands=4, replayable_hash=replayable,
+        )
+        reps = comps.groupBy("component").agg(F.min("doc_id").alias("doc_id"))
+        cleaned = unique_docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+        return cleaned.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("token_count").alias("total_tokens"),
+            (F.sum("token_count").cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens"
+            ),
+        )
+
+    twin = chain(replayable=True)
+    prod = chain(replayable=False).select(
+        "lang",
+        F.col("docs_kept").alias("dk_p"),
+        F.col("total_tokens").alias("tt_p"),
+        F.col("avg_tokens").alias("at_p"),
+    )
+    return twin.join(prod, "lang", "left").select(
+        "lang",
+        "docs_kept",
+        "total_tokens",
+        "avg_tokens",
+        (
+            F.col("dk_p").isNotNull()
+            & (F.col("dk_p") == F.col("docs_kept"))
+            & (F.col("tt_p") == F.col("total_tokens"))
+            & (F.col("at_p") == F.col("avg_tokens"))
+        ).alias("agrees_with_prod"),
     )
 
 

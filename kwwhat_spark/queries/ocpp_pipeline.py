@@ -1389,6 +1389,89 @@ def ocpp_incremental_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-MODEL incremental chain under the gate (round-3 verdict #8):
+# two batches of the real 5-model chain (int_status_changes →
+# int_connector_latest_status / int_transactions / int_connector_preparing
+# → fact_charge_attempts) through PartitionedStateStore, so the
+# upstream-watermark capping the reference does in
+# fact_charge_attempts.sql:19-28 is exercised across model boundaries.
+# Oracle form: CONVERGENCE — a correct chain's merged mart equals the
+# full-refresh compile on every batch-stable column (the exact property
+# dbt guarantees for this DAG). Columns whose value links rows across a
+# batch boundary (previous_status/next_status — the 30-min look-back
+# buffer stitches only within its horizon, by reference design,
+# int_status_changes.sql:90-109) and the per-batch incremental_ts are
+# excluded here and pinned instead by the per-model lifecycle entry
+# (ocpp_incremental_status) and the transcribed dbt incremental units.
+# A watermark-propagation bug (batch 2 recomputing attempts over
+# not-yet-merged status rows) produces missing/extra/shifted rows and
+# fails this hash.
+# ---------------------------------------------------------------------------
+
+_CHAIN_SKIP_COLS = ("previous_status", "next_status", "incremental_ts")
+_FCA_PROJ_COLS = (
+    "charge_attempt_id", "port_key", "location_key", "charger_id",
+    "connector_id", "charge_attempt_start_ts", "charge_attempt_stop_ts",
+    "preparing_unique_id", "preparing_ingested_ts", "preparing_payload_ts",
+    "preparing_next_payload_ts", "previous_status", "status", "next_status",
+    "id_tags", "id_tag_statuses", "id_tag", "id_tag_status",
+    "transaction_id", "transaction_ingested_ts", "transaction_start_ts",
+    "transaction_stop_ts", "transaction_stop_reason", "meter_start_wh",
+    "meter_stop_wh", "energy_transferred_kwh", "error_codes",
+    "is_successful", "incremental_ts",
+)
+
+_INC_CHAIN_ORACLE = (
+    "SELECT "
+    + ", ".join(c for c in _FCA_PROJ_COLS if c not in _CHAIN_SKIP_COLS)
+    + f" FROM ({_FCA_ORACLE}) fca_full"
+)
+
+
+@query(
+    "ocpp_incremental_attempts_chain",
+    oracle=_INC_CHAIN_ORACLE,
+    cite="fact_charge_attempts.sql:19-28 (upstream-watermark capping) + "
+    ":1-282; int_status_changes.sql:90-146 buffer; plans/incremental.py "
+    "IncrementalRunner chain execution",
+)
+def ocpp_incremental_attempts_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch lifecycle of the status→attempts model chain through
+    the partition-scoped state store; returns the merged
+    fact_charge_attempts state on its batch-stable columns (sf_dir
+    ignored — the demo seed is the canonical fixture)."""
+    import shutil
+    import tempfile
+
+    from kwwhat_spark.plans.incremental import IncrementalRunner, PartitionedStateStore
+    from kwwhat_spark.sources.ocpp import load_ocpp_sources
+
+    chain = [
+        "int_status_changes", "int_connector_latest_status",
+        "int_transactions", "int_connector_preparing", "fact_charge_attempts",
+    ]
+    sources = load_ocpp_sources(spark)
+    state_dir = tempfile.mkdtemp(prefix="kwh-inc-chain-")
+    try:
+        store = PartitionedStateStore(spark, state_dir)
+        runner = IncrementalRunner(spark, store)
+        batch1 = {
+            **sources,
+            "raw_ocpp_logs": sources["raw_ocpp_logs"].filter(
+                F.col("timestamp") < _INC_CUTOFF
+            ),
+        }
+        runner.run_batch(batch1, models=chain)
+        runner.run_batch(sources, models=chain)
+        out = mart_projection(
+            "fact_charge_attempts", store.read("fact_charge_attempts")
+        ).drop(*_CHAIN_SKIP_COLS)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Streaming path under the driver gate (SURVEY §2.9 extension): the
 # stateful change-point stream (streaming/ocpp.py stream_status_changes,
 # applyInPandasWithState) run with an availableNow trigger over the demo
@@ -1492,6 +1575,84 @@ SELECT
     (SELECT count(*) FROM int_ports p JOIN int_chargers c USING (charger_id)
      WHERE c.decommissioned_ts IS NOT NULL) AS decommissioned_ports
 """
+
+
+# Period-over-period path (RULES.md "always include period-over-period
+# change in pp") under the gate: a windowed MULTI-mart question
+# (fact_uptime + fact_charge_attempts) through bi.period_over_period at
+# a PINNED as-of anchor — fact_uptime extends to wall-clock via the
+# open-ended commissioned span, so only an explicit anchor makes the
+# two windows reproducible cross-engine. The oracle replays both
+# windows from the same anchor literal over the mart CTE compiles.
+_BI_POP_ANCHOR = "2025-10-15 00:00:00"
+
+_BI_POP_ORACLE = f"""
+WITH {_STG_CTES},
+{_STATUS_CTES},
+{_PREPARING_CTES},
+{_TRANSACTIONS_CTES},
+{_ATTEMPTS_CTES},
+{_UPTIME_CTES},
+uptime_rows AS (
+    SELECT CAST(date_id AS TIMESTAMP) AS ts,
+           (minutes_commissioned - total_downtime_minutes) / minutes_commissioned AS uptime
+    FROM fact_uptime
+),
+att_rows AS (
+    SELECT charge_attempt_start_ts AS ts, is_successful FROM fact_charge_attempts
+),
+anchor AS (SELECT TIMESTAMP '{_BI_POP_ANCHOR}' AS a),
+vals AS (
+    SELECT
+        (SELECT round(100 * avg(uptime), 2) FROM uptime_rows, anchor
+          WHERE ts > a - INTERVAL 7 DAY AND ts <= a) AS up_cur,
+        (SELECT round(100 * avg(uptime), 2) FROM uptime_rows, anchor
+          WHERE ts > a - INTERVAL 14 DAY AND ts <= a - INTERVAL 7 DAY) AS up_prev,
+        (SELECT round(100 * (1 - avg(CASE WHEN is_successful THEN 1.0 ELSE 0.0 END)), 2)
+          FROM att_rows, anchor
+          WHERE ts > a - INTERVAL 7 DAY AND ts <= a) AS fail_cur,
+        (SELECT round(100 * (1 - avg(CASE WHEN is_successful THEN 1.0 ELSE 0.0 END)), 2)
+          FROM att_rows, anchor
+          WHERE ts > a - INTERVAL 14 DAY AND ts <= a - INTERVAL 7 DAY) AS fail_prev
+),
+melted AS (
+    SELECT 'avg_uptime_pct' AS metric, up_cur AS value, up_prev AS previous_value FROM vals
+    UNION ALL
+    SELECT 'failed_attempt_rate_pct', fail_cur, fail_prev FROM vals
+)
+SELECT metric, value, previous_value,
+       round(value - previous_value, 2) AS delta_pp
+FROM melted
+"""
+
+
+@query(
+    "ocpp_chat_bi_pop",
+    oracle=_BI_POP_ORACLE,
+    cite="demo/chat-bi/RULES.md period-over-period rule (lately_snapshot"
+    ".yml metric pair); bi.py period_over_period/_shifted_where at an "
+    "explicit as-of anchor",
+)
+def ocpp_chat_bi_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two windowed metrics (uptime, failed attempt rate) with their
+    previous-period values and pp deltas, both windows pinned to the
+    same as-of anchor (sf_dir ignored — the seed is the canonical
+    fixture)."""
+    from kwwhat_spark import bi
+    from kwwhat_spark.models.base import Pipeline
+    from kwwhat_spark.sources.ocpp import load_ocpp_sources
+
+    pipe = Pipeline(spark=spark, sources=load_ocpp_sources(spark))
+    # Reuse the session-shared checkpointed marts (_MART_CACHE): the BI
+    # ask only aggregates them, so rebuilding the DAG here would double
+    # the gate cost of this entry for no coverage.
+    for n in ("fact_uptime", "fact_charge_attempts"):
+        pipe._cache[n] = _mart(spark, n)
+    return bi.period_over_period(
+        pipe,
+        "What is our average uptime and failed attempt rate lately?",
+        anchor=f"timestamp'{_BI_POP_ANCHOR}'",
+    )
 
 
 @query(
