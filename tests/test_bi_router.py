@@ -153,6 +153,37 @@ def test_window_rejects_unparsed_phrases():
     assert bi.route("uptime over the past 2 months").window_days == 60
 
 
+def test_explicit_anchor_pins_both_windows(bi_env):
+    """An explicit as-of anchor must (a) replace the resolved max-ts
+    anchor, (b) upper-bound the current window, and (c) anchor the
+    previous window at the same literal — recompute both by hand."""
+    pipe, _ = bi_env
+    anchor = "timestamp'2025-10-12 00:00:00'"
+    pop = {
+        r["metric"]: r
+        for r in bi.period_over_period(
+            pipe, "What is our uptime?", anchor=anchor
+        ).collect()
+    }
+    row = pop["overall_uptime_pct"]
+    fu = pipe.ref("fact_uptime")
+    ts = F.col("date_id").cast("timestamp")
+    lit = F.expr("timestamp'2025-10-12 00:00:00'")
+    cur = fu.filter(
+        (ts > lit - F.expr("interval 7 day")) & (ts <= lit)
+    ).agg(F.round(F.avg("uptime") * 100, 2)).first()[0]
+    prev = fu.filter(
+        (ts > lit - F.expr("interval 14 day")) & (ts <= lit - F.expr("interval 7 day"))
+    ).agg(F.round(F.avg("uptime") * 100, 2)).first()[0]
+    assert float(row["value"]) == pytest.approx(float(cur), abs=1e-9)
+    assert float(row["previous_value"]) == pytest.approx(float(prev), abs=1e-9)
+    # Without an anchor the current window has no upper bound, so a
+    # different (resolved) anchor generally yields a different answer —
+    # just assert the call path still works and returns the same metric.
+    free = bi.period_over_period(pipe, "What is our uptime?").first()
+    assert free["metric"] == "overall_uptime_pct"
+
+
 def test_entity_counts_ignore_unparsed_windows():
     # Point-in-time entity counts discard the window entirely, so a
     # rejected phrase in the question must not raise (round-3 advisor):

@@ -33,6 +33,12 @@ def main() -> int:
     spark = get_spark()
     con = duckdb_connection(args.sf_dir)
     names = args.names or list(REGISTRY)
+    # Warm the JVM + parquet footers so the first entry's timing measures
+    # the entry, not session startup (r3 showed pricing_summary charged
+    # ~4 s of warmup simply for running first).
+    from kwwhat_spark.sources.testdata import load_table
+
+    load_table(spark, args.sf_dir, "lineitem").count()
     failures = []
     timings: dict[str, float] = {}
     t_total = time.time()
