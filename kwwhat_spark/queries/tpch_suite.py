@@ -473,6 +473,14 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the biggest table (measured 4.3 s vs 1.5 s). Past the _bc cap the
     # slice stops being hinted and the join falls to the co-partitioned
     # shuffle shape, which is correct at cluster scale.
+    #
+    # The region restriction is pushed into BOTH dim sides BEFORE any
+    # fact join (customers and suppliers pre-filtered to ASIA nations):
+    # only ~1/5 of customers survive, so the order slice, its broadcast,
+    # and the li⋈o2 probe output all shrink 5× before the supplier
+    # match — the semi-join reduction DuckDB's optimizer finds on its
+    # own, made explicit (sf10 hot: 5.9 → 3.3 s). n_name rides along on
+    # the supplier side, which removes the separate nation/region joins.
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1997-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
@@ -482,14 +490,19 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    o2 = o.join(_bc(c, sf_dir, "customer"), o.o_custkey == c.c_custkey).select(
+    n_asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name")
+    c_asia = c.join(F.broadcast(n_asia.select("n_nationkey")),
+                    c.c_nationkey == n_asia.n_nationkey).select("c_custkey", "c_nationkey")
+    s_asia = s.join(F.broadcast(n_asia),
+                    s.s_nationkey == n_asia.n_nationkey).select(
+        "s_suppkey", "s_nationkey", "n_name")
+    o2 = o.join(_bc(c_asia, sf_dir, "customer"), o.o_custkey == c_asia.c_custkey).select(
         "o_orderkey", "c_nationkey")
     return (
-        li.join(_bc(o2, sf_dir, "orders", 0.15), li.l_orderkey == o2.o_orderkey)
-        .join(F.broadcast(s),
-              (li.l_suppkey == s.s_suppkey) & (F.col("c_nationkey") == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        li.join(_bc(o2, sf_dir, "orders", 0.03), li.l_orderkey == o2.o_orderkey)
+        .join(F.broadcast(s_asia),
+              (li.l_suppkey == s_asia.s_suppkey) & (F.col("c_nationkey") == s_asia.s_nationkey))
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(_sum_exact(_rev_c(), 10_000).alias("revenue"))
     )
