@@ -67,6 +67,52 @@ def write_marts(pipe: Pipeline, out_dir: str, models: list[str] | None = None) -
     return paths
 
 
+def compact_partitioned(
+    spark,
+    path: str,
+    *,
+    target_mb: int = 128,
+    min_files: int = 4,
+    sort_col: str | None = None,
+) -> dict[str, int]:
+    """Compact small files inside a date/part-partitioned parquet table.
+
+    Incremental merges (PartitionedStateStore, dynamic partition
+    overwrite) leave a few small files per touched partition per batch;
+    over months the file count grows linearly and at 100 TB the metadata
+    (listing, footers, task scheduling) dominates scan cost long before
+    the bytes do. This rewrites ONLY partitions whose layout is bad —
+    at least `min_files` files AND mean file size under half of
+    `target_mb` — coalescing each to ceil(bytes/target) files, restoring
+    the within-partition sort (`sort_col`) so row-group min/max pruning
+    keeps working. Untouched partitions keep their exact files, the same
+    contract the merge itself honors.
+
+    Returns {partition_dir: files_before} for the rewritten partitions.
+    Local-filesystem listing (os.walk); on HDFS/S3 swap the listing for
+    the FileSystem API / S3 inventory — the rewrite plan is unchanged.
+    On Delta/Iceberg this is OPTIMIZE / rewrite_data_files.
+    """
+    target_bytes = target_mb << 20
+    rewritten: dict[str, int] = {}
+    for root, dirs, files in os.walk(path):
+        parts = [f for f in files if f.endswith(".parquet") and not f.startswith((".", "_"))]
+        if len(parts) < min_files or "=" not in os.path.basename(root):
+            continue
+        total = sum(os.path.getsize(os.path.join(root, f)) for f in parts)
+        if total / len(parts) >= target_bytes / 2:
+            continue
+        n_out = max(1, -(-total // target_bytes))
+        df = spark.read.parquet(root).coalesce(int(n_out))
+        if sort_col is not None:
+            df = df.sortWithinPartitions(sort_col)
+        # Materialize before overwriting the directory the plan reads.
+        df.localCheckpoint(eager=True).write.mode("overwrite").parquet(root)
+        rewritten[root] = len(parts)
+        dirs[:] = []  # partition dirs are leaves; don't descend further
+    return rewritten
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

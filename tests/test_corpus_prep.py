@@ -121,6 +121,50 @@ def test_ngram_contamination_broadcast_eval_same_result(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, hinted.collect()))
 
 
+def test_compact_partitioned_rewrites_only_fragmented_partitions(spark, tmp_path):
+    # Two merge batches leave several small files per touched partition;
+    # compaction must collapse exactly the fragmented partitions to one
+    # file, preserve every row, and leave healthy partitions' files
+    # byte-for-byte alone (same names + mtimes).
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from kwwhat_spark.sinks import compact_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 400).select(
+        F.col("id"),
+        F.when(F.col("id") < 200, "2025-10-01").otherwise("2025-10-02").alias("_date"),
+    )
+    # day 1 written fragmented (8 tiny files), day 2 as one healthy file.
+    frag = base.filter("_date = '2025-10-01'").repartition(8)
+    one = base.filter("_date = '2025-10-02'").coalesce(1)
+    frag.unionByName(one).write.partitionBy("_date").parquet(path)
+
+    day2 = Path(path) / "_date=2025-10-02"
+    before_day2 = sorted((p.name, p.stat().st_mtime_ns) for p in day2.glob("*.parquet"))
+    rewritten = compact_partitioned(spark, path, target_mb=128, min_files=4, sort_col="id")
+    assert list(rewritten) == [str(Path(path) / "_date=2025-10-01")]
+    assert rewritten[str(Path(path) / "_date=2025-10-01")] == 8
+
+    day1_files = list((Path(path) / "_date=2025-10-01").glob("*.parquet"))
+    assert len(day1_files) == 1, "fragmented partition collapses to one file"
+    assert sorted(
+        (p.name, p.stat().st_mtime_ns) for p in day2.glob("*.parquet")
+    ) == before_day2, "healthy partition untouched"
+
+    got = spark.read.parquet(path)
+    assert got.count() == 400
+    assert got.agg(F.sum("id")).first()[0] == sum(range(400))
+    # within-partition sort restored: ids ascending inside the rewritten file
+    ids = [r.id for r in spark.read.parquet(str(day1_files[0])).collect()]
+    assert ids == sorted(ids)
+
+    # idempotent: a second pass finds nothing to do
+    assert compact_partitioned(spark, path, target_mb=128, min_files=4) == {}
+
+
 def test_write_training_shards_round_trip(spark, sf_dir, tmp_path):
     from kwwhat_spark.sinks import write_training_shards
 
