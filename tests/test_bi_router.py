@@ -12,6 +12,7 @@ from pathlib import Path
 import duckdb
 import pytest
 import yaml
+from pyspark.sql import functions as F
 
 from kwwhat_spark import bi
 from kwwhat_spark.models import Pipeline
