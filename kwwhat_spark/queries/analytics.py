@@ -582,7 +582,7 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS exact_users,
-           TRUE AS approx_users_within_2pct,
+           TRUE AS approx_users_within_5pct,
            TRUE AS p50_within_band,
            TRUE AS p90_within_band
     FROM events
@@ -606,13 +606,17 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.85D)").alias("_p85"),
         F.expr("percentile(value, 0.95D)").alias("_p95"),
     )
+    # Band = 5x rsd (rsd=0.01 -> 5%), ~5 sigma: a 2-sigma band (2%) is
+    # deterministic on the current fixture but a legitimate data refresh
+    # could land outside it and masquerade as a correctness regression
+    # (round-4 advice). A 5-sigma miss means the sketch itself is broken.
     within = F.abs(F.col("_approx_users") - F.col("exact_users")) <= (
-        0.02 * F.col("exact_users")
+        0.05 * F.col("exact_users")
     )
     return agg.select(
         "event_type",
         "exact_users",
-        F.coalesce(within, F.lit(True)).alias("approx_users_within_2pct"),
+        F.coalesce(within, F.lit(True)).alias("approx_users_within_5pct"),
         F.coalesce(
             F.col("_approx_p50").between(F.col("_p45"), F.col("_p55")), F.lit(True)
         ).alias("p50_within_band"),
