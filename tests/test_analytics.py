@@ -14,12 +14,13 @@ from kwwhat_spark.queries import REGISTRY
 def test_sketch_error_bounds(spark, sf_dir):
     # Round 4: the entry emits exact counts + boolean bound assertions
     # (the oracle-gateable form); the sketch error bounds are now IN the
-    # query, so the test checks every boolean holds and counts are sane.
+    # query (HLL within a 5% / ~5-sigma band), so the test checks every
+    # boolean holds and counts are sane.
     rows = REGISTRY["sketch_aggregates"].spark(spark, sf_dir).collect()
     assert rows, "sketch query returned no groups"
     for r in rows:
         assert r.exact_users > 0, r.event_type
-        assert r.approx_users_within_2pct, (r.event_type, r.exact_users)
+        assert r.approx_users_within_5pct, (r.event_type, r.exact_users)
         assert r.p50_within_band and r.p90_within_band, r.event_type
 
 
