@@ -776,3 +776,87 @@ def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("long").alias("n_kept"),
         "text_clean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed heavy hitters: two-pass Misra-Gries (Agarwal et al. 2012
+# mergeable summaries) over the corpus bigram stream. Pass 1 bounds the
+# shuffle by k counters per partition instead of the distinct-n-gram
+# cardinality (billions at 100 TB); pass 2 exact-counts only the
+# candidates, so the output is EXACTLY the >= ceil(theta*N) set and the
+# oracle is a plain GROUP BY ... HAVING.
+# ---------------------------------------------------------------------------
+@query(
+    "heavy_hitters_bigrams",
+    oracle=r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+      FROM documents
+    ), grams AS (
+      SELECT ts[i] || ' ' || ts[i+1] AS bigram
+      FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+    ), n AS (SELECT COUNT(*) AS total FROM grams)
+    SELECT bigram, COUNT(*) AS cnt
+    FROM grams
+    GROUP BY bigram
+    HAVING COUNT(*) >= (SELECT CAST(ceil(0.0012 * total) AS BIGINT) FROM n)
+    """,
+    cite="LLM-ops: Misra-Gries two-pass heavy hitters "
+    "(operators/frequency.py; exact by the k+1 > 1/theta guarantee)",
+)
+def heavy_hitters_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.frequency import frequent_items, word_bigrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(F.explode(word_bigrams(F.col("text"))).alias("bigram"))
+    return frequent_items(items, "bigram", theta=0.0012, k=1024)
+
+
+# ---------------------------------------------------------------------------
+# Per-group z-score outlier flags in EXACT integer arithmetic:
+# |x - mean| > z*sigma  <=>  (n*x - S)^2 > z^2 * (n*Q - S^2)   (z = 2)
+# with S = sum(x), Q = sum(x^2) — no floating-point mean/stddev, so both
+# engines agree bit-for-bit (Spark decimal(38,0) vs DuckDB HUGEINT).
+# Plan: one tiny per-source agg broadcast back onto the docs — a
+# dimension-side join at any corpus scale.
+# ---------------------------------------------------------------------------
+@query(
+    "outlier_docs_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n, SUM(n_chars) AS sm, SUM(n_chars*n_chars) AS q
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           n AS n_source,
+           (CAST(n*d.n_chars - sm AS HUGEINT) * CAST(n*d.n_chars - sm AS HUGEINT)
+            > 4 * (CAST(n AS HUGEINT)*CAST(q AS HUGEINT)
+                   - CAST(sm AS HUGEINT)*CAST(sm AS HUGEINT))) AS is_len_outlier
+    FROM documents d JOIN s USING (source)
+    """,
+    cite="LLM-ops: quality filtering by per-source length outliers "
+    "(exact-integer z-score; Gopher/C4 doc-length heuristics family)",
+)
+def outlier_docs_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_source"),
+        F.sum("n_chars").alias("sm"),
+        F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")).alias("q"),
+    )
+    n = F.col("n_source").cast("decimal(19,0)")
+    x = F.col("n_chars").cast("decimal(19,0)")
+    sm = F.col("sm").cast("decimal(19,0)")
+    q = F.col("q")
+    dev = n * x - sm
+    flag = (dev * dev) > (F.lit(4).cast("decimal(19,0)") * (n * q - sm * sm))
+    return (
+        docs.join(F.broadcast(stats), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "n_source",
+            flag.alias("is_len_outlier"),
+        )
+    )

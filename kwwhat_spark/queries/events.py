@@ -520,3 +520,120 @@ def batch_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.count(F.lit(1)).alias("row_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming extension under the value-hash gate (same availableNow →
+# memory-sink pattern as ocpp_stream_status_changes): the training-data
+# ingest shapes a structured-streaming pipeline needs — watermarked
+# stateful dedup and windowed aggregation — each with a batch oracle.
+# ---------------------------------------------------------------------------
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str):
+    """Stage the events table into a temp dir and open it as a stream.
+
+    Returns (streaming DataFrame, cleanup callable). One file → one
+    availableNow micro-batch, so watermark semantics cannot drop rows
+    mid-run and the streamed result equals the batch computation.
+    """
+    import shutil
+    import tempfile
+
+    stream_dir = tempfile.mkdtemp(prefix="kwh-stream-events-")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    stream = spark.readStream.schema(_EVENTS_SCHEMA).parquet(stream_dir)
+    return stream, (lambda: shutil.rmtree(stream_dir, ignore_errors=True))
+
+
+def _run_to_memory(spark: SparkSession, df: DataFrame, output_mode: str) -> DataFrame:
+    import uuid
+
+    name = f"stream_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts
+    FROM events
+    """,
+    cite="LLM-ops: streaming ingest dedup (stateful dropDuplicates with the "
+    "watermark column in the key so per-day state evicts as event time "
+    "advances — the unbounded-stream shape of dedup_exact)",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: one row per (user, event
+    type, day). The dedup key CONTAINS the watermark column (day_ts), so
+    the state store drops a day's keys once the watermark passes it —
+    state is bounded by keys-per-day, not stream length. On the
+    single-batch gate fixture nothing is late, so the streamed output
+    equals batch DISTINCT (the oracle)."""
+    stream, cleanup = _stream_events(spark, sf_dir)
+    try:
+        deduped = (
+            stream.withColumn("day_ts", F.date_trunc("day", F.col("ts")))
+            .withWatermark("day_ts", "0 seconds")
+            .dropDuplicates(["user_id", "event_type", "day_ts"])
+            .select("user_id", "event_type", "day_ts")
+        )
+        return _run_to_memory(spark, deduped, "append")
+    finally:
+        cleanup()
+
+
+@query(
+    "stream_window_counts",
+    oracle="""
+    SELECT
+      date_trunc('minute', ts) - (CAST(EXTRACT(minute FROM ts) AS INT) % 15) * INTERVAL 1 MINUTE
+        AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    cite="LLM-ops: streaming windowed aggregation (15-min tumbling windows "
+    "over the event stream; batch twin is intervals_15min)",
+)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts. Complete output mode so every
+    window (including the tail windows a watermark would withhold in
+    append mode) is emitted — the streamed state equals the batch
+    GROUP BY. Sums are decimal-exact then cast, so both engines emit
+    bit-identical doubles."""
+    stream, cleanup = _stream_events(spark, sf_dir)
+    try:
+        windowed = (
+            stream.groupBy(F.window("ts", "15 minutes"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        return _run_to_memory(spark, windowed, "complete")
+    finally:
+        cleanup()
