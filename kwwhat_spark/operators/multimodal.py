@@ -3,9 +3,11 @@ with typed metadata, processed via Arrow-batched mapInPandas.
 
 Decode is REAL for the formats the container can handle with stdlib +
 numpy — WAV audio (`wave`), non-interlaced RGB/RGBA-8 PNG (zlib inflate
-+ full unfilter incl. Paeth), PPM (P6) and uncompressed 24-bit BMP
-images — and extends to interlaced/paletted PNG and JPEG wherever PIL is
-installed (import-gated; absent in this container, see BASELINE.md). Payloads no decoder recognizes fall
++ full unfilter incl. Paeth), baseline JFIF JPEG (operators/jpeg.py:
+Huffman + dequant + batched IDCT, 4:4:4/4:2:0, restart markers), PPM
+(P6) and uncompressed 24-bit BMP images — and extends to
+interlaced/paletted PNG and progressive JPEG wherever PIL is installed
+(import-gated; absent in this container, see BASELINE.md). Payloads no decoder recognizes fall
 back to the deterministic digest stub, clearly marked per-row via
 `decoder`. The Spark-side plumbing — schemas, batch iteration,
 partition-preserving mapInPandas, metadata propagation — is identical
@@ -58,7 +60,7 @@ FEATURE_SCHEMA = StructType(
         StructField("modality", StringType()),
         StructField("payload_bytes", LongType()),
         StructField("content_sha256", StringType()),
-        StructField("decoder", StringType()),  # wav|png|ppm|bmp|pil|stub
+        StructField("decoder", StringType()),  # wav|png|jpeg|ppm|bmp|pil|stub
         StructField("feature", ArrayType(FloatType())),
     ]
 )
@@ -259,6 +261,20 @@ def _decode_wav(payload: bytes, dim: int):
     return [float(v) for v in (feat + [0.0] * dim)[:dim]], {"duration_ms": duration_ms}
 
 
+def _decode_jpeg(payload: bytes, dim: int):
+    """Baseline JFIF via the pure numpy+stdlib codec (operators/jpeg.py):
+    SOF0, 8-bit, 1–3 components, sampling factors to 2x2, restart
+    markers. Progressive/arithmetic variants return None (→ PIL if
+    present, else stub)."""
+    from kwwhat_spark.operators.jpeg import decode_jpeg
+
+    rgb = decode_jpeg(payload)
+    if rgb is None:
+        return None
+    h, w = rgb.shape[:2]
+    return _image_feature(rgb, dim), {"width": w, "height": h}
+
+
 def _decode_pil(payload: bytes, dim: int):  # pragma: no cover - needs PIL
     if _PILImage is None:
         return None
@@ -275,7 +291,13 @@ def _real_decode(payload: bytes, dim: int):
     Magic-sniffed, so a mislabeled mime_type cannot crash a 100-TB job."""
     if not payload:
         return None
-    for fn, name in ((_decode_png, "png"), (_decode_ppm, "ppm"), (_decode_bmp, "bmp"), (_decode_wav, "wav")):
+    for fn, name in (
+        (_decode_png, "png"),
+        (_decode_jpeg, "jpeg"),
+        (_decode_ppm, "ppm"),
+        (_decode_bmp, "bmp"),
+        (_decode_wav, "wav"),
+    ):
         # A payload can carry a valid 2-byte magic prefix and still be
         # garbage (truncated header, bogus offsets); at 100-TB scale such
         # rows WILL exist, and an uncaught ValueError/IndexError here
@@ -417,9 +439,12 @@ def wav_bytes(freq_hz: float, ms: int, rate: int = 8000, amp: float = 0.5) -> by
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table for tests: REAL decodable payloads
-    (24-bit BMP and RGB8 PNG images, PCM WAV audio) plus opaque
-    video/garbage rows that exercise the digest-stub fallback."""
+    (24-bit BMP, RGB8 PNG, and baseline JPEG images — 4:4:4 and 4:2:0 —
+    plus PCM WAV audio) and opaque video/garbage rows that exercise the
+    digest-stub fallback."""
     import random
+
+    from kwwhat_spark.operators.jpeg import jpeg_bytes
 
     rng = random.Random(seed)
     rows = []
@@ -427,10 +452,15 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         modality = ["image", "audio", "video"][i % 3]
         if modality == "image":
             w, h = 8 + (i % 8), 6 + (i % 5)
-            if (i // 3) % 2:  # alternate the two real image codecs
+            codec = (i // 3) % 3  # rotate the three real image codecs
+            if codec == 0:
+                payload, mime = bmp_bytes(w, h, seed=seed + i), "image/bmp"
+            elif codec == 1:
                 payload, mime = png_bytes(w, h, seed=seed + i), "image/png"
             else:
-                payload, mime = bmp_bytes(w, h, seed=seed + i), "image/bmp"
+                sub = "420" if (i // 9) % 2 else "444"
+                payload = jpeg_bytes(w, h, seed=seed + i, subsampling=sub)
+                mime = "image/jpeg"
             width, height, duration = w, h, None
         elif modality == "audio":
             ms = 50 + 10 * (i % 20)

@@ -265,7 +265,7 @@ def test_multimodal_feature_plumbing(spark):
     decoders = {r["modality"]: set() for r in feats}
     for r in feats:
         decoders[r["modality"]].add(r["decoder"])
-    assert decoders["image"] == {"bmp", "png"}
+    assert decoders["image"] == {"bmp", "png", "jpeg"}
     assert decoders["audio"] == {"wav"}
     assert decoders["video"] == {"stub"}
     # Determinism: same seed → same digests.
