@@ -32,6 +32,17 @@ Reference parity: the reference's frequent-values profiling
 (models/ macros summarize value distributions per column) stops at
 exact grouped counts; this operator is the scale path the survey's
 training-data-pipeline addendum calls for.
+
+When to use which (measured, BASELINE.md round 6): on a LOW-cardinality
+item stream the naive ``groupBy + HAVING`` wins — map-side combine
+already collapses each partition to its distinct keys, and the MG pass
+adds an Arrow transfer of the full stream into Python (sf10 synthetic
+corpus, 26.6M bigrams over only 931 distinct keys: naive 15.8 s vs MG
+30.6 s, identical output). The MG plan is for the regime the synthetic
+corpus cannot exhibit: distinct cardinality too large for the hash
+aggregation to hold (billions of n-grams at 100 TB), where the naive
+plan spills/shuffles the full key space and MG still emits <= k rows
+per partition.
 """
 
 from __future__ import annotations
