@@ -637,3 +637,59 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_to_memory(spark, windowed, "complete")
     finally:
         cleanup()
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER uw IS NULL
+                    OR ts - lag(ts) OVER uw > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM w
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM g
+    GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)
+    """,
+    cite="LLM-ops: streaming session windows (session_window + watermark, "
+    "append mode). The oracle replays BOTH the gaps-and-islands "
+    "sessionization AND the append-mode emission rule — sessions whose "
+    "end exceeds the final watermark (max event time, delay 0) are "
+    "withheld by the streaming contract, so the HAVING clause mirrors "
+    "the probe-verified `end <= watermark` non-strict boundary.",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user session windows (30-min gap): the sessionize
+    shape the batch `sessionize_gaps` entry covers, run through the
+    streaming state store. State is bounded per active session and
+    evicted at emission — the unbounded-ingest shape of sessionization.
+    Duplicate-timestamp events merge identically on both engines (gap
+    comparison uses only ts), so ordering ties are benign."""
+    stream, cleanup = _stream_events(spark, sf_dir)
+    try:
+        sessions = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        return _run_to_memory(spark, sessions, "append")
+    finally:
+        cleanup()
