@@ -93,27 +93,42 @@ def frequent_items(
     theta: float,
     k: int | None = None,
     count_col: str = "cnt",
+    mode: str = "mg",
 ) -> DataFrame:
     """Exact heavy hitters: items with count >= ceil(theta * N).
 
     ``k`` defaults to ``ceil(2/theta)`` — double the 1/theta minimum the
     exactness guarantee needs, so the candidate set stays small even
     when the distribution is adversarially flat around the threshold.
+
+    ``mode`` picks the physical plan (both produce identical output):
+      'mg'    — the two-pass Misra-Gries plan; shuffle bounded by
+                k·partitions. For distinct cardinality too large for
+                hash aggregation (the 100 TB n-gram regime).
+      'exact' — plain groupBy + threshold; map-side combine collapses
+                each partition to its distinct keys. Faster whenever
+                the distinct key set fits aggregation memory (measured
+                2× at sf10 on the 931-key corpus — BASELINE.md r6).
     """
     if not 0 < theta < 1:
         raise ValueError(f"theta must be in (0,1), got {theta}")
+    if mode not in ("mg", "exact"):
+        raise ValueError(f"mode must be 'mg' or 'exact', got {mode!r}")
     if k is None:
         k = int(2.0 / theta) + 1
     if k + 1 <= int(1.0 / theta):
         raise ValueError(f"k={k} too small for theta={theta}: need k+1 > 1/theta")
 
-    candidates = misra_gries_candidates(items, item_col, k=k)
     total = items.select(F.count(F.lit(1)).alias("_n_total"))
-    exact = (
-        items.join(F.broadcast(candidates), item_col)
-        .groupBy(item_col)
-        .agg(F.count(F.lit(1)).alias(count_col))
-    )
+    if mode == "exact":
+        exact = items.groupBy(item_col).agg(F.count(F.lit(1)).alias(count_col))
+    else:
+        candidates = misra_gries_candidates(items, item_col, k=k)
+        exact = (
+            items.join(F.broadcast(candidates), item_col)
+            .groupBy(item_col)
+            .agg(F.count(F.lit(1)).alias(count_col))
+        )
     return (
         exact.crossJoin(F.broadcast(total))
         .filter(F.col(count_col) >= F.ceil(F.lit(theta) * F.col("_n_total")))

@@ -90,3 +90,17 @@ def test_word_bigrams_edges(spark):
     assert rows[1].g == []
     assert rows[2].g == []
     assert rows[3].g == ["x y"]
+
+
+def test_exact_mode_equals_mg(spark):
+    rng = random.Random(9)
+    items = [f"e{int(rng.paretovariate(1.2))}" for _ in range(8000)]
+    df = spark.createDataFrame([(i,) for i in items], "item string").repartition(5)
+    mg = {r.item: r.cnt for r in frequent_items(df, "item", theta=0.02, k=120).collect()}
+    ex = {
+        r.item: r.cnt
+        for r in frequent_items(df, "item", theta=0.02, k=120, mode="exact").collect()
+    }
+    assert mg == ex == _exact_hh(items, 0.02)
+    with pytest.raises(ValueError):
+        frequent_items(df, "item", theta=0.02, mode="nope")

@@ -31,6 +31,8 @@ WHITELIST = {
     "ocpp_chat_bi_pop": "two single-row metric partials cross-joined into "
     "one row per period (the BI module's whitelisted scalar-combine "
     "pattern, same as ocpp_chat_bi_entities)",
+    "heavy_hitters_bigrams": "single-row corpus-total build side (the "
+    "ceil(theta*N) threshold scalar, same shape as tfidf_top_terms)",
 }
 
 
