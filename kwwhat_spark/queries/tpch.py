@@ -40,6 +40,11 @@ def _sum_exact(expr, scale: float):
     return F.sum(expr.cast("decimal(28,0)")).cast("double") / F.lit(float(scale))
 
 
+def _dec_final(c: str, scale: int):
+    """Final-level exact sum of long partials → double at the scale."""
+    return F.sum(F.col(c).cast("decimal(28,0)")).cast("double") / F.lit(float(scale))
+
+
 # ---------------------------------------------------------------------------
 # §2.1/§2.4 — scan → hash aggregation (flagship; TPC-H Q1 shape).
 # Mirrors the reference's transaction rollup (int_transactions.sql:118-145):
@@ -68,20 +73,37 @@ def _sum_exact(expr, scale: float):
     headline=True,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level exact rollup: per-(group, input-partition) LONG partial
+    sums — the per-row hot path stays in whole-stage-codegen long math —
+    then decimal(28,0) finals over |groups|×|partitions| tiny rows.
+    Exact at ANY total scale: a single task partition is bounded by
+    maxPartitionBytes (~4M rows), so partial sums peak ~4e6 × 1.1e11 «
+    2^63 per partition regardless of dataset size, and ANSI mode throws
+    on the impossible overflow instead of wrapping. Measured 1.9× the
+    one-level decimal accumulator at sf10, bit-identical output
+    (BASELINE.md round 6)."""
     li = load_table(spark, sf_dir, "lineitem")
     qty, price, disc, tax = _c2("l_quantity"), _c2("l_extendedprice"), _c2("l_discount"), _c2("l_tax")
-    return (
+    partial = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_p"))
         .agg(
-            _sum_exact(qty, 100).alias("sum_qty"),
-            _sum_exact(price, 100).alias("sum_base_price"),
-            _sum_exact(price * (100 - disc), 10_000).alias("sum_disc_price"),
-            _sum_exact(price * (100 - disc) * (100 + tax), 1_000_000).alias("sum_charge"),
-            (_sum_exact(qty, 100) / F.count(F.lit(1))).alias("avg_qty"),
-            (_sum_exact(disc, 100) / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty).alias("q"),
+            F.sum(price).alias("b"),
+            F.sum(price * (100 - disc)).alias("d"),
+            F.sum(price * (100 - disc) * (100 + tax)).alias("ch"),
+            F.sum(disc).alias("di"),
+            F.count(F.lit(1)).alias("n"),
         )
+    )
+    return partial.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_final("q", 100).alias("sum_qty"),
+        _dec_final("b", 100).alias("sum_base_price"),
+        _dec_final("d", 10_000).alias("sum_disc_price"),
+        _dec_final("ch", 1_000_000).alias("sum_charge"),
+        (_dec_final("q", 100) / F.sum("n")).alias("avg_qty"),
+        (_dec_final("di", 100) / F.sum("n")).alias("avg_disc"),
+        F.sum("n").alias("count_order"),
     )
 
 
@@ -182,15 +204,20 @@ def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(rev_c.cast("long")).alias("rev_c"))
     )
-    return (
+    # Two-level final (see pricing_summary): LONG partials per
+    # (priority, partition) over the joined order-grain stream — a task
+    # partition of per-order longs (<= ~7.7e9 each) cannot overflow —
+    # then the decimal(28,0) widening touches 5×|partitions| rows.
+    partial = (
         o.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
         .join(per_order, o.o_orderkey == per_order.l_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("order_count"),
-            (F.sum(F.col("rev_c").cast("decimal(28,0)")).cast("double")
-             / F.lit(10000.0)).alias("revenue"),
-        )
+        .groupBy("o_orderpriority", F.spark_partition_id().alias("_p"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rev_c").alias("rev_p"))
+    )
+    return partial.groupBy("o_orderpriority").agg(
+        F.sum("n").alias("order_count"),
+        (F.sum(F.col("rev_p").cast("decimal(28,0)")).cast("double")
+         / F.lit(10000.0)).alias("revenue"),
     )
 
 

@@ -66,11 +66,6 @@ _REV_C_SQL = (
 )
 
 
-def _sum_exact(expr, scale: float):
-    """Exact integer-unit sum → double at the stated scale."""
-    return F.sum(expr.cast("decimal(28,0)")).cast("double") / F.lit(float(scale))
-
-
 def _bc(
     df: DataFrame, sf_dir: str, table: str, frac: float = 1.0,
     cap_rows: int = 1_500_000,
@@ -499,12 +494,22 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_nationkey", "n_name")
     o2 = o.join(_bc(c_asia, sf_dir, "customer"), o.o_custkey == c_asia.c_custkey).select(
         "o_orderkey", "c_nationkey")
-    return (
+    joined = (
         li.join(_bc(o2, sf_dir, "orders", 0.03), li.l_orderkey == o2.o_orderkey)
         .join(F.broadcast(s_asia),
               (li.l_suppkey == s_asia.s_suppkey) & (F.col("c_nationkey") == s_asia.s_nationkey))
-        .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(_sum_exact(_rev_c(), 10_000).alias("revenue"))
+    )
+    # Two-level exact sum (see pricing_summary): LONG partials per
+    # (nation, input-partition) keep the probe-side hot loop in codegen
+    # long math; the decimal(28,0) final touches 25×|partitions| rows.
+    # A task partition can't hold enough rows to overflow (ANSI throws
+    # if it ever did).
+    partial = joined.groupBy(
+        F.col("n_name").alias("nation_name"), F.spark_partition_id().alias("_p")
+    ).agg(F.sum(_rev_c()).alias("rev_p"))
+    return partial.groupBy("nation_name").agg(
+        (F.sum(F.col("rev_p").cast("decimal(28,0)")).cast("double")
+         / F.lit(10_000.0)).alias("revenue")
     )
 
 
@@ -756,7 +761,14 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_bc(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
-        .agg(F.sum(_rev_c().cast("decimal(28,0)")).alias("rev_c"))
+        # Per-customer revenue stays in LONG: the group is one quarter's
+        # returned lines for one customer — overflow would need ~8e9
+        # such lines for a single customer (2^63 / 1.1e9-per-row), which
+        # no scale factor produces; ANSI mode throws if it ever did.
+        # Keys are high-cardinality, so the partition-id two-level split
+        # (pricing_summary) does not apply; dropping the decimal
+        # accumulator is the whole win here.
+        .agg(F.sum(_rev_c()).alias("rev_c"))
         .orderBy(F.col("rev_c").desc(), "c_custkey")
         .limit(20)
         .select("c_custkey", "c_name",
