@@ -234,6 +234,50 @@ def dedup_minhash_components_replayable(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @query(
+    "split_leakage_safe",
+    oracle=r"""
+    WITH comp AS (
+      SELECT * FROM (""" + _MINHASH_COMPONENTS_REPLAYABLE_SQL + r""") t
+    )
+    SELECT doc_id, component,
+           CASE
+             WHEN CAST(('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 13)) AS UBIGINT)::BIGINT % 100 < 80 THEN 'train'
+             WHEN CAST(('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 13)) AS UBIGINT)::BIGINT % 100 < 90 THEN 'validation'
+             ELSE 'test'
+           END AS split
+    FROM comp
+    """,
+    cite="LLM-ops: leakage-safe dataset split — near-dup CLUSTERS (not "
+    "docs) are the split unit, so no near-duplicate pair straddles "
+    "train/test (the eval-contamination failure mode dataset_split "
+    "alone cannot prevent). Composition: replayable LSH components -> "
+    "md5_52 cluster-hash bucketing, fully replayed in the oracle.",
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every near-dup cluster atomically to train/validation/test
+    (80/10/10) by hashing the cluster label. Plan: the pair-free
+    components plan (linear shuffle) + one scalar hash projection — no
+    extra shuffle beyond the clustering itself, so the leakage guarantee
+    is free at 100 TB relative to clustering the corpus at all."""
+    from kwwhat_spark.functions.text import md5_52
+    from kwwhat_spark.operators.dedup import minhash_lsh_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = minhash_lsh_components(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, replayable_hash=True
+    )
+    bucket = F.pmod(
+        md5_52(F.concat(F.lit("split:"), F.col("component").cast("string"))), F.lit(100)
+    )
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+    )
+    return comp.select("doc_id", "component", split.alias("split"))
+
+
+@query(
     "dedup_minhash_components",
     oracle=None,
     cite="LLM-ops: pair-free LSH dedup (bucket star edges → components), "

@@ -291,3 +291,41 @@ def test_kmeans_quantized_separates_obvious_groups(spark):
         for r in kmeans_quantized(df.repartition(5), k=2, iterations=3).collect()
     }
     assert out == out2
+
+
+def test_split_leakage_safe_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kwwhat_spark.queries import REGISTRY
+
+    split = REGISTRY["split_leakage_safe"].spark(spark, sf_dir)
+    # Every near-dup cluster lands in exactly one split (the invariant
+    # that plain dataset_split cannot give).
+    assert (
+        split.groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    # And therefore every LSH near-dup pair trains and evaluates on the
+    # same side. The pair set MUST use the same banding parameterization
+    # as the split's clustering (16 hashes / 4 bands): a candidate pair
+    # shares a bucket there, hence a component, hence a split — a
+    # structural guarantee, not a fixture accident. (A differently-seeded
+    # banding could surface pairs the clustering never saw.)
+    from kwwhat_spark.operators.dedup import minhash_lsh_pairs
+    from kwwhat_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.5,
+        replayable_hash=True,
+    )
+    a = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    crossers = pairs.join(a, "doc_a").join(b, "doc_b").filter(F.col("sa") != F.col("sb"))
+    assert crossers.count() == 0
+    # All three splits are populated at this fixture size.
+    got = {r.split for r in split.select("split").distinct().collect()}
+    assert got == {"train", "validation", "test"}, got
