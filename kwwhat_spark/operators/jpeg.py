@@ -386,6 +386,11 @@ def _decode_jpeg_strict(payload: bytes):
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            return None
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -430,6 +435,11 @@ def _decode_jpeg_strict(payload: bytes):
             if frame is None:
                 return None
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # Non-interleaved (one scan per component) file: decoding
+                # only the first scan would silently return grayscale or
+                # scrambled luma. Decline so callers fall to PIL/stub.
+                return None
             scomp = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]

@@ -561,7 +561,12 @@ def _run_to_memory(spark: SparkSession, df: DataFrame, output_mode: str) -> Data
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow stream {name} still running after 120s; "
+            "refusing to read a partially-populated memory sink"
+        )
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out

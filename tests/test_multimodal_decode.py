@@ -243,3 +243,36 @@ def test_jpeg_grayscale_single_component():
     spread = out.astype(float).max(axis=-1) - out.astype(float).min(axis=-1)
     assert spread.max() < 6  # no chroma bleed
     assert _decode_jpeg_strict is not None
+
+
+def test_jpeg_fill_bytes_before_marker():
+    # T.81 B.1.1.2 permits 0xFF fill bytes before any marker; they must
+    # not desync the segment parse (ADVICE r6).
+    from kwwhat_spark.operators.jpeg import decode_jpeg, jpeg_bytes
+
+    p = jpeg_bytes(20, 14, seed=3)
+    base = decode_jpeg(p)
+    sof = p.find(b"\xff\xc0")
+    padded = p[:sof] + b"\xff\xff\xff" + p[sof:]
+    out = decode_jpeg(padded)
+    assert out is not None and np.array_equal(out, base)
+
+
+def test_jpeg_non_interleaved_declines():
+    # A scan header naming fewer components than the frame (ns=1 on a
+    # 3-component frame, i.e. non-interleaved multi-scan baseline) must
+    # decline to PIL/stub rather than silently decode luma only
+    # (ADVICE r6).
+    from kwwhat_spark.operators.jpeg import decode_jpeg, jpeg_bytes
+
+    p = jpeg_bytes(16, 16, seed=5)
+    sos = p.find(b"\xff\xda")
+    assert sos > 0
+    seglen = int.from_bytes(p[sos + 2 : sos + 4], "big")
+    assert p[sos + 4] == 3  # ns=3 in the well-formed stream
+    # Rewrite SOS to name only the first component: len=8, ns=1,
+    # first (cs,tt) pair, then the original Ss/Se/AhAl trailer.
+    trailer = p[sos + 2 + seglen - 3 : sos + 2 + seglen]
+    new_sos = b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01" + p[sos + 5 : sos + 7] + trailer
+    hacked = p[:sos] + new_sos + p[sos + 2 + seglen :]
+    assert decode_jpeg(hacked) is None
