@@ -313,7 +313,8 @@ def datediff_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
       date_trunc('minute', ts) - (CAST(EXTRACT(minute FROM ts) AS INT) % 15) * INTERVAL 1 MINUTE
         AS interval_start_ts,
       event_type,
-      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS DOUBLE) AS avg_value,
+      CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(value)
+        AS avg_value,
       COUNT(*) AS sample_count
     FROM events
     GROUP BY 1, 2
@@ -322,18 +323,31 @@ def datediff_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def intervals_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level exact 15-min rollup (same plan family as
+    pricing_summary): per-(bucket, type, input-partition) LONG
+    (sum-of-hundredths, count) partials keep the per-row hot path in
+    whole-stage-codegen long math; the final level sums the tiny
+    partials as decimal(28,0) and casts to double once. Exact at any
+    scale: a task partition is bounded by maxPartitionBytes (~4M rows),
+    so a LONG partial peaks ~4e6 × |value|·100 « 2^63, and ANSI mode
+    would throw on the impossible overflow instead of wrapping. Both
+    engines round the same exact integer once, so doubles are
+    bit-identical."""
     e = _events(spark, sf_dir)
-    return (
-        e.groupBy(
-            bucket_15min("ts").alias("interval_start_ts"),
-            "event_type",
-        )
-        .agg(
-            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"))
-            .cast("double")
-            .alias("avg_value"),
-            F.count(F.lit(1)).alias("sample_count"),
-        )
+    v100 = F.round(F.col("value") * 100, 0).cast("long")
+    partial = e.groupBy(
+        bucket_15min("ts").alias("interval_start_ts"),
+        "event_type",
+        F.spark_partition_id().alias("_p"),
+    ).agg(
+        F.sum(v100).alias("s"),
+        F.count("value").alias("nv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return partial.groupBy("interval_start_ts", "event_type").agg(
+        (F.sum(F.col("s").cast("decimal(28,0)")).cast("double") / 100.0 / F.sum("nv"))
+        .alias("avg_value"),
+        F.sum("n").alias("sample_count"),
     )
 
 

@@ -1507,6 +1507,45 @@ WHERE previous_status IS NULL OR previous_status <> status
 """
 
 
+def _run_seed_stream(spark: SparkSession, build, prefix: str) -> DataFrame:
+    """Stream the demo-seed OCPP log through `build(staged)` end-to-end
+    (availableNow → memory sink) and return the emitted rows."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from kwwhat_spark.sources.ocpp import DEMO_SEED_DIR
+    from kwwhat_spark.streaming import read_ocpp_stream, stage_stream
+
+    stream_dir = tempfile.mkdtemp(prefix=f"kwh-stream-{prefix}-")
+    name = f"stream_{prefix}_gate_{uuid.uuid4().hex[:8]}"
+    try:
+        shutil.copy(
+            f"{DEMO_SEED_DIR}/ocpp_1_6_synthetic_logs_14d.csv",
+            f"{stream_dir}/logs.csv",
+        )
+        staged = stage_stream(read_ocpp_stream(spark, stream_dir))
+        q = (
+            build(staged)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                f"availableNow stream {name} still running after 120s; "
+                "refusing to read a partially-populated memory sink"
+            )
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+
+
 @query(
     "ocpp_stream_status_changes",
     oracle=_STREAM_STATUS_ORACLE,
@@ -1517,39 +1556,9 @@ def ocpp_stream_status_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful streaming change-point detector end-to-end
     (availableNow → memory sink) on the demo seed and return its rows
     (sf_dir ignored — the seed is the canonical fixture)."""
-    import shutil
-    import tempfile
-    import uuid
+    from kwwhat_spark.streaming import stream_status_changes
 
-    from kwwhat_spark.sources.ocpp import DEMO_SEED_DIR
-    from kwwhat_spark.streaming import (
-        read_ocpp_stream,
-        stage_stream,
-        stream_status_changes,
-    )
-
-    stream_dir = tempfile.mkdtemp(prefix="kwh-stream-status-")
-    name = f"stream_status_gate_{uuid.uuid4().hex[:8]}"
-    try:
-        shutil.copy(
-            f"{DEMO_SEED_DIR}/ocpp_1_6_synthetic_logs_14d.csv",
-            f"{stream_dir}/logs.csv",
-        )
-        staged = stage_stream(read_ocpp_stream(spark, stream_dir))
-        q = (
-            stream_status_changes(staged)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        out = spark.table(name).localCheckpoint(eager=True)
-        spark.catalog.dropTempView(name)
-        return out
-    finally:
-        shutil.rmtree(stream_dir, ignore_errors=True)
+    return _run_seed_stream(spark, stream_status_changes, "status")
 
 
 # ---------------------------------------------------------------------------
@@ -1678,3 +1687,138 @@ def ocpp_chat_bi_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.crossJoin(bi.ask(pipe, prompt))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming OCPP marts under the driver gate (VERDICT r6 item 4): the
+# session-window visit stream and the windowed 15-min interval stream,
+# each with an emission-boundary-aware DuckDB oracle — append mode emits
+# a window/session only once the final watermark (max event time, delay
+# 0 s on the gate fixture) passes its end, non-strict (`end <= wm`, the
+# probe-verified boundary from stream_session_windows).
+# ---------------------------------------------------------------------------
+
+_STREAM_VISITS_ORACLE = f"""
+WITH {_STG_CTES},
+tx_events AS (
+    SELECT charger_id, ingested_timestamp AS event_ts, action
+    FROM stg_ocpp_logs
+    WHERE message_type_id = '2'
+      AND action IN ('StartTransaction','StopTransaction',
+                     'RemoteStartTransaction','RemoteStopTransaction',
+                     'MeterValues')
+),
+w AS (
+    SELECT charger_id, event_ts, action,
+           CASE WHEN lag(event_ts) OVER cw IS NULL
+                  OR event_ts - lag(event_ts) OVER cw > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM tx_events
+    WINDOW cw AS (PARTITION BY charger_id ORDER BY event_ts)
+),
+g AS (
+    SELECT charger_id, event_ts, action,
+           SUM(new_s) OVER (PARTITION BY charger_id ORDER BY event_ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM w
+)
+SELECT charger_id,
+       MIN(event_ts) AS session_start_ts,
+       MIN(event_ts) AS first_event_ts,
+       MAX(event_ts) AS last_event_ts,
+       COUNT(*) AS event_count,
+       array_to_string(list_sort(list_distinct(list(action))), '|') AS actions
+FROM g
+GROUP BY charger_id, sid
+HAVING MAX(event_ts) + INTERVAL 30 MINUTE <= (SELECT max(event_ts) FROM tx_events)
+"""
+
+
+@query(
+    "ocpp_stream_visits",
+    oracle=_STREAM_VISITS_ORACLE,
+    cite="fact_visits.sql:57-244 visit grouping (streaming analogue via "
+    "session_window); streaming/ocpp.py stream_visit_sessions. Oracle "
+    "replays the gaps-and-islands sessionization AND the append-mode "
+    "emission rule (session end <= final watermark, non-strict).",
+)
+def ocpp_stream_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming charge-activity sessions per charger (30-min gap) on
+    the demo seed, availableNow → memory sink, watermark 0 s so every
+    session except the per-charger tail (end beyond max event time)
+    emits. Actions array is sorted-distinct joined for the cross-engine
+    hash (sf_dir ignored — the seed is the canonical fixture)."""
+    from kwwhat_spark.streaming import stream_visit_sessions
+
+    def build(staged):
+        return stream_visit_sessions(staged, watermark="0 seconds").select(
+            "charger_id",
+            "session_start_ts",
+            "first_event_ts",
+            "last_event_ts",
+            "event_count",
+            F.array_join("actions", "|").alias("actions"),
+        )
+
+    return _run_seed_stream(spark, build, "visits")
+
+
+_STREAM_INTERVALS_ORACLE = f"""
+WITH {_STG_CTES},
+sm AS (
+    SELECT l.charger_id,
+           json_extract_string(l.payload, '$.connectorId') AS connector_id,
+           json_extract_string(sv.sv, '$.measurand') AS measurand,
+           json_extract_string(sv.sv, '$.value') AS value,
+           json_extract_string(sv.sv, '$.unit') AS unit,
+           json_extract_string(sv.sv, '$.phase') AS phase,
+           coalesce(CAST(json_extract_string(mv.mv, '$.timestamp') AS TIMESTAMP),
+                    l.ingested_timestamp) AS meter_ts
+    FROM stg_ocpp_logs l,
+         UNNEST(coalesce(CAST(json_extract(l.payload, '$.meterValue') AS JSON[]), [])) AS mv(mv),
+         UNNEST(coalesce(CAST(json_extract(mv.mv, '$.sampledValue') AS JSON[]), [])) AS sv(sv)
+    WHERE l.action = 'MeterValues' AND l.message_type_id = '2'
+      AND mv.mv IS NOT NULL
+),
+sm_valid AS (
+    SELECT * FROM sm WHERE value IS NOT NULL AND value <> ''
+)
+SELECT
+    date_trunc('minute', meter_ts)
+      - (CAST(EXTRACT(minute FROM meter_ts) AS INT) % 15) * INTERVAL 1 MINUTE
+      AS interval_start_ts,
+    date_trunc('minute', meter_ts)
+      - (CAST(EXTRACT(minute FROM meter_ts) AS INT) % 15) * INTERVAL 1 MINUTE
+      + INTERVAL 15 MINUTE AS interval_stop_ts,
+    charger_id, connector_id, measurand, unit, phase,
+    CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT)) AS DOUBLE)
+      / 100.0 / COUNT(*) AS avg_value,
+    COUNT(*) AS measurement_count
+FROM sm_valid
+GROUP BY 1, 2, charger_id, connector_id, measurand, unit, phase
+HAVING date_trunc('minute', min(meter_ts))
+         - (CAST(EXTRACT(minute FROM min(meter_ts)) AS INT) % 15) * INTERVAL 1 MINUTE
+         + INTERVAL 15 MINUTE
+       <= (SELECT max(meter_ts) FROM sm_valid)
+"""
+
+
+@query(
+    "ocpp_stream_intervals",
+    oracle=_STREAM_INTERVALS_ORACLE,
+    cite="fact_interval_data.sql:54-63 bucket starts; streaming/ocpp.py "
+    "stream_interval_data (windowed agg + watermark). Oracle replays the "
+    "measurement explosion AND the append-mode emission rule (window end "
+    "<= final watermark, non-strict); avg is integer-hundredths exact on "
+    "both engines.",
+)
+def ocpp_stream_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 15-min interval averages on the demo seed, availableNow
+    → memory sink, watermark 0 s (exact_avg mode for the cross-engine
+    hash; sf_dir ignored — the seed is the canonical fixture)."""
+    from kwwhat_spark.streaming import stream_interval_data
+
+    def build(staged):
+        return stream_interval_data(staged, watermark="0 seconds", exact_avg=True)
+
+    return _run_seed_stream(spark, build, "intervals")

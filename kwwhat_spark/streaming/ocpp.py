@@ -248,11 +248,17 @@ def stream_interval_data(
     staged: DataFrame,
     vars: PipelineVars = VARS,
     watermark: str = "30 minutes",
+    exact_avg: bool = False,
 ) -> DataFrame:
     """15-minute interval averages per (charger, connector, measurand,
     unit, phase) over MeterValues sampled values — F.window gives exactly
     the reference's bucket starts (fact_interval_data.sql:54-63); the
-    watermark is the streaming form of the 30-min late-data buffer."""
+    watermark is the streaming form of the 30-min late-data buffer.
+
+    exact_avg=True computes the average as an integer-hundredths long
+    sum cast to double once (order-independent, so cross-engine
+    bit-identical — the driver-gate determinism contract); the default
+    float avg matches the reference mart's FLOAT semantics."""
     measurements = _meter_measurements(
         staged.select(
             "charger_id",
@@ -262,7 +268,7 @@ def stream_interval_data(
             "payload",
         )
     ).filter(F.col("value").isNotNull() & (F.col("value") != ""))
-    return (
+    grouped = (
         measurements.withColumn(
             "meter_ts", F.coalesce("meter_timestamp", "log_ingested_ts")
         )
@@ -275,19 +281,28 @@ def stream_interval_data(
             "unit",
             "phase",
         )
-        .agg(
+    )
+    if exact_avg:
+        agged = grouped.agg(
+            F.sum(F.round(F.col("value").cast("double") * 100, 0).cast("long")).alias("_s"),
+            F.count(F.lit(1)).alias("measurement_count"),
+        ).withColumn(
+            "avg_value",
+            F.col("_s").cast("double") / 100.0 / F.col("measurement_count"),
+        )
+    else:
+        agged = grouped.agg(
             F.avg(F.col("value").cast("double")).alias("avg_value"),
             F.count(F.lit(1)).alias("measurement_count"),
         )
-        .select(
-            F.col("interval.start").alias("interval_start_ts"),
-            F.col("interval.end").alias("interval_stop_ts"),
-            "charger_id",
-            "connector_id",
-            "measurand",
-            "unit",
-            "phase",
-            "avg_value",
-            "measurement_count",
-        )
+    return agged.select(
+        F.col("interval.start").alias("interval_start_ts"),
+        F.col("interval.end").alias("interval_stop_ts"),
+        "charger_id",
+        "connector_id",
+        "measurand",
+        "unit",
+        "phase",
+        "avg_value",
+        "measurement_count",
     )
