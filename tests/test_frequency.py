@@ -104,3 +104,33 @@ def test_exact_mode_equals_mg(spark):
     assert mg == ex == _exact_hh(items, 0.02)
     with pytest.raises(ValueError):
         frequent_items(df, "item", theta=0.02, mode="nope")
+
+
+def test_auto_plan_choice(spark):
+    from kwwhat_spark.operators.frequency import choose_frequent_items_plan
+
+    low = spark.createDataFrame(
+        [(f"k{i % 40}",) for i in range(20_000)], "item string"
+    )
+    high = spark.createDataFrame(
+        [(f"unique-{i}",) for i in range(20_000)], "item string"
+    )
+    assert choose_frequent_items_plan(low, "item") == "exact"
+    assert choose_frequent_items_plan(high, "item") == "mg"
+
+
+def test_auto_mode_matches_both_plans(spark):
+    rng = random.Random(11)
+    items = [f"hot{i}" for i in range(5) for _ in range(300)] + [
+        f"cold{rng.randrange(10_000)}" for _ in range(3_000)
+    ]
+    rng.shuffle(items)
+    df = spark.createDataFrame([(i,) for i in items], "item string").repartition(8)
+    kw = dict(theta=0.02, k=120)
+    auto = {r.item: r.cnt for r in frequent_items(df, "item", **kw).collect()}
+    mg = {r.item: r.cnt for r in frequent_items(df, "item", mode="mg", **kw).collect()}
+    exact = {
+        r.item: r.cnt
+        for r in frequent_items(df, "item", mode="exact", **kw).collect()
+    }
+    assert auto == mg == exact == _exact_hh(items, 0.02)
