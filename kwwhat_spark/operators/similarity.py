@@ -762,6 +762,110 @@ def knn_graph_sharded(
     )
 
 
+def knn_graph_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+    n_shards: int = 4,
+    n_query_blocks: int | None = None,
+) -> DataFrame:
+    """Executor-side block-matmul kNN (VERDICT r6 item 7): the fully
+    distributed alternative to knn_graph_sharded's driver staging.
+
+    knn_graph_sharded collects each corpus shard to the DRIVER before
+    broadcasting — bounded by max_shard_rows, but still a per-shard
+    driver residency + serialization cost that a 1000-executor run
+    would rather not pay. This variant never moves vectors through the
+    driver: corpus rows are hashed into ``n_shards`` blocks, query rows
+    into ``n_query_blocks`` blocks, each side is replicated across the
+    other's block axis with a column-explode, and a cogrouped
+    applyInPandas computes the (query-block × corpus-shard) BLAS matmul
+    per task. Per-shard top-k partials merge into the global top-k with
+    a window, exactly as in knn_graph_sharded (the per-block top-k is a
+    candidate superset of the global top-k, so the merge is lossless).
+
+    Cost shape: shuffle volume N·n_shards (queries) + N·n_query_blocks
+    (corpus) instead of n_shards driver round-trips; task memory is one
+    query block + one corpus shard. At 100 TB you size the two block
+    counts so a block pair fits executor memory — the standard
+    distributed block-matrix-multiply layout.
+
+    Output schema and ordering semantics are identical to knn_graph
+    (src_id, dst_id, cosine_sim, rank; self-edges excluded, ties by
+    dst_id ascending); an agreement test pins all three paths together.
+    """
+    from pyspark.sql import Window as W
+
+    if n_query_blocks is None:
+        n_query_blocks = n_shards
+    src = df.select(id_col, vec_col)
+    shard_axis = F.array(*[F.lit(s) for s in range(n_shards)])
+    qblock_axis = F.array(*[F.lit(b) for b in range(n_query_blocks)])
+    queries = src.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_query_blocks)).alias("_qb"),
+        F.explode(shard_axis).alias("_sh"),
+    )
+    corpus = src.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("_sh"),
+        F.explode(qblock_axis).alias("_qb"),
+    )
+
+    schema = "src_id long, dst_id long, cosine_sim double, rank int"
+
+    def block(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"src_id": [], "dst_id": [], "cosine_sim": [], "rank": []}
+            )
+        c_ids = right["c_id"].to_numpy(dtype=np.int64)
+        c_mat = np.stack(right["c_vec"].to_numpy()).astype(np.float64)
+        c_norms = np.linalg.norm(c_mat, axis=1)
+        c_norms[c_norms == 0.0] = 1.0
+        c_mat = c_mat / c_norms[:, None]
+        q_ids = left["q_id"].to_numpy(dtype=np.int64)
+        q = np.stack(left["q_vec"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(q, axis=1)
+        qn[qn == 0.0] = 1.0
+        sims = (q / qn[:, None]) @ c_mat.T
+        out = {"src_id": [], "dst_id": [], "cosine_sim": [], "rank": []}
+        for i, qid in enumerate(q_ids):
+            row = sims[i]
+            order = np.lexsort((c_ids, -row))
+            taken = 0
+            for j in order:
+                if c_ids[j] == qid:
+                    continue
+                taken += 1
+                out["src_id"].append(qid)
+                out["dst_id"].append(c_ids[j])
+                out["cosine_sim"].append(row[j])
+                out["rank"].append(taken)
+                if taken == k:
+                    break
+        return pd.DataFrame(out)
+
+    partials = (
+        queries.groupBy("_qb", "_sh")
+        .cogroup(corpus.groupBy("_qb", "_sh"))
+        .applyInPandas(block, schema)
+    )
+    w = W.partitionBy("src_id").orderBy(F.desc("cosine_sim"), F.asc("dst_id"))
+    return (
+        partials.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_graph_quantized(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -366,7 +366,13 @@ class PartitionedStateStore(ParquetStateStore):
         # from; only the affected partitions' rows are checkpointed.
         out = out.localCheckpoint(eager=True)
         (
-            out.write.mode("overwrite")
+            # One task per date partition (dbt-spark insert_overwrite
+            # shape): without this every upstream task writes a sliver
+            # into every partition dir — task_count × partition_count
+            # small files that every later read(name) must list and
+            # footer-parse. AQE may still split a skewed date.
+            out.repartition("_part")
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_part")
             .parquet(path)
@@ -468,7 +474,16 @@ class IncrementalRunner:
         self.store = store
         self.vars = vars or VARS
 
-    def run_batch(self, sources: dict[str, DataFrame], models: list[str] | None = None) -> None:
+    def run_batch(
+        self,
+        sources: dict[str, DataFrame],
+        models: list[str] | None = None,
+        overrides: dict[str, DataFrame] | None = None,
+    ) -> None:
+        """``overrides`` seeds precomputed upstream models (dbt-mock
+        style): a caller that already holds e.g. a checkpointed staged
+        view for this batch's source slice passes it here instead of
+        paying the staging parse again per batch."""
         models = models or INCREMENTAL_ORDER
         this_dfs = {}
         for name in models:
@@ -480,6 +495,7 @@ class IncrementalRunner:
             sources=sources,
             vars=self.vars,
             this_dfs=this_dfs,
+            overrides=dict(overrides or {}),
             cache_views=("stg_ocpp_logs",),
         )
         for name in models:

@@ -532,19 +532,25 @@ def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("knn_graph_sharded_embeddings", oracle=None,
-       cite="LLM-ops: kNN graph beyond broadcast range (block-matmul "
-       "shards, lossless per-shard top-k merge; agreement with the "
-       "broadcast path asserted in tests/test_llm_ops.py)")
+       cite="LLM-ops: kNN graph beyond broadcast range (executor-side "
+       "block-matmul, lossless per-block top-k merge; agreement with the "
+       "broadcast path asserted in tests/test_curation.py)")
 def knn_graph_sharded_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs knn_graph_blocked — the fully distributed block-matmul plan
+    that replaced the driver-staged knn_graph_sharded as this entry's
+    implementation after the round-7 comparison (sf1, 20k vectors:
+    blocked 1.1 s vs driver-staged 58 s; 200k vectors in 131 s —
+    BASELINE.md round 7). knn_graph_sharded remains available and
+    agreement-tested as the bounded driver-staged variant."""
     from kwwhat_spark.operators.scaling import widen
-    from kwwhat_spark.operators.similarity import knn_graph_sharded
+    from kwwhat_spark.operators.similarity import knn_graph_blocked
 
     emb = widen(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
     )
-    return knn_graph_sharded(emb, k=5, n_shards=4)
+    return knn_graph_blocked(emb, k=5, n_shards=4)
 
 
 # ---------------------------------------------------------------------------

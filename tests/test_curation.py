@@ -329,3 +329,36 @@ def test_split_leakage_safe_invariants(spark, sf_dir):
     # All three splits are populated at this fixture size.
     got = {r.split for r in split.select("split").distinct().collect()}
     assert got == {"train", "validation", "test"}, got
+
+
+def test_knn_graph_blocked_agrees_with_broadcast_path(spark, sf_dir):
+    from kwwhat_spark.operators.similarity import knn_graph, knn_graph_blocked
+    from kwwhat_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    sub = emb.filter(F.col("vec_id") < 120)
+    whole = {
+        (r.src_id, r.rank): (r.dst_id, round(r.cosine_sim, 6))
+        for r in knn_graph(sub, k=4).collect()
+    }
+    blocked = {
+        (r.src_id, r.rank): (r.dst_id, round(r.cosine_sim, 6))
+        for r in knn_graph_blocked(sub, k=4, n_shards=3, n_query_blocks=2).collect()
+    }
+    assert set(blocked) == set(whole)
+    for key, (dst, sim) in whole.items():
+        bdst, bsim = blocked[key]
+        assert bdst == dst, (key, bdst, dst)
+        assert abs(bsim - sim) < 2e-6
+
+
+def test_knn_graph_blocked_tolerates_empty_blocks(spark):
+    from kwwhat_spark.operators.similarity import knn_graph_blocked
+
+    rows = [(i, [float(i % 3 + 1), 1.0]) for i in range(7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_graph_blocked(df, k=2, n_shards=16, n_query_blocks=16).collect()
+    assert {r.src_id for r in out} == set(range(7))
+    assert all(1 <= r.rank <= 2 for r in out)

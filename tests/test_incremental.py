@@ -334,3 +334,27 @@ def test_partitioned_store_refuses_leftover_versioned_state(spark, tmp_path):
         part.read("int_status_changes")
     with pytest.raises(RuntimeError, match="versioned layout"):
         part.merge("int_status_changes", df, ["charger_id", "ingested_ts"])
+
+
+def test_staged_cutoff_equals_staging_filtered_raw(spark):
+    # The gate entries inject a filtered staged CHECKPOINT for batch 1
+    # instead of re-staging the filtered raw rows; the two must be
+    # row-identical (staging is a pure row-wise projection).
+    from pyspark.sql import functions as F
+
+    from kwwhat_spark.models.base import Pipeline
+    from kwwhat_spark.queries.ocpp_pipeline import _INC_CUTOFF, _staged_cutoff
+    from kwwhat_spark.sources.ocpp import load_ocpp_sources
+
+    sources = load_ocpp_sources(spark)
+    batch1 = {
+        **sources,
+        "raw_ocpp_logs": sources["raw_ocpp_logs"].filter(
+            F.col("timestamp") < _INC_CUTOFF
+        ),
+    }
+    expected = Pipeline(spark=spark, sources=batch1).ref("stg_ocpp_logs")
+    got = _staged_cutoff(spark)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
