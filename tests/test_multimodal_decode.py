@@ -276,3 +276,72 @@ def test_jpeg_non_interleaved_declines():
     new_sos = b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01" + p[sos + 5 : sos + 7] + trailer
     hacked = p[:sos] + new_sos + p[sos + 2 + seglen :]
     assert decode_jpeg(hacked) is None
+
+
+@pytest.mark.parametrize(
+    "w,h,sub",
+    [
+        (16, 16, "444"),
+        (17, 13, "444"),  # partial edge blocks
+        (32, 24, "420"),  # subsampled chroma
+        (15, 9, "420"),  # odd dims under 2x2 sampling
+        (23, 29, "444"),
+    ],
+)
+def test_jpeg_progressive_bit_identical_to_baseline(w, h, sub):
+    # The progressive file carries the SAME quantized coefficients as
+    # the baseline file, so decode must be BIT-identical — this pins
+    # every scan procedure (DC first/refine, AC first/refine with EOB
+    # runs and two successive-approximation levels on luma) exactly.
+    from kwwhat_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(w * 1000 + h)
+    # Noise stresses dense-coefficient refinement; gradient stresses
+    # long EOB runs. Test both contents.
+    for rgb in (
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8),
+        _gradient_rgb(w, h),
+    ):
+        base = decode_jpeg(encode_jpeg(rgb, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(rgb, subsampling=sub))
+        assert prog is not None
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_through_feature_path():
+    from kwwhat_spark.operators.jpeg import encode_jpeg_progressive
+    from kwwhat_spark.operators.multimodal import _real_decode as rd
+
+    rgb = _gradient_rgb(20, 14)
+    got = rd(encode_jpeg_progressive(rgb), FEATURE_DIM)
+    assert got is not None and got[1] == "jpeg"
+
+
+def test_jpeg_progressive_truncation_semantics():
+    from kwwhat_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rgb = _gradient_rgb(16, 16)
+    p = encode_jpeg_progressive(rgb)
+    # Cut before the first scan's entropy data completes: decline.
+    first_sos = p.find(b"\xff\xda")
+    assert decode_jpeg(p[: first_sos + 8]) is None
+    # Cut mid-stream after some scans: a truncated progressive stream IS
+    # a coarser image (the format's defining property) — render it at
+    # the right dimensions, approximately the full picture.
+    partial = decode_jpeg(p[: len(p) * 2 // 3])
+    full = decode_jpeg(p)
+    assert partial is not None and partial.shape == full.shape
+    assert np.abs(partial.astype(float) - full.astype(float)).mean() < 16.0
+    # A baseline stream mislabeled SOF2 has Ss=0,Se=63 — invalid
+    # progressive scan header; must decline, not misdecode.
+    b = encode_jpeg(rgb)
+    sof = b.find(b"\xff\xc0")
+    assert decode_jpeg(b[:sof] + b"\xff\xc2" + b[sof + 2 :]) is None
