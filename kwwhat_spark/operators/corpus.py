@@ -872,3 +872,161 @@ def incremental_line_dedup(
     )
     commit()
     return cleaned
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    lam: float = 0.8,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Interpolated bigram-LM surprisal scoring (the CCNet/perplexity
+    quality-filter shape, one order up from unigram_logprob_scores):
+    fit bigram + unigram counts on the corpus itself and score each
+    document by its mean token surprisal under
+    p(w|prev) = lam * c(prev,w)/c(prev) + (1-lam) * c(w)/total.
+
+    Determinism contract (same as the unigram entry): the per-bigram
+    surprisal is quantized to integer micro-bits BEFORE the per-document
+    sum — floor(log2(1/p) * 1e6 + 0.5) — so partial aggregation order
+    cannot perturb the result and both engines emit identical longs.
+    The probability expression is written with an identical op sequence
+    on both sides (mul, div, add), each IEEE-correctly-rounded.
+
+    Plan shape at scale: bigram extraction is pure array ops on the
+    token array (slice + arrays_zip + explode — no per-doc window, no
+    shuffle before the counts); two combinable count shuffles build the
+    model; scoring joins the pair stream against the scored dictionary
+    (broadcast when it fits, AQE shuffle join with skew-split
+    otherwise — token bigrams are Zipfian). Documents with <2 tokens
+    have no bigrams and drop out, mirroring the oracle's inner join.
+    """
+    from kwwhat_spark.operators.scaling import widen
+
+    df = widen(df)
+    arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    toks = df.select(F.col(id_col), arr.alias("__l"))
+    pairs = (
+        toks.filter(F.size("__l") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(__l, 1, size(__l)-1)"),
+                    F.expr("slice(__l, 2, size(__l)-1)"),
+                )
+            ).alias("__pr"),
+        )
+        .select(
+            id_col,
+            F.col("__pr")["0"].alias("__prev"),
+            F.col("__pr")["1"].alias("__tok"),
+        )
+    )
+    alltoks = toks.select(F.explode("__l").alias("__tok"))
+    uni = alltoks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cu"))
+    total = alltoks.count()
+    bi = pairs.groupBy("__prev", "__tok").agg(F.count(F.lit(1)).alias("__cb"))
+    dic = (
+        bi.join(
+            uni.select(F.col("__tok").alias("__prev"), F.col("__cu").alias("__cp")),
+            "__prev",
+        )
+        .join(uni, "__tok")
+        .withColumn(
+            "__lp_q",
+            F.floor(
+                F.log2(
+                    1.0
+                    / (
+                        F.lit(lam) * F.col("__cb") / F.col("__cp")
+                        + F.lit(1.0 - lam) * F.col("__cu") / F.lit(float(total))
+                    )
+                )
+                * 1e6
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .select("__prev", "__tok", "__lp_q")
+    )
+    scored = pairs.join(F.broadcast(dic) if broadcast_vocab else dic, ["__prev", "__tok"])
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__lp_q").alias("bigram_surprisal_q"),
+        (F.sum("__lp_q") / (F.count(F.lit(1)) * 1e6)).alias("mean_bigram_surprisal_bits"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 100,
+) -> DataFrame:
+    """BM25 retrieval over whitespace tokens: top-``limit`` documents for
+    a fixed term set (Robertson/Sparck-Jones idf, the standard
+    (k1+1)-numerator tf saturation).
+
+    Determinism contract: the per-(doc, term) score is quantized to an
+    integer micro-unit grid BEFORE the per-document sum —
+    floor(1e6 * idf * tf*(k1+1) / (tf + k1*(1-b + b*len/avgdl)) + 0.5) —
+    with the identical IEEE op sequence on both engines, so the longs
+    (and the (score desc, doc_id) top-k order) are bit-identical.
+
+    Plan shape at scale: tokenize+explode is map-side; doc lengths and
+    per-term tf are combinable count shuffles; df/idf is |terms| rows
+    (broadcast); the final top-k is TakeOrderedAndProject (per-partition
+    heads, no global sort materialization).
+    """
+    from kwwhat_spark.operators.scaling import widen
+
+    df = widen(df)
+    arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    toks = df.select(F.col(id_col), F.explode(arr).alias("__tok"))
+    n_docs = df.count()
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__len"))
+    total_tokens = toks.count()
+    avgdl = total_tokens / n_docs
+    tf = (
+        toks.filter(F.col("__tok").isin(list(terms)))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dft = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    idf = dft.withColumn(
+        "__idf",
+        F.log((F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0),
+    )
+    scored = (
+        tf.join(F.broadcast(idf.select("__tok", "__idf")), "__tok")
+        .join(doclen, id_col)
+        .withColumn(
+            "__score_q",
+            F.floor(
+                F.lit(1e6)
+                * F.col("__idf")
+                * (F.col("__tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("__tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("__len") / F.lit(float(avgdl)))
+                )
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("__score_q").alias("bm25_score_q"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.col("bm25_score_q").desc(), F.col(id_col).asc())
+        .limit(limit)
+    )

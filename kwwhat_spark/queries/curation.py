@@ -866,3 +866,50 @@ def outlier_docs_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             flag.alias("is_len_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram-LM surprisal (one order above quality_unigram_
+# logprob): the perplexity-filter shape of CCNet/Gopher pipelines, made
+# cross-engine exact by quantizing per-bigram surprisal to integer
+# micro-bits before the per-document sum.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_bigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, pr[1] AS prev, pr[2] AS tok
+      FROM (SELECT doc_id, UNNEST(list_zip(l[1:length(l)-1], l[2:length(l)])) AS pr
+            FROM toks WHERE length(l) >= 2)
+    ), alltoks AS (
+      SELECT UNNEST(l) AS tok FROM toks
+    ), uni AS (
+      SELECT tok, COUNT(*) AS cu FROM alltoks GROUP BY tok
+    ), tot AS (SELECT COUNT(*)::DOUBLE AS t FROM alltoks),
+    bi AS (
+      SELECT prev, tok, COUNT(*) AS cb FROM pairs GROUP BY prev, tok
+    ), dic AS (
+      SELECT b.prev, b.tok,
+             CAST(floor(log2(1.0 / (0.8 * b.cb / up.cu + 0.2 * ut.cu / (SELECT t FROM tot)))
+                        * 1e6 + 0.5) AS BIGINT) AS lp_q
+      FROM bi b
+      JOIN uni up ON up.tok = b.prev
+      JOIN uni ut ON ut.tok = b.tok
+    )
+    SELECT p.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(d.lp_q) AS BIGINT) AS bigram_surprisal_q,
+           SUM(d.lp_q) / (COUNT(*) * 1e6) AS mean_bigram_surprisal_bits
+    FROM pairs p JOIN dic d ON d.prev = p.prev AND d.tok = p.tok
+    GROUP BY p.doc_id
+    """,
+    cite="LLM-ops: interpolated bigram-LM surprisal quality scoring "
+    "(CCNet-style perplexity filter, quantized cross-engine exact)",
+)
+def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import bigram_logprob_scores
+
+    return bigram_logprob_scores(load_table(spark, sf_dir, "documents"))

@@ -712,3 +712,53 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_to_memory(spark, sessions, "append")
     finally:
         cleanup()
+
+
+# ---------------------------------------------------------------------------
+# §2.1 source-format breadth: ORC round-trip. Spark's native ORC reader/
+# writer (columnar, predicate-pushdown-capable like parquet) — the table
+# is written to ORC and read back, and the aggregate over the ORC scan
+# must value-hash-match the oracle computed on the original parquet.
+# ---------------------------------------------------------------------------
+@query(
+    "orc_source_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_price
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY o_orderstatus
+    """,
+    cite="SURVEY §2.1 sources/sinks (format breadth beyond CSV/parquet/"
+    "JSONL); dbt-spark file_format='orc' table materialization analogue",
+)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC files → read back → filtered exact-money aggregate.
+    The filter sits above the ORC scan so pushdown goes through the ORC
+    reader (plan-audited); the checkpoint pins rows before the temp dir
+    is removed."""
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="kwh-orc-")
+    try:
+        orders.write.mode("overwrite").orc(f"{d}/orders")
+        back = spark.read.orc(f"{d}/orders")
+        out = (
+            back.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                (
+                    F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("decimal(28,0)"))
+                    .cast("double")
+                    / 100.0
+                ).alias("total_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

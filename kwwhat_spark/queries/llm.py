@@ -1949,3 +1949,52 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_eval_sim",
         (F.col("max_eval_sim") >= 0.95).alias("is_contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval top-k (the lexical half of a RAG/retrieval stack, next
+# to the similarity_* dense entries): fixed query terms, quantized
+# integer scores, total-order top-k.
+# ---------------------------------------------------------------------------
+@query(
+    "bm25_retrieval_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+    doclen AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+    avgdl AS (SELECT (SELECT COUNT(*) FROM toks) / (SELECT nd FROM n) AS a),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('hash', 'merge', 'scan')
+      GROUP BY doc_id, tok
+    ), dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    idf AS (
+      SELECT tok, ln(((SELECT nd FROM n) - df + 0.5) / (df + 0.5) + 1.0) AS idf
+      FROM dft
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(1e6 * idf.idf * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.len / (SELECT a FROM avgdl)))
+                        + 0.5) AS BIGINT) AS score_q
+      FROM tf JOIN idf USING (tok) JOIN doclen USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(SUM(score_q) AS BIGINT) AS bm25_score_q,
+           COUNT(*) AS n_terms_matched
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25_score_q DESC, doc_id ASC
+    LIMIT 100
+    """,
+    cite="LLM-ops: BM25 lexical retrieval top-k (Robertson idf, k1=1.2 "
+    "b=0.75, integer-quantized scores — the lexical complement of the "
+    "similarity_* dense-retrieval entries)",
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"), ["hash", "merge", "scan"]
+    )

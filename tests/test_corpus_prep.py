@@ -413,3 +413,50 @@ def test_incremental_line_dedup_across_batches(spark, tmp_path):
     r3 = {r["doc_id"]: r for r in
           incremental_line_dedup(b2, store, min_chars=3).collect()}
     assert r3[3]["text_clean"] == "--" and r3[4]["n_kept"] == 0
+
+
+def test_bigram_logprob_short_docs_drop_and_counts(spark):
+    from kwwhat_spark.operators.corpus import bigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),     # bigrams: (a,b) x2, (b,a) x1
+            (2, "a"),           # <2 tokens -> no row
+            (3, ""),            # empty -> no row
+            (4, "  b   a  "),   # whitespace torture -> (b,a)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob_scores(docs).collect()}
+    assert set(out) == {1, 4}
+    assert out[1].n_bigrams == 3
+    assert out[4].n_bigrams == 1
+    # (b,a) occurs twice on prev-count c(b)=3 -> p=.8*2/3+.2*4/7~.65;
+    # (a,b) twice on c(a)=4 -> p~.49. Doc 4 is pure (b,a), the MORE
+    # probable bigram, so its mean surprisal is strictly lower than
+    # doc 1's mix.
+    assert out[4].mean_bigram_surprisal_bits < out[1].mean_bigram_surprisal_bits
+
+
+def test_bm25_ranking_properties(spark):
+    from kwwhat_spark.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z hash hash hash"),   # heavy tf on one term
+            (2, "x hash merge"),           # two distinct terms
+            (3, "x y z w q r s t u v"),    # no match -> absent
+            (4, "hash merge scan"),        # all three terms
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ["hash", "merge", "scan"], limit=10).collect()
+    got = {r.doc_id: r for r in rows}
+    assert 3 not in got
+    assert got[4].n_terms_matched == 3
+    assert got[2].n_terms_matched == 2
+    assert got[1].n_terms_matched == 1
+    # Rows come back in (score desc, doc_id) order and scores are longs.
+    scores = [r.bm25_score_q for r in rows]
+    assert scores == sorted(scores, reverse=True) or len(set(scores)) < len(scores)
+    assert all(isinstance(s, int) for s in scores)
