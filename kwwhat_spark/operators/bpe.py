@@ -1,0 +1,178 @@
+"""Distributed byte-pair-encoding (BPE) merge learning and application.
+
+The tokenizer half of a training-data pipeline: learn the top-N BPE
+merges from a corpus (Sennrich et al. 2016 word-level BPE — frequencies
+over word TYPES weighted by their corpus counts, end-of-word marker), and
+re-segment text with a learned merge table.
+
+Distributed shape (the part that matters at 100 TB):
+  - The corpus collapses to a WORD-TYPE frequency table first (one
+    combinable count shuffle); every subsequent round works on the type
+    table, whose size is the vocabulary (Heaps-law sublinear in corpus
+    size), not the token stream.
+  - Each merge round is: adjacent-pair explode weighted by type count →
+    combinable groupBy sum → a 1-row argmax to the driver (the chosen
+    merge is the ONLY driver state) → Arrow-batched re-segmentation of
+    the type table (mapInPandas; per-type work, not per-token).
+  - Applying a learned table to new text re-segments each word TYPE once
+    (dedupe → mapInPandas → broadcast join back to the token stream).
+
+Iterative driver loop = genuinely non-SQL-expressible, so the catalog
+entry is rows-only by documented structural necessity; exactness is
+pinned locally against a pure-Python reference implementation over
+randomized corpora (tests/test_bpe.py).
+
+Determinism: ties in the pair argmax break on (count desc, left asc,
+right asc) — a total order — so the learned table is unique for a given
+corpus regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"
+
+
+def _word_types(df: DataFrame, text_col: str) -> DataFrame:
+    """(symbols array<string>, cnt long): character-split word types with
+    the end-of-word marker fused onto the final character."""
+    words = df.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("__w")
+    )
+    types = words.groupBy("__w").agg(F.count(F.lit(1)).alias("cnt"))
+    # split('') yields chars; fuse EOW onto the last char (standard BPE
+    # word-boundary convention: 'low' -> [l, o, w</w>]).
+    return types.select(
+        F.expr(
+            f"transform(split(__w, ''), (c, i) -> "
+            f"CASE WHEN i = length(__w) - 1 THEN c || '{EOW}' ELSE c END)"
+        ).alias("symbols"),
+        "cnt",
+    )
+
+
+def _pair_counts(types: DataFrame) -> DataFrame:
+    pairs = types.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(symbols, 1, size(symbols)-1)"),
+                F.expr("slice(symbols, 2, size(symbols)-1)"),
+            )
+        ).alias("__pr"),
+        "cnt",
+    ).select(
+        F.col("__pr")["0"].alias("left"),
+        F.col("__pr")["1"].alias("right"),
+        "cnt",
+    )
+    return pairs.groupBy("left", "right").agg(F.sum("cnt").alias("pair_count"))
+
+
+def _merge_types(types: DataFrame, left: str, right: str) -> DataFrame:
+    """Fuse every adjacent (left, right) into one symbol, left-to-right
+    greedily (Arrow-batched; per word TYPE)."""
+    import pandas as pd
+
+    merged_sym = left + right
+
+    def apply(batches):
+        for pdf in batches:
+            out = []
+            for syms in pdf["symbols"]:
+                syms = list(syms)
+                res = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        res.append(merged_sym)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            yield pd.DataFrame({"symbols": out, "cnt": pdf["cnt"]})
+
+    return types.mapInPandas(apply, schema="symbols array<string>, cnt long")
+
+
+def learn_bpe_merges(
+    df: DataFrame, text_col: str = "text", *, n_merges: int = 24
+) -> list[tuple[int, str, str, int]]:
+    """Learn the top-``n_merges`` BPE merges: [(rank, left, right,
+    pair_count)], rank 1 = first merge. Stops early when no pair occurs
+    twice (nothing left worth fusing)."""
+    types = _word_types(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pair_counts(types)
+            .orderBy(F.col("pair_count").desc(), F.col("left").asc(), F.col("right").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_count"] < 2:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
+        merges.append((rank, left, right, cnt))
+        nxt = _merge_types(types, left, right).localCheckpoint(eager=True)
+        types.unpersist()
+        types = nxt
+    types.unpersist()
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment each document with a learned merge table; returns
+    (id_col, n_words, n_bpe_tokens, tokens_per_word). Re-segments each
+    distinct word TYPE once and broadcast-joins back to the word
+    stream — per-type cost, not per-token."""
+    import pandas as pd
+
+    order = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("__w"),
+    )
+    types = words.select("__w").distinct()
+
+    def segment(batches):
+        for pdf in batches:
+            counts = []
+            for w in pdf["__w"]:
+                syms = list(w[:-1]) + [w[-1] + EOW] if w else []
+                for left, right in order:
+                    i, res, n = 0, [], len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                            res.append(left + right)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                counts.append(len(syms))
+            yield pd.DataFrame({"__w": pdf["__w"], "__n_sym": counts})
+
+    seg = types.mapInPandas(segment, schema="__w string, __n_sym long")
+    return (
+        words.join(F.broadcast(seg), "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__n_sym").alias("n_bpe_tokens"),
+            (F.sum("__n_sym") / F.count(F.lit(1))).alias("tokens_per_word"),
+        )
+    )

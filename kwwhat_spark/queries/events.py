@@ -762,3 +762,82 @@ def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustered layout: 2-D data skipping. The entry writes
+# events Z-ordered by (user_id, ts), reads the clustered files back, and
+# answers a 2-D box predicate — values must match the plain-parquet
+# oracle exactly, while the layout makes BOTH dimensions' file/row-group
+# stats tight (pruning asserted quantitatively in tests/test_layout.py).
+# ---------------------------------------------------------------------------
+@query(
+    "zorder_layout_scan",
+    oracle="""
+    WITH b AS (
+      SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+             min(ts) AS tlo, max(ts) AS thi
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events, b
+    WHERE user_id >= b.ulo + (b.uhi - b.ulo) * 2 // 10
+      AND user_id <  b.ulo + (b.uhi - b.ulo) * 3 // 10
+      AND epoch_us(ts) >= epoch_us(b.tlo) + (epoch_us(b.thi) - epoch_us(b.tlo)) * 4 // 10
+      AND epoch_us(ts) <  epoch_us(b.tlo) + (epoch_us(b.thi) - epoch_us(b.tlo)) * 6 // 10
+    GROUP BY event_type
+    """,
+    cite="Delta OPTIMIZE ZORDER BY / Iceberg z-ordering analogue: "
+    "multi-dimensional clustering for file+row-group skipping "
+    "(operators/layout.py, codegen shift/or Morton key)",
+)
+def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kwwhat_spark.operators.layout import grid_coord, write_zordered
+
+    e = _events(spark, sf_dir)
+    b = e.agg(
+        F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+        F.min(F.unix_micros("ts")).alias("tlo"), F.max(F.unix_micros("ts")).alias("thi"),
+    ).first()
+    d = tempfile.mkdtemp(prefix="kwh-zorder-")
+    try:
+        write_zordered(
+            e,
+            f"{d}/events",
+            [
+                grid_coord(F.col("user_id"), b["ulo"], b["uhi"], 16),
+                grid_coord(F.unix_micros("ts"), b["tlo"], b["thi"], 16),
+            ],
+            n_files=16,
+        )
+        back = spark.read.parquet(f"{d}/events")
+        ulo = b["ulo"] + (b["uhi"] - b["ulo"]) * 2 // 10
+        uhi = b["ulo"] + (b["uhi"] - b["ulo"]) * 3 // 10
+        tlo = b["tlo"] + (b["thi"] - b["tlo"]) * 4 // 10
+        thi = b["tlo"] + (b["thi"] - b["tlo"]) * 6 // 10
+        out = (
+            back.filter(
+                (F.col("user_id") >= F.lit(ulo))
+                & (F.col("user_id") < F.lit(uhi))
+                & (F.unix_micros("ts") >= F.lit(tlo))
+                & (F.unix_micros("ts") < F.lit(thi))
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (
+                    F.sum(F.round(F.col("value") * 100, 0).cast("long").cast("decimal(28,0)"))
+                    .cast("double")
+                    / 100.0
+                ).alias("total_value"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

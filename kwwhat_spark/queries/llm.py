@@ -1998,3 +1998,30 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         load_table(spark, sf_dir, "documents"), ["hash", "merge", "scan"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge learning (the tokenizer half of the training-data
+# pipeline). Iterative driver loop -> rows-only by documented structural
+# necessity; exactness is pinned against a sequential pure-Python BPE
+# reference over randomized corpora in tests/test_bpe.py (3 seeds,
+# partition-invariant, identical tie-breaks).
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_learn_merges",
+    oracle=None,
+    cite="LLM-ops: byte-pair-encoding merge learning (Sennrich et al. "
+    "2016), distributed over the word-TYPE table — pair-count shuffle + "
+    "1-row argmax per round, Arrow re-segmentation; rows-only (iterative)",
+)
+def bpe_learn_merges_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-16 BPE merges learned from the lowest-200 doc_ids (the bounded
+    oracle-twin slice convention); returns the deterministic merge table
+    (rank, left, right, pair_count)."""
+    from kwwhat_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    merges = learn_bpe_merges(docs, n_merges=16)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )

@@ -1,0 +1,93 @@
+"""Distributed BPE merge learning vs a pure-Python reference.
+
+The catalog entry is rows-only (iterative driver loop — documented
+structural necessity), so exactness is pinned HERE: the distributed
+learner must produce the identical merge table as a sequential
+reference implementation on randomized corpora, under arbitrary
+partitioning, with the same (count desc, left, right) tie-break.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from kwwhat_spark.operators.bpe import EOW, apply_bpe, learn_bpe_merges
+
+
+def _ref_bpe(texts: list[str], n_merges: int):
+    """Sequential word-level BPE (Sennrich et al. 2016) reference."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                vocab[tuple(list(w[:-1]) + [w[-1] + EOW])] += 1
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((rank, left, right, cnt))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            res, i = [], 0
+            syms = list(syms)
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] += c
+        vocab = new_vocab
+    return merges
+
+
+WORDS = ["low", "lower", "lowest", "newer", "wider", "new", "widest", "er", "zz"]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_learned_merges_match_reference(spark, seed):
+    rng = random.Random(seed)
+    texts = [
+        " ".join(rng.choices(WORDS, k=rng.randint(1, 30))) for _ in range(120)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string").repartition(7)
+    got = learn_bpe_merges(df, n_merges=12)
+    exp = _ref_bpe(texts, 12)
+    assert got == exp
+
+
+def test_early_stop_when_nothing_repeats(spark):
+    df = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    # Every pair occurs once -> no merge has pair_count >= 2.
+    assert learn_bpe_merges(df, n_merges=5) == []
+
+
+def test_apply_bpe_counts(spark):
+    texts = ["low low lower", "lowest low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(df, n_merges=6)
+    out = {r.doc_id: r for r in apply_bpe(df, merges).collect()}
+    assert out[0].n_words == 3 and out[1].n_words == 2
+    # 'low' appears 4x -> (l,o) then (lo, w</w>) merge early, so the word
+    # 'low' ends as ONE token; totals must reflect that.
+    ref = _ref_bpe(texts, 6)
+    assert merges == ref
+    assert out[0].n_bpe_tokens < sum(len(w) + 0 for w in "low low lower".split()) + 3
+    assert out[0].tokens_per_word == out[0].n_bpe_tokens / out[0].n_words

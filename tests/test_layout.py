@@ -1,0 +1,117 @@
+"""Z-order layout: quantitative data-skipping assertions.
+
+The gate entry proves VALUE correctness through the clustered files;
+this suite proves the LAYOUT does its job: per-file min/max bounding
+boxes are small in BOTH dimensions (vs a 1-D sort that is only tight in
+its own column), so a 2-D box predicate prunes files on each dimension.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from kwwhat_spark.operators.layout import grid_coord, write_zordered, zorder_key
+
+
+def _file_ranges(path, cols):
+    """[(min, max) per col] per parquet file, from footer stats."""
+    out = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        rng = []
+        for c in cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            rng.append((lo, hi))
+        out.append(rng)
+    return out
+
+
+def test_zorder_key_interleaves_bits():
+    # Pure expression check on known values: (a=0b11, b=0b01, 2 bits)
+    # -> z = a1 b1 a0 b0 = 1 0 1 1 = 11.
+    import pyspark.sql.types as T
+
+    from kwwhat_spark.session import get_spark
+
+    spark = get_spark()
+    row = (
+        spark.createDataFrame([(3, 1)], "a long, b long")
+        .select(zorder_key([F.col("a"), F.col("b")], bits=2).alias("z"))
+        .first()
+    )
+    assert row["z"] == 0b1011
+
+
+def test_zorder_bounding_boxes_tight_in_both_dims(spark, tmp_path):
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        (F.pmod(F.xxhash64("id"), 200)).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "linear")
+    coords = [
+        grid_coord(F.col("x"), 0, 199, 8),
+        grid_coord(F.col("y"), 0, 199, 8),
+    ]
+    write_zordered(df, zdir, coords, n_files=16)
+    # 1-D baseline: same file count, sorted by x only.
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(ldir)
+
+    def mean_box_area(path):
+        ranges = _file_ranges(path, ["x", "y"])
+        assert len(ranges) >= 8
+        areas = [
+            (xr[1] - xr[0] + 1) * (yr[1] - yr[0] + 1) for xr, yr in ranges
+        ]
+        return sum(areas) / len(areas)
+
+    z_area, l_area = mean_box_area(zdir), mean_box_area(ldir)
+    # Linear layout: x-ranges tight but y spans the full 200 -> area ~
+    # (200/16)*200 = 2500. Z-order: boxes near-square ~ (200/4)^2 = 2500?
+    # No: 16 files over a 256x256 grid -> each key range covers ~1/16 of
+    # the Morton curve, a box of ~64x64 grid cells = 50x50 in value
+    # space -> area ~2500 yet BOTH dims are ~4x tighter than 200.
+    # Assert the per-dimension property on the MEAN (a file straddling a
+    # high-level Morton boundary can legitimately span one dimension —
+    # the skipping win is average-case):
+    z_ranges = _file_ranges(zdir, ["x", "y"])
+    mean_x = sum(r[0][1] - r[0][0] for r in z_ranges) / len(z_ranges)
+    mean_y = sum(r[1][1] - r[1][0] for r in z_ranges) / len(z_ranges)
+    assert mean_x <= 120 and mean_y <= 120, (mean_x, mean_y)
+    l_ranges = _file_ranges(ldir, ["x", "y"])
+    l_mean_y = sum(r[1][1] - r[1][0] for r in l_ranges) / len(l_ranges)
+    assert l_mean_y >= 180  # 1-D sort leaves y unconstrained in EVERY file
+    # And a 2-D box predicate prunes files under z-order:
+    box = lambda r: not (r[0][1] < 40 or r[0][0] > 90 or r[1][1] < 40 or r[1][0] > 90)
+    z_hit = sum(1 for r in z_ranges if box(r))
+    l_hit = sum(1 for r in l_ranges if box(r))
+    assert z_hit < l_hit, (z_hit, l_hit)
+    # Values survive the layout: same rows both layouts.
+    a = spark.read.parquet(zdir).agg(F.sum("payload"), F.count("*")).first()
+    b = spark.read.parquet(ldir).agg(F.sum("payload"), F.count("*")).first()
+    assert a == b
+
+
+def test_grid_coord_clamps_and_degenerate_span(spark):
+    df = spark.createDataFrame([(-(10),), (0,), (5,), (300,)], "v long")
+    got = [
+        r[0]
+        for r in df.select(grid_coord(F.col("v"), 0, 200, 4).alias("g")).collect()
+    ]
+    assert got[0] == 0 and got[3] == 15  # clamped to grid edges
+    assert all(0 <= g <= 15 for g in got)
+    # Degenerate span (lo == hi) must not divide by zero.
+    one = df.select(grid_coord(F.col("v"), 7, 7, 4).alias("g")).collect()
+    assert all(0 <= r[0] <= 15 for r in one)
