@@ -49,6 +49,14 @@ def get_spark(
         # dim_dates at 11,323 rows) are tiny; 64 MB keeps them broadcast even
         # at fleet scale. AQE will demote if an estimate is wrong.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # AQE's RUNTIME broadcast conversion may go higher than the static
+        # threshold: it decides on MEASURED shuffle bytes, so there is no
+        # mis-estimate risk, and replacing a sort-merge join whose probe
+        # side is 100x the build is worth a 100-250 MB broadcast on any
+        # sane executor (measured: TPC-H Q5 at a 600M-row lineitem probe,
+        # 27.2 s -> 21.2 s when the ~90 MB one-year+ASIA order slice
+        # converts — BASELINE.md round 7).
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
         # Readable plans while iterating.
         .config("spark.sql.ui.explainMode", "formatted")
         # Local mode hosts all 32 executor threads inside the driver JVM:
