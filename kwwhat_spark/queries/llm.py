@@ -2025,3 +2025,23 @@ def bpe_learn_merges_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+@query(
+    "bpe_tokenize_stats",
+    oracle=None,
+    cite="LLM-ops: BPE application end-to-end (learn on the bounded "
+    "slice, re-segment each word TYPE once, broadcast join back) — "
+    "rows-only (iterative learning upstream); exactness of both halves "
+    "pinned in tests/test_bpe.py",
+)
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 12 merges on the lowest-150 doc_ids, then tokenize those
+    same docs: per-doc (n_words, n_bpe_tokens, tokens_per_word). The
+    compression ratio (tokens_per_word < chars_per_word) is the signal a
+    tokenizer-aware curation pipeline thresholds on."""
+    from kwwhat_spark.operators.bpe import apply_bpe, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    merges = learn_bpe_merges(docs, n_merges=12)
+    return apply_bpe(docs, merges)

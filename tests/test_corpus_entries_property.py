@@ -21,7 +21,16 @@ import pytest
 from kwwhat_spark.queries import REGISTRY
 from tests.oracle_harness import compare
 
-ENTRIES = ("heavy_hitters_bigrams", "outlier_docs_zscore", "split_leakage_safe")
+ENTRIES = (
+    "heavy_hitters_bigrams",
+    "outlier_docs_zscore",
+    "split_leakage_safe",
+    # round 7: the LM-scoring and retrieval entries share the same \s+
+    # tokenizer-parity risk surface
+    "quality_unigram_logprob",
+    "quality_bigram_logprob",
+    "bm25_retrieval_topk",
+)
 
 
 def _docs_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -35,7 +44,9 @@ def _docs_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _gen_docs(seed: int) -> pd.DataFrame:
     rng = random.Random(seed)
-    vocab = ["alpha", "beta", "Gamma", "DELTA", "x1", "y2z"]
+    # 'hash'/'merge'/'scan' are bm25_retrieval_topk's fixed query terms —
+    # present so its tf/idf/length machinery actually bites here.
+    vocab = ["alpha", "beta", "Gamma", "DELTA", "x1", "y2z", "hash", "merge", "scan"]
     rows = []
     for doc_id in range(120):
         kind = rng.randrange(8)
