@@ -72,3 +72,85 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_with_manifest(
+    df: DataFrame,
+    path: str,
+    stat_cols: list[str],
+    *,
+    coords: list[Column] | None = None,
+    bits: int = 16,
+    n_files: int = 16,
+) -> None:
+    """Write parquet plus a file-stats manifest (`_manifest.json`):
+    per file, min/max of ``stat_cols`` harvested from the parquet
+    footers after the write. With ``coords`` the data is Z-order
+    clustered first (tight boxes = effective pruning).
+
+    This is the table-format half of data skipping (Delta/Iceberg file
+    stats): at 100 TB a scan over millions of files must prune from a
+    manifest, not by opening every footer. The manifest is metadata-only
+    (no data re-read — footers carry the stats)."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    if coords is not None:
+        write_zordered(df, path, coords, bits=bits, n_files=n_files)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(path)
+    manifest = {}
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats = {}
+        for c in stat_cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    lo, hi = None, None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is None:
+                continue  # no stats for this column: cannot prune on it
+            stats[c] = [
+                lo.isoformat() if hasattr(lo, "isoformat") else lo,
+                hi.isoformat() if hasattr(hi, "isoformat") else hi,
+            ]
+        manifest[os.path.basename(f)] = stats
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def read_pruned(spark, path: str, ranges: dict[str, tuple]) -> "DataFrame":
+    """Read only the files whose manifest stats intersect every
+    ``ranges[col] = (lo, hi)`` interval (inclusive; None = unbounded).
+    Files without stats for a column are conservatively kept. The
+    predicate itself must STILL be applied by the caller — pruning is
+    a superset guarantee, exactly like table-format file skipping."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = json.load(f)
+
+    def keep(stats: dict) -> bool:
+        for c, (lo, hi) in ranges.items():
+            if c not in stats:
+                continue  # no stats: cannot exclude
+            fmin, fmax = stats[c]
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+        return True
+
+    files = [os.path.join(path, f) for f, st in manifest.items() if keep(st)]
+    if not files:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*files)

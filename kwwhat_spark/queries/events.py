@@ -841,3 +841,76 @@ def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# File-stats manifest pruning (the table-format half of data skipping,
+# Delta/Iceberg file stats): write Z-ordered events + _manifest.json of
+# per-file min/max, prune files BEFORE Spark lists them, then apply the
+# real predicate. Values must match the plain-parquet oracle exactly —
+# pruning is a superset guarantee, correctness never depends on it.
+# ---------------------------------------------------------------------------
+@query(
+    "manifest_pruned_scan",
+    oracle="""
+    WITH b AS (
+      SELECT min(user_id) AS ulo, max(user_id) AS uhi FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events, b
+    WHERE user_id >= b.ulo + (b.uhi - b.ulo) * 1 // 10
+      AND user_id <= b.ulo + (b.uhi - b.ulo) * 2 // 10
+    GROUP BY event_type
+    """,
+    cite="Delta/Iceberg file-stats pruning analogue (operators/layout.py "
+    "write_with_manifest/read_pruned over the Z-order layout); pruning "
+    "effectiveness asserted in tests/test_layout.py",
+)
+def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kwwhat_spark.operators.layout import (
+        grid_coord,
+        read_pruned,
+        write_with_manifest,
+    )
+
+    e = _events(spark, sf_dir)
+    b = e.agg(
+        F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+        F.min(F.unix_micros("ts")).alias("tlo"), F.max(F.unix_micros("ts")).alias("thi"),
+    ).first()
+    d = tempfile.mkdtemp(prefix="kwh-manifest-")
+    try:
+        write_with_manifest(
+            e,
+            f"{d}/events",
+            ["user_id"],
+            coords=[
+                grid_coord(F.col("user_id"), b["ulo"], b["uhi"], 16),
+                grid_coord(F.unix_micros("ts"), b["tlo"], b["thi"], 16),
+            ],
+            n_files=16,
+        )
+        ulo = b["ulo"] + (b["uhi"] - b["ulo"]) * 1 // 10
+        uhi = b["ulo"] + (b["uhi"] - b["ulo"]) * 2 // 10
+        pruned = read_pruned(spark, f"{d}/events", {"user_id": (ulo, uhi)})
+        out = (
+            pruned.filter((F.col("user_id") >= F.lit(ulo)) & (F.col("user_id") <= F.lit(uhi)))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (
+                    F.sum(F.round(F.col("value") * 100, 0).cast("long").cast("decimal(28,0)"))
+                    .cast("double")
+                    / 100.0
+                ).alias("total_value"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

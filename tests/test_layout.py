@@ -115,3 +115,49 @@ def test_grid_coord_clamps_and_degenerate_span(spark):
     # Degenerate span (lo == hi) must not divide by zero.
     one = df.select(grid_coord(F.col("v"), 7, 7, 4).alias("g")).collect()
     assert all(0 <= r[0] <= 15 for r in one)
+
+
+def test_manifest_pruning_skips_files_and_preserves_values(spark, tmp_path):
+    from kwwhat_spark.operators.layout import (
+        grid_coord,
+        read_pruned,
+        write_with_manifest,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 500).alias("x"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "m")
+    write_with_manifest(
+        df, path, ["x"], coords=[grid_coord(F.col("x"), 0, 499, 8)], n_files=10
+    )
+    import json
+
+    manifest = json.load(open(f"{path}/_manifest.json"))
+    assert len(manifest) == 10 and all("x" in st for st in manifest.values())
+    pruned = read_pruned(spark, path, {"x": (100, 140)})
+    n_pruned_files = len(pruned.inputFiles())
+    assert n_pruned_files < 10, n_pruned_files  # actually skipped files
+    got = pruned.filter((F.col("x") >= 100) & (F.col("x") <= 140)).agg(
+        F.count("*"), F.sum("payload")
+    ).first()
+    exp = df.filter((F.col("x") >= 100) & (F.col("x") <= 140)).agg(
+        F.count("*"), F.sum("payload")
+    ).first()
+    assert got == exp
+    # Disjoint range -> empty result, correct schema, no error.
+    empty = read_pruned(spark, path, {"x": (10_000, 20_000)})
+    assert empty.count() == 0
+
+
+def test_manifest_unstated_column_kept_conservatively(spark, tmp_path):
+    from kwwhat_spark.operators.layout import read_pruned, write_with_manifest
+
+    df = spark.range(100).select(F.col("id").alias("a"), (F.col("id") * 2).alias("b"))
+    path = str(tmp_path / "m2")
+    write_with_manifest(df, path, ["a"], n_files=4)
+    # Pruning on a column WITHOUT manifest stats keeps every file.
+    kept = read_pruned(spark, path, {"b": (0, 1)})
+    assert kept.count() == 100
