@@ -1869,3 +1869,76 @@ def ocpp_stream_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         return stream_interval_data(staged, watermark="0 seconds", exact_avg=True)
 
     return _run_seed_stream(spark, build, "intervals")
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join (the remaining Structured Streaming join shape:
+# unbounded stream enriched against a batch dimension, stateless per
+# row — Spark broadcasts/rescans the static side per micro-batch). The
+# stream side is the staged OCPP log; the static side is the chargers
+# dim; the windowed per-location message counts then hit the same
+# append-mode emission boundary as the other streaming entries.
+# ---------------------------------------------------------------------------
+_STREAM_STATIC_ORACLE = f"""
+WITH {_STG_CTES},
+enriched AS (
+    SELECT l.ingested_timestamp AS ts, l.action, ch.location_id
+    FROM stg_ocpp_logs l
+    JOIN stg_chargers ch ON ch.charger_id = l.charger_id
+    WHERE l.message_type_id = '2' AND l.action IS NOT NULL
+),
+bucketed AS (
+    SELECT location_id,
+           date_trunc('hour', ts) AS hour_ts,
+           COUNT(*) AS n_messages
+    FROM enriched
+    GROUP BY 1, 2
+)
+SELECT location_id, hour_ts, n_messages
+FROM bucketed
+WHERE hour_ts + INTERVAL 1 HOUR <= (SELECT max(ts) FROM enriched)
+"""
+
+
+@query(
+    "ocpp_stream_static_join",
+    oracle=_STREAM_STATIC_ORACLE,
+    cite="SURVEY §2.9 streaming extension: stream-static dimension "
+    "enrichment (stateless per-row join against the batch chargers dim) "
+    "+ watermarked hourly rollup; append-mode emission boundary replayed "
+    "in the oracle like the other streaming entries",
+)
+def ocpp_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged log stream ⋈ static chargers dim → per-(location, hour)
+    message counts, availableNow → memory sink, watermark 0 s (sf_dir
+    ignored — the seed is the canonical fixture)."""
+    from kwwhat_spark.sources.ocpp import load_ocpp_sources
+
+    chargers = (
+        load_ocpp_sources(spark)["raw_chargers"]
+        .select(
+            F.col("charge_point_id").alias("charger_id"),
+            "location_id",
+        )
+        .distinct()
+    )
+
+    def build(staged):
+        calls = staged.filter(
+            (F.col("message_type_id") == "2") & F.col("action").isNotNull()
+        ).select(
+            "charger_id", F.col("ingested_timestamp").alias("ts"), "action"
+        )
+        enriched = calls.join(chargers, "charger_id")  # stream-static
+        return (
+            enriched.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "location_id")
+            .agg(F.count(F.lit(1)).alias("n_messages"))
+            .select(
+                "location_id",
+                F.col("w.start").alias("hour_ts"),
+                "n_messages",
+            )
+        )
+
+    return _run_seed_stream(spark, build, "staticjoin")
