@@ -93,10 +93,15 @@ def test_zorder_bounding_boxes_tight_in_both_dims(spark, tmp_path):
     l_ranges = _file_ranges(ldir, ["x", "y"])
     l_mean_y = sum(r[1][1] - r[1][0] for r in l_ranges) / len(l_ranges)
     assert l_mean_y >= 180  # 1-D sort leaves y unconstrained in EVERY file
-    # And a 2-D box predicate prunes files under z-order:
-    box = lambda r: not (r[0][1] < 40 or r[0][0] > 90 or r[1][1] < 40 or r[1][0] > 90)
-    z_hit = sum(1 for r in z_ranges if box(r))
-    l_hit = sum(1 for r in l_ranges if box(r))
+    # The pruning guarantee is on the NON-sorted dimension: a predicate
+    # selective only in y prunes nothing under the x-sort (every file
+    # spans y) but skips files under z-order. (A box also selective in
+    # x can legitimately tie — the x-sort prunes on x — so that is NOT
+    # asserted; file boundaries vary run-to-run with range sampling.)
+    ybox = lambda r: not (r[1][1] < 40 or r[1][0] > 90)
+    z_hit = sum(1 for r in z_ranges if ybox(r))
+    l_hit = sum(1 for r in l_ranges if ybox(r))
+    assert l_hit == len(l_ranges)  # 1-D sort cannot skip on y at all
     assert z_hit < l_hit, (z_hit, l_hit)
     # Values survive the layout: same rows both layouts.
     a = spark.read.parquet(zdir).agg(F.sum("payload"), F.count("*")).first()
