@@ -913,3 +913,73 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kwwhat_spark.operators.corpus import bigram_logprob_scores
 
     return bigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Curriculum construction: easy-to-hard training order. Difficulty =
+# corpus-LM surprisal (the quality_unigram_logprob construction); phase
+# = which exact-percentile band the doc's INTEGER surprisal falls in
+# (cutoff scalars broadcast — no global window anywhere); within-phase
+# order = deterministic salted-md5 shuffle key. The emitted
+# (phase, shuffle_key) pair IS the curriculum order: at 100 TB you
+# repartitionByRange on it and write phase-partitioned shards — no
+# global rank materialized.
+# ---------------------------------------------------------------------------
+@query(
+    "curriculum_order",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), scored AS (
+      SELECT tok,
+             CAST(floor(log2((SELECT SUM(c) FROM vocab)::DOUBLE / c) * 1e6 + 0.5) AS BIGINT) AS lp_q
+      FROM vocab
+    ), doc_scores AS (
+      SELECT t.doc_id, CAST(SUM(s.lp_q) AS BIGINT) AS surprisal_q,
+             COUNT(*) AS n_tokens
+      FROM toks t JOIN scored s USING (tok)
+      GROUP BY t.doc_id
+    ), mean_q AS (
+      SELECT doc_id, CAST(surprisal_q AS DOUBLE) / n_tokens AS mq FROM doc_scores
+    ), cuts AS (
+      SELECT quantile_cont(mq, 0.25) AS c1, quantile_cont(mq, 0.5) AS c2,
+             quantile_cont(mq, 0.75) AS c3
+      FROM mean_q
+    )
+    SELECT m.doc_id,
+           CAST((m.mq > c.c1)::INT + (m.mq > c.c2)::INT + (m.mq > c.c3)::INT AS INT)
+             AS phase,
+           md5('cur7' || CAST(m.doc_id AS VARCHAR)) AS shuffle_key
+    FROM mean_q m, cuts c
+    """,
+    cite="LLM-ops: curriculum construction (easy-to-hard by corpus-LM "
+    "surprisal percentile bands; broadcast cutoff scalars, no global "
+    "window — the 100 TB-safe ordering shape)",
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.corpus import unigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = unigram_logprob_scores(docs).select(
+        "doc_id",
+        (F.col("surprisal_q").cast("double") / F.col("n_tokens")).alias("mq"),
+    )
+    cuts = scores.agg(
+        F.expr("percentile(mq, 0.25)").alias("c1"),
+        F.expr("percentile(mq, 0.5)").alias("c2"),
+        F.expr("percentile(mq, 0.75)").alias("c3"),
+    ).first()
+    return scores.select(
+        "doc_id",
+        (
+            (F.col("mq") > F.lit(cuts["c1"])).cast("int")
+            + (F.col("mq") > F.lit(cuts["c2"])).cast("int")
+            + (F.col("mq") > F.lit(cuts["c3"])).cast("int")
+        ).alias("phase"),
+        F.md5(F.concat(F.lit("cur7"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )

@@ -30,6 +30,7 @@ ENTRIES = (
     "quality_unigram_logprob",
     "quality_bigram_logprob",
     "bm25_retrieval_topk",
+    "curriculum_order",
 )
 
 
