@@ -83,7 +83,10 @@ def _git_commit_times(root: str) -> dict[str, int]:
     """
     try:
         out = subprocess.run(
-            ["git", "log", "--name-only", "--pretty=format:%ct"],
+            # \x01-prefixed timestamp records: a path line can never be
+            # mistaken for a commit time (an all-digit FILENAME would
+            # satisfy line.isdigit() and silently shift attribution).
+            ["git", "log", "--name-only", "--pretty=format:\x01%ct"],
             cwd=root,
             capture_output=True,
             text=True,
@@ -99,8 +102,8 @@ def _git_commit_times(root: str) -> dict[str, int]:
         line = line.strip()
         if not line:
             continue
-        if line.isdigit():
-            cur = int(line)
+        if line.startswith("\x01") and line[1:].isdigit():
+            cur = int(line[1:])
         elif line not in times:
             times[line] = cur
     return times

@@ -880,6 +880,7 @@ def bigram_logprob_scores(
     text_col: str = "text",
     *,
     lam: float = 0.8,
+    lam_c: float = 0.2,
     broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Interpolated bigram-LM surprisal scoring (the CCNet/perplexity
@@ -893,7 +894,13 @@ def bigram_logprob_scores(
     sum — floor(log2(1/p) * 1e6 + 0.5) — so partial aggregation order
     cannot perturb the result and both engines emit identical longs.
     The probability expression is written with an identical op sequence
-    on both sides (mul, div, add), each IEEE-correctly-rounded.
+    on both sides (mul, div, add), each IEEE-correctly-rounded. The
+    interpolation weights ``lam`` and ``lam_c`` are BOTH passed verbatim
+    (never derived by subtraction): ``1.0 - 0.8`` rounds to
+    0.19999999999999996 while a ``0.2`` literal parses to
+    0.20000000000000001 on every engine — one ulp apart, enough to flip
+    a floor-quantization boundary. Keep the oracle SQL literals textually
+    equal to these parameters.
 
     Plan shape at scale: bigram extraction is pure array ops on the
     token array (slice + arrays_zip + explode — no per-doc window, no
@@ -942,7 +949,7 @@ def bigram_logprob_scores(
                     1.0
                     / (
                         F.lit(lam) * F.col("__cb") / F.col("__cp")
-                        + F.lit(1.0 - lam) * F.col("__cu") / F.lit(float(total))
+                        + F.lit(lam_c) * F.col("__cu") / F.lit(float(total))
                     )
                 )
                 * 1e6
@@ -967,6 +974,8 @@ def bm25_topk(
     *,
     k1: float = 1.2,
     b: float = 0.75,
+    k1p1: float = 2.2,
+    b_c: float = 0.25,
     limit: int = 100,
 ) -> DataFrame:
     """BM25 retrieval over whitespace tokens: top-``limit`` documents for
@@ -978,6 +987,11 @@ def bm25_topk(
     floor(1e6 * idf * tf*(k1+1) / (tf + k1*(1-b + b*len/avgdl)) + 0.5) —
     with the identical IEEE op sequence on both engines, so the longs
     (and the (score desc, doc_id) top-k order) are bit-identical.
+    ``k1p1`` (= k1+1) and ``b_c`` (= 1-b) are passed verbatim rather
+    than derived: ``1.2 + 1.0`` rounds to 2.1999999999999997 while the
+    oracle's ``2.2`` literal parses to 2.2000000000000002 — a one-ulp
+    gap that can flip the floor-quantization grid. Keep the oracle SQL
+    literals textually equal to these parameters.
 
     Plan shape at scale: tokenize+explode is map-side; doc lengths and
     per-term tf are combinable count shuffles; df/idf is |terms| rows
@@ -1011,11 +1025,11 @@ def bm25_topk(
             F.floor(
                 F.lit(1e6)
                 * F.col("__idf")
-                * (F.col("__tf") * F.lit(k1 + 1.0))
+                * (F.col("__tf") * F.lit(k1p1))
                 / (
                     F.col("__tf")
                     + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * F.col("__len") / F.lit(float(avgdl)))
+                    * (F.lit(b_c) + F.lit(b) * F.col("__len") / F.lit(float(avgdl)))
                 )
                 + F.lit(0.5)
             ).cast("long"),

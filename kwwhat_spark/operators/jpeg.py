@@ -407,6 +407,11 @@ def _decode_jpeg_strict(payload: bytes):
         if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if pos + 2 + seglen > n and prog_done:
+            # Segment body truncated after >=1 complete progressive scan:
+            # render what accumulated (a partial progressive stream IS a
+            # coarser image) instead of raising on the short segment.
+            break
         seg = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             sp = 0
@@ -1076,13 +1081,6 @@ def encode_jpeg_progressive(rgb: np.ndarray, *, subsampling: str = "444") -> byt
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(int(v) for v in qt[ZIGZAG])
     out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
     out += bytes([1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1])
-    # Fixed DC tables (Annex K categories cover shifted diffs too).
-    for tc, th, (bits, vals) in ((0, 0, DC_LUM), (0, 1, DC_CHROM)):
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
-        out += bytes(bits) + bytes(vals)
-    dc_l_enc, _ = _canonical_codes(*DC_LUM)
-    dc_c_enc, _ = _canonical_codes(*DC_CHROM)
-
     def emit_scan(scomps, ss, se, ah, al, ts, enc_tables=None):
         """DHT (for Huffman scans) + SOS header + serialized tokens."""
         if ts.freqs:
@@ -1101,15 +1099,11 @@ def encode_jpeg_progressive(rgb: np.ndarray, *, subsampling: str = "444") -> byt
         bw.pad()
         out.extend(bw.out)
 
-    # DC first (all components, Al=1) — mixed tables need per-component
-    # encoders, so serialize manually through a combined table: encode
-    # DC tokens per component stream is interleaved, so use ONE optimal
-    # DC table for all three components (td=2 would exceed baseline
-    # limits; we reuse slot (0,0)-style table ids: build a custom table
-    # in slot 0... simplest correct: use the fixed LUM table for all).
+    # DC first (all components, Al=1): the token stream interleaves all
+    # three components, so one optimal DC table serves them — built from
+    # the scan's own symbol frequencies, carried in DC slot (0,0), and
+    # referenced (td=0) by every component.
     dc_ts = _encode_dc_scan(coefs, comps, mcux, mcuy, 1, False, None)
-    # Token syms are DC categories; serialize them with ONE custom table
-    # carried in DC slot 0 and reference it from every component.
     bits, vals = _huffman_lengths(dc_ts.freqs)
     out.extend(b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (0 << 4) | 0))
     out.extend(bytes(bits) + bytes(vals))

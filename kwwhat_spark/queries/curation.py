@@ -943,14 +943,14 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks t JOIN scored s USING (tok)
       GROUP BY t.doc_id
     ), mean_q AS (
-      SELECT doc_id, CAST(surprisal_q AS DOUBLE) / n_tokens AS mq FROM doc_scores
+      SELECT doc_id, (surprisal_q * 1000000) // n_tokens AS mq_q FROM doc_scores
     ), cuts AS (
-      SELECT quantile_cont(mq, 0.25) AS c1, quantile_cont(mq, 0.5) AS c2,
-             quantile_cont(mq, 0.75) AS c3
+      SELECT quantile_cont(mq_q, 0.25) AS c1, quantile_cont(mq_q, 0.5) AS c2,
+             quantile_cont(mq_q, 0.75) AS c3
       FROM mean_q
     )
     SELECT m.doc_id,
-           CAST((m.mq > c.c1)::INT + (m.mq > c.c2)::INT + (m.mq > c.c3)::INT AS INT)
+           CAST((m.mq_q > c.c1)::INT + (m.mq_q > c.c2)::INT + (m.mq_q > c.c3)::INT AS INT)
              AS phase,
            md5('cur7' || CAST(m.doc_id AS VARCHAR)) AS shuffle_key
     FROM mean_q m, cuts c
@@ -963,21 +963,28 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kwwhat_spark.operators.corpus import unigram_logprob_scores
 
     docs = load_table(spark, sf_dir, "documents")
+    # Difficulty is quantized to an exact integer (micro-bit mean via LONG
+    # `div`) BEFORE the percentile: with integer samples and quarter
+    # fractions, linear interpolation is IEEE-exact on every engine
+    # (f ∈ {0,.25,.5,.75} is a power-of-two multiple; f*(hi-lo) and
+    # lo + f*(hi-lo) are exactly representable for values < 2^53), so the
+    # cutoff scalars — and therefore the strict > band comparisons — are
+    # bit-identical cross-engine with no ulp-boundary flake.
     scores = unigram_logprob_scores(docs).select(
         "doc_id",
-        (F.col("surprisal_q").cast("double") / F.col("n_tokens")).alias("mq"),
+        F.expr("surprisal_q * 1000000L div n_tokens").alias("mq_q"),
     )
     cuts = scores.agg(
-        F.expr("percentile(mq, 0.25)").alias("c1"),
-        F.expr("percentile(mq, 0.5)").alias("c2"),
-        F.expr("percentile(mq, 0.75)").alias("c3"),
+        F.expr("percentile(mq_q, 0.25)").alias("c1"),
+        F.expr("percentile(mq_q, 0.5)").alias("c2"),
+        F.expr("percentile(mq_q, 0.75)").alias("c3"),
     ).first()
     return scores.select(
         "doc_id",
         (
-            (F.col("mq") > F.lit(cuts["c1"])).cast("int")
-            + (F.col("mq") > F.lit(cuts["c2"])).cast("int")
-            + (F.col("mq") > F.lit(cuts["c3"])).cast("int")
+            (F.col("mq_q") > F.lit(cuts["c1"])).cast("int")
+            + (F.col("mq_q") > F.lit(cuts["c2"])).cast("int")
+            + (F.col("mq_q") > F.lit(cuts["c3"])).cast("int")
         ).alias("phase"),
         F.md5(F.concat(F.lit("cur7"), F.col("doc_id").cast("string"))).alias(
             "shuffle_key"

@@ -479,12 +479,23 @@ fact_charge_attempts AS (
 # mart AND both incremental lifecycle entries, which previously re-staged
 # per batch — sharing it is the gate-budget win of VERDICT r6 item 6.
 # localCheckpoint survives spark.catalog.clearCache between gate queries.
-_STAGED_CACHE: dict[int, DataFrame] = {}
+# Both caches key on sparkContext.applicationId (not id(spark)): two
+# sessions over one context share the checkpoint, and entries belonging
+# to a stopped/replaced context are evicted on the next miss, so a
+# long-lived process that stops and recreates sessions doesn't pin
+# checkpoints bound to dead contexts for its lifetime.
+_STAGED_CACHE: dict[str, DataFrame] = {}
+
+
+def _evict_stale_apps(cache: dict, app_id: str) -> None:
+    for k in [k for k in cache if (k[0] if isinstance(k, tuple) else k) != app_id]:
+        del cache[k]
 
 
 def _staged_logs(spark: SparkSession) -> DataFrame:
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     if key not in _STAGED_CACHE:
+        _evict_stale_apps(_STAGED_CACHE, key)
         import kwwhat_spark.models  # noqa: F401  (registers the model DAG)
         from kwwhat_spark.models.base import Pipeline
         from kwwhat_spark.sources.ocpp import load_ocpp_sources
@@ -527,15 +538,17 @@ def _mart_pipeline(spark: SparkSession):
 _MART_NAMES = (
     "fact_charge_attempts", "fact_visits", "fact_uptime", "fact_interval_data",
 )
-_MART_CACHE: dict[tuple[int, str], DataFrame] = {}
+_MART_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _mart(spark: SparkSession, name: str) -> DataFrame:
-    key = (id(spark), name)
+    app = spark.sparkContext.applicationId
+    key = (app, name)
     if key not in _MART_CACHE:
+        _evict_stale_apps(_MART_CACHE, app)
         p = _mart_pipeline(spark)
         for n in _MART_NAMES:
-            _MART_CACHE[(id(spark), n)] = p.ref(n).localCheckpoint(eager=True)
+            _MART_CACHE[(app, n)] = p.ref(n).localCheckpoint(eager=True)
         p.unpersist_all()
     return _MART_CACHE[key]
 
