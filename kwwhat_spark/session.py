@@ -77,6 +77,13 @@ def get_spark(
         # precision), which Spark's vectorized reader rejects; read as long
         # and convert in the loader (sources/testdata.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark's default parquet timestamp encoding is INT96, which
+        # carries NO min/max footer statistics — silently disabling
+        # timestamp file/row-group pruning on every sink this engine
+        # writes (date-partitioned sinks, manifest stats harvesting,
+        # z-order layouts). INT64 micros is the modern encoding: stats
+        # present, 25% smaller, and what Delta/Iceberg expect.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -141,7 +141,10 @@ def test_manifest_pruning_skips_files_and_preserves_values(spark, tmp_path):
     import json
 
     manifest = json.load(open(f"{path}/_manifest.json"))
-    assert len(manifest) == 10 and all("x" in st for st in manifest.values())
+    assert manifest["format"] == 2
+    files = manifest["files"]
+    assert len(files) == 10 and all("x" in st for st in files.values())
+    assert all(st["x"]["type"] == "int" for st in files.values())
     pruned = read_pruned(spark, path, {"x": (100, 140)})
     n_pruned_files = len(pruned.inputFiles())
     assert n_pruned_files < 10, n_pruned_files  # actually skipped files
@@ -166,3 +169,78 @@ def test_manifest_unstated_column_kept_conservatively(spark, tmp_path):
     # Pruning on a column WITHOUT manifest stats keeps every file.
     kept = read_pruned(spark, path, {"b": (0, 1)})
     assert kept.count() == 100
+
+
+def test_manifest_nonlocal_uri_roundtrip(spark, tmp_path):
+    """The manifest layer must work through the Hadoop FileSystem API,
+    not local glob()/open(): exercise the full write->harvest->prune
+    cycle against an explicit file:// URI (scheme-dispatched exactly
+    like hdfs:// or s3a:// would be)."""
+    from kwwhat_spark.operators.layout import read_pruned, write_with_manifest
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 100).alias("x"), F.col("id").alias("payload")
+    )
+    uri = f"file://{tmp_path}/muri"
+    write_with_manifest(df, uri, ["x"], n_files=8)
+    import os
+
+    assert os.path.exists(f"{tmp_path}/muri/_manifest.json")
+    pruned = read_pruned(spark, uri, {"x": (10, 20)})
+    got = (
+        pruned.filter((F.col("x") >= 10) & (F.col("x") <= 20))
+        .agg(F.count("*"), F.sum("payload"))
+        .first()
+    )
+    exp = (
+        df.filter((F.col("x") >= 10) & (F.col("x") <= 20))
+        .agg(F.count("*"), F.sum("payload"))
+        .first()
+    )
+    assert got == exp
+
+
+def test_manifest_timestamp_stats_typed_and_mismatch_kept(spark, tmp_path):
+    """Timestamp stats round-trip through isoformat as REAL timestamps:
+    datetime bounds prune correctly (lexicographic comparison of mixed
+    types must never decide pruning), and a bound whose type shares no
+    ordering with the column conservatively keeps every file."""
+    import datetime
+
+    from kwwhat_spark.operators.layout import read_pruned, write_with_manifest
+
+    from kwwhat_spark.operators.layout import grid_coord
+
+    base = datetime.datetime(2025, 3, 1)
+    rows = [(base + datetime.timedelta(hours=int(i)), int(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "ts timestamp, payload long")
+    path = str(tmp_path / "mts")
+    lo_us = int(base.timestamp() * 1_000_000)
+    hi_us = lo_us + 199 * 3600 * 1_000_000
+    write_with_manifest(
+        df,
+        path,
+        ["ts"],
+        coords=[grid_coord(F.unix_micros("ts"), lo_us, hi_us, 8)],
+        n_files=5,
+    )
+    import json
+
+    manifest = json.load(open(f"{path}/_manifest.json"))
+    assert all(
+        st["ts"]["type"] == "timestamp" for st in manifest["files"].values() if st
+    )
+    # datetime bounds: prunes files and preserves values.
+    lo = base + datetime.timedelta(hours=50)
+    hi = base + datetime.timedelta(hours=70)
+    pruned = read_pruned(spark, path, {"ts": (lo, hi)})
+    assert len(pruned.inputFiles()) < 5
+    got = pruned.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+    assert got == 21
+    # ISO-string bounds coerce via fromisoformat (the storage rule).
+    pruned_s = read_pruned(spark, path, {"ts": (lo.isoformat(), hi.isoformat())})
+    assert sorted(pruned_s.inputFiles()) == sorted(pruned.inputFiles())
+    # Type-mismatch bounds (int vs timestamp): incomparable -> keep ALL
+    # files, never a TypeError and never a lexicographic false prune.
+    kept = read_pruned(spark, path, {"ts": (0, 10)})
+    assert kept.count() == 200
