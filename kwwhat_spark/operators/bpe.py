@@ -34,6 +34,38 @@ from pyspark.sql import functions as F
 
 EOW = "</w>"
 
+# GPT-2-style pre-tokenizer (Radford et al. 2019, public): contractions,
+# optionally-space-prefixed letter/number/punctuation runs, trailing
+# whitespace. Java regex (Spark's regexp_extract_all) supports \p{L},
+# \p{N} and the (?!\S) lookahead directly.
+GPT2_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The standard byte->printable-unicode bijection of byte-level BPE
+    (GPT-2 convention): visible latin-1 bytes map to themselves; the
+    remaining 68 bytes (controls, space, 0x7F-0xA0, 0xAD) map to
+    256, 257, ... in increasing byte order. Merges then operate on
+    strings while representing raw UTF-8 bytes — no unknown-token
+    escape hatch needed."""
+    visible = (
+        list(range(0x21, 0x7F)) + list(range(0xA1, 0xAD)) + list(range(0xAE, 0x100))
+    )
+    vis = set(visible)
+    mapping: dict[int, str] = {}
+    extra = 0
+    for b in range(256):
+        if b in vis:
+            mapping[b] = chr(b)
+        else:
+            mapping[b] = chr(256 + extra)
+            extra += 1
+    return mapping
+
 
 def _word_types(df: DataFrame, text_col: str) -> DataFrame:
     """(symbols array<string>, cnt long): character-split word types with
@@ -53,6 +85,35 @@ def _word_types(df: DataFrame, text_col: str) -> DataFrame:
         ).alias("symbols"),
         "cnt",
     )
+
+
+def _byte_types(df: DataFrame, text_col: str) -> DataFrame:
+    """(symbols array<string>, cnt long): byte-level pre-token types.
+
+    Pre-tokenization (GPT2_SPLIT_PATTERN) runs JVM-side as a codegen
+    regexp_extract_all; only the DISTINCT pre-token types cross into
+    Python (Arrow-batched) for UTF-8 byte mapping — per-TYPE work
+    bounded by the vocabulary, not the token stream, exactly like the
+    word-level path. No end-of-word marker: byte-level BPE carries the
+    word boundary in the leading-space convention of the pre-tokenizer
+    itself."""
+    import pandas as pd
+
+    b2u = bytes_to_unicode()
+
+    pres = df.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(GPT2_SPLIT_PATTERN), F.lit(0))
+        ).alias("__w")
+    )
+    types = pres.groupBy("__w").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def to_syms(batches):
+        for pdf in batches:
+            out = [[b2u[b] for b in w.encode("utf-8")] for w in pdf["__w"]]
+            yield pd.DataFrame({"symbols": out, "cnt": pdf["cnt"]})
+
+    return types.mapInPandas(to_syms, schema="symbols array<string>, cnt long")
 
 
 def _pair_counts(types: DataFrame) -> DataFrame:
@@ -101,12 +162,27 @@ def _merge_types(types: DataFrame, left: str, right: str) -> DataFrame:
 
 
 def learn_bpe_merges(
-    df: DataFrame, text_col: str = "text", *, n_merges: int = 24
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 24,
+    level: str = "word",
 ) -> list[tuple[int, str, str, int]]:
     """Learn the top-``n_merges`` BPE merges: [(rank, left, right,
     pair_count)], rank 1 = first merge. Stops early when no pair occurs
-    twice (nothing left worth fusing)."""
-    types = _word_types(df, text_col).localCheckpoint(eager=True)
+    twice (nothing left worth fusing).
+
+    ``level='word'`` is 2016-style word BPE (whitespace pre-tokenizer,
+    </w> marker); ``level='byte'`` is the modern byte-level shape
+    (GPT-2 regex pre-tokenizer + byte->unicode alphabet). Both share
+    the identical distributed merge loop over the type table."""
+    if level == "word":
+        types = _word_types(df, text_col)
+    elif level == "byte":
+        types = _byte_types(df, text_col)
+    else:
+        raise ValueError(f"unknown BPE level: {level!r}")
+    types = types.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (

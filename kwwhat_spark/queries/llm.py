@@ -2045,3 +2045,117 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     merges = learn_bpe_merges(docs, n_merges=12)
     return apply_bpe(docs, merges)
+
+
+@query(
+    "bpe_byte_level_merges",
+    oracle=None,
+    cite="LLM-ops: byte-level BPE with the GPT-2 regex pre-tokenizer "
+    "(operators/bpe.py _byte_types/learn_bpe_merges level='byte') — "
+    "rows-only (iterative + RE2 lacks the pre-tokenizer's lookahead); "
+    "pinned vs a pure-Python reference over 3-seed random corpora in "
+    "tests/test_bpe.py (partition-invariant, identical tie-breaks)",
+)
+def bpe_byte_level_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-14 byte-level merges on the lowest-150 doc_ids: the modern
+    tokenizer shape — GPT-2 pre-tokenizer splits JVM-side (codegen
+    regexp_extract_all), byte->unicode alphabet per pre-token TYPE
+    (Arrow-batched, vocabulary-bounded), then the same distributed
+    merge loop as the word-level entry."""
+    from kwwhat_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    merges = learn_bpe_merges(docs, n_merges=14, level="byte")
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+def _bpe_replay_sql(n_rounds: int, doc_limit: int) -> str:
+    """Unrolled-CTE DuckDB replay of ``n_rounds`` BPE merge-learning
+    rounds (the kmeans/pagerank replayable-twin pattern): per round, a
+    pair-count GROUP BY, the (count desc, left, right) argmax, and the
+    greedy left-to-right adjacent merge expressed as a list_reduce fold
+    over a chr(31)-delimited accumulator string.
+
+    The fold IS the greedy scan: fusing rewrites the accumulator's last
+    element to left||right, which can never equal ``left`` again (right
+    is non-empty), so consecutive runs merge non-overlapping
+    left-to-right exactly like operators/bpe.py _merge_types. chr(31)
+    (ASCII unit separator) never appears in the corpus (asserted over
+    the gate slice), so the string encoding is injective."""
+    S = "chr(31)"
+    last_re = f"{S} || '([^' || {S} || ']*)$'"
+    strip_re = f"{S} || '[^' || {S} || ']*$'"
+    parts = [
+        f"""
+    WITH w0 AS (
+      SELECT w, COUNT(*) AS cnt FROM (
+        SELECT UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+        FROM documents WHERE doc_id < {doc_limit}
+      ) GROUP BY w
+    ), t0 AS (
+      SELECT list_transform(string_split(w, ''), (c, i) ->
+               CASE WHEN i = length(w) THEN c || '</w>' ELSE c END) AS s, cnt
+      FROM w0
+    )"""
+    ]
+    for k in range(1, n_rounds + 1):
+        p, m, tp = f"p{k}", f"m{k}", f"t{k - 1}"
+        parts.append(
+            f""", {p} AS (
+      SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM {tp}, UNNEST(range(1, len(s))) AS u_{k}(i)
+      GROUP BY l, r
+    ), {m} AS (SELECT l, r, c FROM {p} ORDER BY c DESC, l ASC, r ASC LIMIT 1)"""
+        )
+        if k < n_rounds:
+            # The chosen pair rides along as row columns (ml, mr) via a
+            # 1-row cross join: DuckDB lambdas reject subqueries but can
+            # reference the enclosing row.
+            parts.append(
+                f""", t{k} AS (
+      SELECT string_split(list_reduce(s, (acc, x) -> CASE
+          WHEN strpos(acc, {S}) = 0 AND acc = ml AND x = mr
+            THEN acc || x
+          WHEN strpos(acc, {S}) <> 0
+               AND regexp_extract(acc, {last_re}, 1) = ml
+               AND x = mr
+            THEN regexp_replace(acc, {strip_re}, '') || {S} || ml || mr
+          ELSE acc || {S} || x END), {S}) AS s, cnt
+      FROM {tp}, (SELECT l AS ml, r AS mr FROM {m})
+    )"""
+            )
+    selects = " UNION ALL ".join(
+        f'SELECT {k} AS "rank", l AS "left", r AS "right", c AS pair_count FROM m{k}'
+        for k in range(1, n_rounds + 1)
+    )
+    parts.append(f" {selects}")
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Replayable twin for BPE merge learning (closes the last rows-only
+# family): a FIXED number of rounds is SQL-expressible by unrolling —
+# the same pattern that gave kmeans/pagerank their value-hash twins.
+# The Spark side runs the PRODUCTION learner (operators/bpe.py
+# learn_bpe_merges — pair-count shuffle, 1-row argmax, Arrow
+# re-segmentation) so the gate binds the real distributed code path,
+# not a parallel reimplementation, to the DuckDB replay.
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_learn_merges_replayable",
+    oracle=_bpe_replay_sql(8, 120),
+    cite="LLM-ops: BPE merge learning, value-hash replayable twin — "
+    "8 unrolled rounds vs the production distributed learner "
+    "(operators/bpe.py learn_bpe_merges); greedy merge as a "
+    "list_reduce fold, ties on (count desc, left, right)",
+)
+def bpe_learn_merges_replayable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    merges = learn_bpe_merges(docs, n_merges=8)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )

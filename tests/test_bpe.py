@@ -71,6 +71,84 @@ def test_learned_merges_match_reference(spark, seed):
     assert got == exp
 
 
+def _ref_byte_bpe(texts: list[str], n_merges: int):
+    """Sequential byte-level BPE reference: GPT-2 regex pre-tokenizer
+    (the `regex` module supports \\p{L}/\\p{N}/(?!\\S) exactly like
+    Java's engine on these classes), byte->unicode alphabet, same
+    (count desc, left, right) tie-break as the distributed learner."""
+    import regex
+
+    from kwwhat_spark.operators.bpe import GPT2_SPLIT_PATTERN, bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    pat = regex.compile(GPT2_SPLIT_PATTERN)
+    vocab = Counter()
+    for t in texts:
+        for tok in pat.findall(t):
+            vocab[tuple(b2u[b] for b in tok.encode("utf-8"))] += 1
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((rank, left, right, cnt))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            res, i = [], 0
+            syms = list(syms)
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] += c
+        vocab = new_vocab
+    return merges
+
+
+BYTE_WORDS = [
+    "low", "lower", "don't", "it's", "we'll", "I'm", "2024", "x99",
+    "hello,", "(end)", "a-b", "...",
+]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_byte_level_merges_match_reference(spark, seed):
+    rng = random.Random(1000 + seed)
+    texts = []
+    for _ in range(100):
+        # Mixed separators exercise every pre-tokenizer branch:
+        # contractions, number runs, punctuation runs, double spaces
+        # (the \s+(?!\S) lookahead), trailing whitespace.
+        words = rng.choices(BYTE_WORDS, k=rng.randint(1, 25))
+        sep = rng.choice([" ", "  ", " "])
+        texts.append(sep.join(words) + rng.choice(["", " ", "\n"]))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(7)
+    got = learn_bpe_merges(df, n_merges=14, level="byte")
+    exp = _ref_byte_bpe(texts, 14)
+    assert got == exp
+
+
+def test_byte_level_alphabet_is_bijective():
+    from kwwhat_spark.operators.bpe import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    assert len(b2u) == 256 and len(set(b2u.values())) == 256
+    assert b2u[ord("A")] == "A" and b2u[0x20] != " "  # space remapped
+
+
 def test_early_stop_when_nothing_repeats(spark):
     df = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
     # Every pair occurs once -> no merge has pair_count >= 2.
