@@ -1955,3 +1955,286 @@ def ocpp_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_seed_stream(spark, build, "staticjoin")
+
+
+# ---------------------------------------------------------------------------
+# fact_visits PARITY stream (VERDICT r7 item 2): the batch mart's exact
+# two-step sessionization run as two chained availableNow streaming
+# queries (attempts -> chains -> visits, the Kafka-topology shape), each
+# stage an applyInPandasWithState with event-time timeouts
+# (streaming/ocpp.py stream_visit_chains / stream_visit_parity). The
+# oracle replays the batch fact_visits compile (fv_* CTE semantics) AND
+# both stages' append-mode emission boundaries:
+#   stage 1: a chain emits iff a later chain exists on its
+#     (charger, port), or its last event + 2 min < the final watermark
+#     (max event time over all attempts; timeout fires on wm > ts);
+#   stage 2: a visit (computed over the FLUSHED attempts) emits iff a
+#     later visit exists in its grouping_key, or its last event +
+#     window < the stage-2 watermark (max event over flushed attempts).
+# ---------------------------------------------------------------------------
+_STREAM_VISITS_PARITY_ORACLE = f"""
+WITH {_STG_CTES},
+{_STATUS_CTES},
+{_PREPARING_CTES},
+{_TRANSACTIONS_CTES},
+{_ATTEMPTS_CTES},
+svp_window AS (
+    SELECT TIMESTAMP '2025-10-01 00:00:00' AS from_ts,
+           least(TIMESTAMP '2025-10-01 00:00:00' + INTERVAL 3 MONTH,
+                 (SELECT max(incremental_ts) FROM fact_charge_attempts)) AS to_ts
+),
+svp_att AS MATERIALIZED (
+    SELECT att.charge_attempt_id, att.charger_id, ch.location_id, c.port_id,
+           att.connector_id, att.charge_attempt_start_ts,
+           att.charge_attempt_stop_ts, att.energy_transferred_kwh,
+           att.is_successful, att.id_tag,
+           coalesce(att.charge_attempt_stop_ts, att.charge_attempt_start_ts) AS ev_ts
+    FROM fact_charge_attempts att
+    JOIN int_connectors c
+        ON att.charger_id = c.charger_id AND att.connector_id = c.connector_id
+    JOIN int_chargers ch ON att.charger_id = ch.charger_id
+    WHERE att.incremental_ts > (SELECT from_ts FROM svp_window)
+      AND att.incremental_ts <= (SELECT to_ts FROM svp_window)
+      AND att.charge_attempt_start_ts IS NOT NULL
+),
+svp_wm1 AS (SELECT max(ev_ts) AS wm FROM svp_att),
+svp_flags AS (
+    SELECT *,
+           (prev_attempt_stop_ts IS NULL
+            OR date_diff('minute', prev_attempt_stop_ts, charge_attempt_start_ts) > 2
+            OR (id_tag IS NOT NULL AND prev_id_tag IS NOT NULL
+                AND id_tag <> prev_id_tag)) AS is_step1_group_start
+    FROM (SELECT *,
+                 lag(charge_attempt_stop_ts) OVER w AS prev_attempt_stop_ts,
+                 lag(id_tag) OVER w AS prev_id_tag
+          FROM svp_att
+          WINDOW w AS (PARTITION BY charger_id, port_id
+                       ORDER BY charge_attempt_start_ts))
+),
+svp_bounds AS (
+    SELECT charger_id, port_id,
+           charge_attempt_start_ts AS g_start,
+           lead(charge_attempt_start_ts) OVER (
+               PARTITION BY charger_id, port_id ORDER BY charge_attempt_start_ts
+           ) AS g_end
+    FROM svp_flags WHERE is_step1_group_start
+),
+svp_chains AS (
+    SELECT att.*, b.g_start, b.g_end,
+           max(att.id_tag) OVER (
+               PARTITION BY att.charger_id, att.port_id, b.g_start
+           ) AS inferred_tag,
+           max(att.ev_ts) OVER (
+               PARTITION BY att.charger_id, att.port_id, b.g_start
+           ) AS chain_last_ev
+    FROM svp_bounds b
+    JOIN svp_att att
+        ON att.charger_id = b.charger_id AND att.port_id = b.port_id
+       AND att.charge_attempt_start_ts >= b.g_start
+       AND (b.g_end IS NULL OR att.charge_attempt_start_ts < b.g_end)
+),
+svp_flushed AS MATERIALIZED (
+    SELECT * FROM svp_chains
+    WHERE g_end IS NOT NULL
+       OR chain_last_ev + INTERVAL 2 MINUTE < (SELECT wm FROM svp_wm1)
+),
+svp_keys AS (
+    SELECT *,
+           CASE WHEN inferred_tag IS NOT NULL
+                THEN location_id || '_' || inferred_tag
+                ELSE location_id || '_' || charger_id || '_' || port_id
+           END AS grouping_key,
+           CASE WHEN inferred_tag IS NOT NULL THEN 30 ELSE 2 END AS w_min
+    FROM svp_flushed
+),
+svp_wm2 AS (SELECT max(ev_ts) AS wm FROM svp_keys),
+svp_vbounds AS (
+    SELECT grouping_key, charge_attempt_start_ts AS visit_start_ts,
+           lead(charge_attempt_start_ts) OVER (
+               PARTITION BY grouping_key ORDER BY charge_attempt_start_ts
+           ) AS next_visit_start_ts
+    FROM (SELECT *,
+                 lag(charge_attempt_stop_ts) OVER (
+                     PARTITION BY grouping_key ORDER BY charge_attempt_start_ts
+                 ) AS prev_stop
+          FROM svp_keys)
+    WHERE prev_stop IS NULL
+       OR date_diff('minute', prev_stop, charge_attempt_start_ts) > w_min
+),
+svp_grouped AS (
+    SELECT att.*, b.visit_start_ts, b.next_visit_start_ts,
+           b.visit_start_ts = att.charge_attempt_start_ts AS is_first_attempt,
+           row_number() OVER (
+               PARTITION BY att.grouping_key, b.visit_start_ts
+               ORDER BY att.charge_attempt_start_ts DESC
+           ) = 1 AS is_last_attempt
+    FROM svp_keys att
+    JOIN svp_vbounds b
+        ON att.grouping_key = b.grouping_key
+       AND att.charge_attempt_start_ts >= b.visit_start_ts
+       AND (b.next_visit_start_ts IS NULL
+            OR att.charge_attempt_start_ts < b.next_visit_start_ts)
+),
+svp_rolled AS (
+    SELECT grouping_key, w_min AS time_window_minutes, visit_start_ts,
+           max(inferred_tag) AS id_tag,
+           max(location_id) AS location_id,
+           max(charge_attempt_stop_ts) AS visit_end_ts,
+           count(*) AS charge_attempt_count,
+           array_to_string(list_sort(list_distinct(list(charge_attempt_id))), '|')
+             AS charge_attempt_ids,
+           array_to_string(list_sort(list_distinct(list(charger_id))), '|')
+             AS charger_ids,
+           CAST(sum(coalesce(energy_transferred_kwh, 0)) AS DOUBLE)
+             AS total_energy_transferred_kwh,
+           max(CASE WHEN is_last_attempt THEN is_successful END) AS is_successful,
+           min(CASE WHEN is_first_attempt THEN charge_attempt_id END)
+             AS first_charge_attempt_id,
+           max(CASE WHEN is_last_attempt THEN charge_attempt_id END)
+             AS last_charge_attempt_id,
+           min(CASE WHEN is_first_attempt THEN charger_id END) AS first_charger_id,
+           max(CASE WHEN is_last_attempt THEN charger_id END) AS last_charger_id,
+           min(CASE WHEN is_first_attempt THEN port_id END) AS first_port_id,
+           max(CASE WHEN is_last_attempt THEN port_id END) AS last_port_id,
+           max(next_visit_start_ts) AS next_visit_start_ts,
+           max(ev_ts) AS visit_last_ev
+    FROM svp_grouped
+    GROUP BY grouping_key, w_min, visit_start_ts
+),
+svp_emitted AS (
+    SELECT * FROM svp_rolled
+    WHERE next_visit_start_ts IS NOT NULL
+       OR visit_last_ev + time_window_minutes * INTERVAL 1 MINUTE
+          < (SELECT wm FROM svp_wm2)
+)
+SELECT {_sk('v.location_id', 'v.first_charger_id', 'v.first_port_id', 'v.visit_start_ts')} AS visit_id,
+       {_sk('v.location_id')} AS location_key,
+       {_sk("coalesce(v.id_tag, 'UNKNOWN')")} AS driver_key,
+       {_sk('v.first_charger_id', 'v.first_port_id')} AS first_port_key,
+       {_sk('v.last_charger_id', 'v.last_port_id')} AS last_port_key,
+       v.location_id, v.charger_ids, v.id_tag, v.visit_start_ts,
+       v.visit_end_ts, v.charge_attempt_count, v.charge_attempt_ids,
+       v.total_energy_transferred_kwh,
+       v.first_charge_attempt_id, v.last_charge_attempt_id,
+       v.first_charger_id, v.last_charger_id, v.first_port_id, v.last_port_id,
+       v.is_successful, v.grouping_key,
+       date_diff('minute', v.visit_start_ts, v.visit_end_ts) AS visit_duration_minutes
+FROM svp_emitted v
+"""
+
+
+@query(
+    "ocpp_stream_visits_parity",
+    oracle=_STREAM_VISITS_PARITY_ORACLE,
+    cite="fact_visits.sql:57-273 EXACT two-step sessionization as chained "
+    "stateful streams (streaming/ocpp.py stream_visit_chains + "
+    "stream_visit_parity, applyInPandasWithState + event-time timeouts); "
+    "oracle replays both stages' append-mode emission boundaries",
+)
+def ocpp_stream_visits_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-parity streaming fact_visits on the demo seed: batch
+    attempts written once as the stream input, then chains-stage and
+    visits-stage run as availableNow streaming queries (parquet topic
+    between them), memory sink, watermark 0 s. Emits the mart's full
+    projection minus the batch-only incremental_ts (sf_dir ignored —
+    the seed is the canonical fixture)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from kwwhat_spark.functions.core import surrogate_key
+    from kwwhat_spark.streaming.ocpp import stream_visit_chains, stream_visit_parity
+
+    attempts = _mart(spark, "fact_charge_attempts")
+    pipe = _mart_pipeline(spark)
+    conns = pipe.ref("dim_connectors").select(
+        F.col("charger_id").alias("c_charger_id"),
+        F.col("connector_id").alias("c_connector_id"),
+        "port_id",
+    )
+    chargers = pipe.ref("dim_chargers").select(
+        F.col("charger_id").alias("ch_charger_id"), "location_id"
+    )
+    from_ts = "2025-10-01 00:00:00"
+    cap = attempts.agg(F.max("incremental_ts")).first()[0]
+    to_ts = min(cap, __import__("datetime").datetime(2026, 1, 1))
+    att = (
+        attempts.filter(
+            (F.col("incremental_ts") > F.lit(from_ts).cast("timestamp"))
+            & (F.col("incremental_ts") <= F.lit(to_ts))
+        )
+        .join(
+            F.broadcast(conns),
+            (F.col("charger_id") == F.col("c_charger_id"))
+            & (F.col("connector_id") == F.col("c_connector_id")),
+        )
+        .join(F.broadcast(chargers), F.col("charger_id") == F.col("ch_charger_id"))
+        .filter(F.col("charge_attempt_start_ts").isNotNull())
+        .select(
+            "charge_attempt_id", "charger_id", "port_id", "connector_id",
+            "location_id", "charge_attempt_start_ts", "charge_attempt_stop_ts",
+            F.col("energy_transferred_kwh").cast("double").alias(
+                "energy_transferred_kwh"
+            ),
+            "is_successful", "id_tag",
+        )
+    )
+
+    root = tempfile.mkdtemp(prefix="kwh-visitparity-")
+    name = f"stream_visitparity_{uuid.uuid4().hex[:8]}"
+    try:
+        att.write.mode("overwrite").parquet(f"{root}/attempts")
+        in_schema = spark.read.parquet(f"{root}/attempts").schema
+
+        chains_q = (
+            stream_visit_chains(
+                spark.readStream.schema(in_schema).parquet(f"{root}/attempts")
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{root}/chained")
+            .option("checkpointLocation", f"{root}/ckpt1")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not chains_q.awaitTermination(120):
+            chains_q.stop()
+            raise TimeoutError("visit-parity chain stage still running after 120s")
+
+        chained_schema = spark.read.parquet(f"{root}/chained").schema
+        visits_q = (
+            stream_visit_parity(
+                spark.readStream.schema(chained_schema).parquet(f"{root}/chained")
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not visits_q.awaitTermination(120):
+            visits_q.stop()
+            raise TimeoutError("visit-parity visit stage still running after 120s")
+
+        v = spark.table(name)
+        out = v.select(
+            surrogate_key(
+                "location_id", "first_charger_id", "first_port_id", "visit_start_ts"
+            ).alias("visit_id"),
+            surrogate_key("location_id").alias("location_key"),
+            surrogate_key(F.coalesce(F.col("id_tag"), F.lit("UNKNOWN"))).alias(
+                "driver_key"
+            ),
+            surrogate_key("first_charger_id", "first_port_id").alias("first_port_key"),
+            surrogate_key("last_charger_id", "last_port_id").alias("last_port_key"),
+            "location_id", "charger_ids", "id_tag", "visit_start_ts",
+            "visit_end_ts", "charge_attempt_count", "charge_attempt_ids",
+            "total_energy_transferred_kwh",
+            "first_charge_attempt_id", "last_charge_attempt_id",
+            "first_charger_id", "last_charger_id", "first_port_id", "last_port_id",
+            "is_successful", "grouping_key", "visit_duration_minutes",
+        ).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -191,3 +191,57 @@ def test_stream_interval_data_matches_batch(spark, stream_dir, batch_pipe):
     stream_map = {key(r): (round(r["avg_value"], 6), r["measurement_count"]) for r in out}
     batch_map = {key(r): (round(r["avg_value"], 6), r["measurement_count"]) for r in batch}
     assert stream_map == batch_map
+
+
+def test_stream_visits_parity_equals_batch_mart(spark):
+    """The chained stateful visit stream (stream_visit_chains ->
+    stream_visit_parity) must reproduce the batch fact_visits mart
+    EXACTLY for every visit it emits; the only rows it may withhold are
+    tail visits still open at the final watermark (their last event +
+    window has not passed max event time). This is the parity contract
+    VERDICT r7 item 2 asked for — the session_window entry
+    (stream_visit_sessions) remains the analogue, this is the mart."""
+    from pyspark.sql import functions as F
+
+    from kwwhat_spark.queries.ocpp_pipeline import (
+        ocpp_fact_visits,
+        ocpp_stream_visits_parity,
+    )
+
+    stream = ocpp_stream_visits_parity(spark, "").localCheckpoint(eager=True)
+    batch = ocpp_fact_visits(spark, "").drop("incremental_ts").localCheckpoint(
+        eager=True
+    )
+    n_stream, n_batch = stream.count(), batch.count()
+    assert n_stream > 100  # the seed produces a real visit population
+
+    cols = [c for c in stream.columns if c != "visit_id"]
+    joined = stream.alias("s").join(batch.alias("b"), "visit_id", "left")
+    mismatched = joined.filter(
+        " OR ".join(f"(NOT (s.{c} <=> b.{c}))" for c in cols)
+    ).count()
+    assert mismatched == 0, f"{mismatched} emitted visits diverge from the batch mart"
+
+    # Withheld rows: only watermark-open tails, bounded by the number of
+    # distinct grouping keys active near the end of the log (each key can
+    # hold back at most its final visit).
+    withheld = batch.join(stream.select("visit_id"), "visit_id", "left_anti")
+    n_withheld = withheld.count()
+    assert n_withheld == n_batch - n_stream
+    max_end = batch.agg(F.max("visit_end_ts")).first()[0]
+    for r in withheld.select("visit_end_ts", "grouping_key").collect():
+        # A withheld visit must be its grouping key's LAST batch visit...
+        last_of_key = (
+            batch.filter(F.col("grouping_key") == r["grouping_key"])
+            .agg(F.max("visit_start_ts"))
+            .first()[0]
+        )
+        assert (
+            batch.filter(
+                (F.col("grouping_key") == r["grouping_key"])
+                & (F.col("visit_start_ts") == last_of_key)
+            )
+            .join(stream.select("visit_id"), "visit_id", "left_semi")
+            .count()
+            == 0
+        )
