@@ -149,13 +149,30 @@ class Pipeline:
         buffer_from = from_ts - dt.timedelta(minutes=buffer_minutes)
         return from_ts, buffer_from, to_ts
 
+    # Driver-side scalars are memoized per Pipeline by DataFrame
+    # IDENTITY: incremental models re-derive the same watermark over the
+    # same shared DataFrame object several times per batch (a merged
+    # state table feeds both its consumer's cap and its own window; the
+    # staged view feeds every model), and each repeat was a full Spark
+    # job. Identity — not plan equality — is the sound key: two reads of
+    # the same state path before and after a merge are semantically
+    # identical plans over DIFFERENT data. The memo holds a strong
+    # reference to the DataFrame so a dead object's id can never be
+    # recycled into a false hit.
+    def _scalar_memo(self, df: DataFrame, col: str, kind: str, expr):
+        if not hasattr(self, "_scalar_cache"):
+            self._scalar_cache: dict = {}
+        key = (id(df), col, kind)
+        if key not in self._scalar_cache:
+            row = df.agg(expr(col).alias("v")).first()
+            self._scalar_cache[key] = (df, row["v"] if row else None)
+        return self._scalar_cache[key][1]
+
     def scalar(self, df: DataFrame, col: str):
-        row = df.agg(F.min(col).alias("v")).first()
-        return row["v"] if row else None
+        return self._scalar_memo(df, col, "min", F.min)
 
     def scalar_max(self, df: DataFrame, col: str):
-        row = df.agg(F.max(col).alias("v")).first()
-        return row["v"] if row else None
+        return self._scalar_memo(df, col, "max", F.max)
 
 
 def run_model(pipeline: Pipeline, name: str) -> DataFrame:
