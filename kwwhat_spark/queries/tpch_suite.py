@@ -494,8 +494,21 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_nationkey", "n_name")
     o2 = o.join(_bc(c_asia, sf_dir, "customer"), o.o_custkey == c_asia.c_custkey).select(
         "o_orderkey", "c_nationkey")
+    # cap_rows=5M (vs the 1.5M default): VERDICT r8 closed q5's sf100 gap
+    # here. Without the hint the static planner picks a shuffle join and
+    # AQE's runtime broadcast conversion arrives too late — both join
+    # sides materialize in PARALLEL, so the 600M-row probe-side exchange
+    # (~14 GB written to local disk) is already paid when the join is
+    # rewired; Spark's injected runtime bloom filter can't save it
+    # either (it sizes to expectedNumItems=1M by default and saturates
+    # against 22.7M order keys). Measured at sf100: unhinted 22.6 s hot
+    # / hinted 8.8 s (o2 = 4.5M rows × 2 longs — the same hash relation
+    # AQE itself builds after the wasted shuffle, so the build is proven
+    # safe at this size). Beyond ~sf110 the estimate exceeds the cap and
+    # the safe AQE fallback returns.
     joined = (
-        li.join(_bc(o2, sf_dir, "orders", 0.03), li.l_orderkey == o2.o_orderkey)
+        li.join(_bc(o2, sf_dir, "orders", 0.03, cap_rows=5_000_000),
+                li.l_orderkey == o2.o_orderkey)
         .join(F.broadcast(s_asia),
               (li.l_suppkey == s_asia.s_suppkey) & (F.col("c_nationkey") == s_asia.s_nationkey))
     )
