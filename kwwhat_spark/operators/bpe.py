@@ -202,44 +202,64 @@ def learn_bpe_merges(
     return merges
 
 
+def _merge_seq(syms: list[str], order: list[tuple[str, str]]) -> list[str]:
+    """Apply a learned merge sequence to one symbol list (greedy
+    left-to-right per merge, in rank order — Sennrich apply semantics)."""
+    for left, right in order:
+        i, res, n = 0, [], len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                res.append(left + right)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    return syms
+
+
 def apply_bpe(
     df: DataFrame,
     merges: list[tuple[int, str, str, int]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    *,
+    level: str = "word",
 ) -> DataFrame:
     """Segment each document with a learned merge table; returns
-    (id_col, n_words, n_bpe_tokens, tokens_per_word). Re-segments each
-    distinct word TYPE once and broadcast-joins back to the word
-    stream — per-type cost, not per-token."""
+    (id_col, n_words, n_bpe_tokens, tokens_per_word) — with
+    ``level='byte'`` the unit is GPT-2 pre-tokens (n_words counts
+    pre-tokens; byte->unicode alphabet before merging, no </w>).
+    Re-segments each distinct word/pre-token TYPE once and
+    broadcast-joins back to the token stream — per-type cost, not
+    per-token."""
     import pandas as pd
 
     order = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
-
-    words = df.select(
-        F.col(id_col),
-        F.explode(
+    if level == "word":
+        unit = F.explode(
             F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-        ).alias("__w"),
-    )
+        )
+    elif level == "byte":
+        unit = F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(GPT2_SPLIT_PATTERN), F.lit(0))
+        )
+    else:
+        raise ValueError(f"unknown BPE level: {level!r}")
+    b2u = bytes_to_unicode() if level == "byte" else None
+
+    words = df.select(F.col(id_col), unit.alias("__w"))
     types = words.select("__w").distinct()
 
     def segment(batches):
         for pdf in batches:
             counts = []
             for w in pdf["__w"]:
-                syms = list(w[:-1]) + [w[-1] + EOW] if w else []
-                for left, right in order:
-                    i, res, n = 0, [], len(syms)
-                    while i < n:
-                        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
-                            res.append(left + right)
-                            i += 2
-                        else:
-                            res.append(syms[i])
-                            i += 1
-                    syms = res
-                counts.append(len(syms))
+                if b2u is not None:
+                    syms = [b2u[b] for b in w.encode("utf-8")]
+                else:
+                    syms = list(w[:-1]) + [w[-1] + EOW] if w else []
+                counts.append(len(_merge_seq(syms, order)))
             yield pd.DataFrame({"__w": pdf["__w"], "__n_sym": counts})
 
     seg = types.mapInPandas(segment, schema="__w string, __n_sym long")

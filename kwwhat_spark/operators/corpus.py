@@ -1044,3 +1044,39 @@ def bm25_topk(
         .orderBy(F.col("bm25_score_q").desc(), F.col(id_col).asc())
         .limit(limit)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    *,
+    k_rrf: int = 60,
+    limit: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval lists (Cormack et al.
+    2009): score(d) = sum over lists of 1/(k_rrf + rank_d). Each input
+    must carry (id_col, rank) with rank starting at 1.
+
+    Determinism contract: the reciprocal is computed as the INTEGER
+    division 1e9 div (k_rrf + rank) — a pure-integer grid, so the
+    per-document sum and the (score desc, id) top-k order are
+    bit-identical on every engine with no float in sight.
+
+    Plan shape at scale: each ranking is already a top-N (N ~ 100s);
+    the fusion is a union + one combinable sum over N·|rankers| rows —
+    driver-free and trivially parallel. The heavy lifting lives in the
+    upstream rankers (BM25 / ANN), which carry their own scale paths."""
+    rrf_q = F.expr(f"1000000000L div ({k_rrf} + rank)")
+    scored = None
+    for r in rankings:
+        s = r.select(F.col(id_col), rrf_q.alias("__rrf_q"))
+        scored = s if scored is None else scored.unionByName(s)
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("__rrf_q").alias("rrf_score_q"),
+            F.count(F.lit(1)).alias("n_rankers"),
+        )
+        .orderBy(F.col("rrf_score_q").desc(), F.col(id_col).asc())
+        .limit(limit)
+    )

@@ -2159,3 +2159,131 @@ def bpe_learn_merges_replayable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion (the full modern RAG
+# retrieval stack: dense ANN + lexical BM25, fused): one query, the
+# dense ranking from the exact-cosine top-100 and the lexical ranking
+# from BM25 top-100, combined with RRF (Cormack et al. 2009) on a pure
+# integer grid — 1e9 div (60 + rank) — so the fused scores and the
+# final top-20 order are bit-identical cross-engine. The oracle replays
+# both rankers exactly (the same constructions that gate
+# similarity_topk and bm25_retrieval_topk) plus the integer fusion.
+# ---------------------------------------------------------------------------
+_RRF_QUERY_VEC = 7
+
+_HYBRID_RRF_ORACLE = rf"""
+    WITH dense_scored AS (
+      SELECT c.vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      FROM (SELECT * FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC}) q
+      CROSS JOIN embeddings c
+    ), dense_ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS rank
+      FROM dense_scored
+    ), toks AS (
+      SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+    doclen AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+    avgdl AS (SELECT (SELECT COUNT(*) FROM toks) / (SELECT nd FROM n) AS a),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('hash', 'merge', 'scan')
+      GROUP BY doc_id, tok
+    ), dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    idf AS (
+      SELECT tok, ln(((SELECT nd FROM n) - df + 0.5) / (df + 0.5) + 1.0) AS idf
+      FROM dft
+    ), lex_scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(floor(1e6 * idf.idf * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.len / (SELECT a FROM avgdl)))
+                        + 0.5) AS BIGINT)) AS BIGINT) AS score_q
+      FROM tf JOIN idf USING (tok) JOIN doclen USING (doc_id)
+      GROUP BY tf.doc_id
+    ), lex_ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id ASC) AS rank
+      FROM lex_scored
+    ), fused AS (
+      SELECT doc_id, 1000000000 // (60 + rank) AS s
+      FROM dense_ranked WHERE rank <= 100
+      UNION ALL
+      SELECT doc_id, 1000000000 // (60 + rank)
+      FROM lex_ranked WHERE rank <= 100
+    )
+    SELECT doc_id,
+           CAST(SUM(s) AS BIGINT) AS rrf_score_q,
+           COUNT(*) AS n_rankers
+    FROM fused
+    GROUP BY doc_id
+    ORDER BY rrf_score_q DESC, doc_id ASC
+    LIMIT 20
+"""
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    oracle=_HYBRID_RRF_ORACLE,
+    cite="LLM-ops: hybrid dense+lexical retrieval with reciprocal-rank "
+    "fusion (Cormack et al. 2009; operators/corpus.py rrf_fuse over "
+    "brute_force_topk + bm25_topk) — integer-grid RRF, cross-engine "
+    "exact",
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF top-20 for one hybrid query: dense side = exact cosine
+    against embedding vec_id=7 (top-100), lexical side = BM25 for
+    ('hash','merge','scan') (top-100). Both rankings are top-N driver-
+    small after their own scale-path machinery; the fusion itself is a
+    union + combinable integer sum (rrf_fuse docstring)."""
+    from pyspark.sql import Window as W
+
+    from kwwhat_spark.operators.corpus import bm25_topk, rrf_fuse
+    from kwwhat_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    dense = brute_force_topk(q, corpus, "query_id", "corpus_id", "embedding", k=100).select(
+        F.col("corpus_id").alias("doc_id"), "rank"
+    )
+    lex = bm25_topk(
+        load_table(spark, sf_dir, "documents"), ["hash", "merge", "scan"], limit=100
+    )
+    # Global window over the already-top-100 lexical list (driver-small
+    # by construction): attach the 1-based rank the fusion consumes.
+    lex_ranked = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25_score_q").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    return rrf_fuse([dense, lex_ranked], "doc_id", k_rrf=60, limit=20)
+
+
+@query(
+    "bpe_byte_tokenize_stats",
+    oracle=None,
+    cite="LLM-ops: byte-level BPE application end-to-end (learn on the "
+    "bounded slice, re-segment each GPT-2 pre-token TYPE once, "
+    "broadcast join back) — rows-only (iterative learning upstream + "
+    "RE2 lacks the pre-tokenizer lookahead); both halves pinned vs the "
+    "pure-Python regex-module reference in tests/test_bpe.py",
+)
+def bpe_byte_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 10 byte-level merges on the lowest-150 doc_ids, then
+    tokenize those docs: per-doc (n_words = pre-tokens, n_bpe_tokens,
+    tokens_per_word) — the byte-level twin of bpe_tokenize_stats."""
+    from kwwhat_spark.operators.bpe import apply_bpe, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    merges = learn_bpe_merges(docs, n_merges=10, level="byte")
+    return apply_bpe(docs, merges, level="byte")

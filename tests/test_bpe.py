@@ -169,3 +169,30 @@ def test_apply_bpe_counts(spark):
     assert merges == ref
     assert out[0].n_bpe_tokens < sum(len(w) + 0 for w in "low low lower".split()) + 3
     assert out[0].tokens_per_word == out[0].n_bpe_tokens / out[0].n_words
+
+
+def test_apply_bpe_byte_level_matches_reference(spark):
+    texts = ["don't stop", "it's  2024 x99 (end)", "hello, hello, a-b ..."]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(df, n_merges=10, level="byte")
+    assert merges == _ref_byte_bpe(texts, 10)
+    out = {r.doc_id: r for r in apply_bpe(df, merges, level="byte").collect()}
+
+    import regex
+
+    from kwwhat_spark.operators.bpe import GPT2_SPLIT_PATTERN, bytes_to_unicode
+    from kwwhat_spark.operators.bpe import _merge_seq
+
+    b2u = bytes_to_unicode()
+    pat = regex.compile(GPT2_SPLIT_PATTERN)
+    order = [(m[1], m[2]) for m in merges]
+    for i, t in enumerate(texts):
+        pres = pat.findall(t)
+        n_tok = sum(
+            len(_merge_seq([b2u[b] for b in w.encode("utf-8")], order)) for w in pres
+        )
+        assert out[i].n_words == len(pres)
+        assert out[i].n_bpe_tokens == n_tok
+        assert out[i].tokens_per_word == n_tok / len(pres)
