@@ -990,3 +990,121 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shuffle_key"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (the fasttext-classifier stage of
+# RefinedWeb/FineWeb pipelines): hashing-trick logistic regression
+# trained DISTRIBUTED on weak labels, then scored over the corpus —
+# both under the value-hash gate via the kmeans-style unrolled-CTE
+# replay (integer-grid weights, exact integer dot products/gradients,
+# one re-quantized sigmoid per doc per round; operators/classifier.py).
+# ---------------------------------------------------------------------------
+def _logreg_replay_sql(rounds: int, doc_limit: int, n_buckets: int, lr_shift: int) -> str:
+    step = float(1 << lr_shift)
+    parts = [
+        rf"""
+    WITH docs AS (
+      SELECT doc_id, text, CAST(n_chars > 300 AS INT) AS y
+      FROM documents WHERE doc_id < {doc_limit}
+    ), tok_feats AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 13)) AS UBIGINT)::BIGINT % {n_buckets} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+            FROM docs)
+      GROUP BY doc_id, bucket
+    ), feats AS (
+      SELECT doc_id, bucket, cnt FROM tok_feats
+      UNION ALL
+      SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM docs
+    ), labels AS (SELECT doc_id, y FROM docs),
+    w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w_q FROM feats)"""
+    ]
+    for t in range(rounds):
+        parts.append(
+            f""", d{t} AS (
+      SELECT f.doc_id, l.y, CAST(SUM(f.cnt * w.w_q) AS BIGINT) AS dot_q
+      FROM feats f JOIN w{t} w USING (bucket) JOIN labels l USING (doc_id)
+      GROUP BY f.doc_id, l.y
+    ), s{t} AS (
+      SELECT doc_id,
+             CAST(floor(1000000.0/(1.0+exp(-(dot_q/1000000.0))) + 0.5) AS BIGINT)
+               - y*1000000 AS resid_q
+      FROM d{t}
+    ), g{t} AS (
+      SELECT f.bucket, CAST(SUM(s.resid_q * f.cnt) AS BIGINT) AS g
+      FROM s{t} s JOIN feats f USING (doc_id) GROUP BY f.bucket
+    ), w{t + 1} AS (
+      SELECT w.bucket, w.w_q - CAST(floor(COALESCE(g.g, 0) / {step}) AS BIGINT) AS w_q
+      FROM w{t} w LEFT JOIN g{t} g USING (bucket)
+    )"""
+        )
+    return "".join(parts)
+
+
+
+
+
+_LOGREG_PARAMS = dict(rounds=6, doc_limit=300, n_buckets=256, lr_shift=11)
+
+
+def _logreg_spark_halves(spark: SparkSession, sf_dir: str):
+    from kwwhat_spark.operators.classifier import hashed_token_features, train_logreg
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _LOGREG_PARAMS["doc_limit"]
+    )
+    feats = hashed_token_features(
+        docs, n_buckets=_LOGREG_PARAMS["n_buckets"]
+    ).localCheckpoint(eager=True)
+    labels = docs.select(
+        "doc_id", (F.col("n_chars") > 300).cast("int").alias("y")
+    )
+    w = train_logreg(
+        feats,
+        labels,
+        rounds=_LOGREG_PARAMS["rounds"],
+        lr_shift=_LOGREG_PARAMS["lr_shift"],
+    )
+    return feats, labels, w
+
+
+@query(
+    "quality_classifier_train",
+    oracle=_logreg_replay_sql(6, 300, 256, 11) + "\n    SELECT bucket, w_q FROM w6",
+    cite="LLM-ops: model-based quality filter TRAINING — distributed "
+    "full-batch logistic regression on the md5_52 hashing trick "
+    "(operators/classifier.py train_logreg), integer-grid weights, "
+    "6 unrolled rounds replayed in DuckDB (kmeans replay pattern)",
+)
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats, labels, w = _logreg_spark_halves(spark, sf_dir)
+    return spark.createDataFrame(
+        [(int(b), int(q)) for b, q in sorted(w.items())], "bucket long, w_q long"
+    )
+
+
+@query(
+    "quality_classifier_score",
+    oracle=_logreg_replay_sql(6, 300, 256, 11) + """
+    , fd AS (
+      SELECT f.doc_id, CAST(SUM(f.cnt * w.w_q) AS BIGINT) AS dot_q
+      FROM feats f JOIN w6 w USING (bucket) GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(floor(1000000.0/(1.0+exp(-(dot_q/1000000.0))) + 0.5) AS BIGINT) AS score_q,
+           CAST(floor(1000000.0/(1.0+exp(-(dot_q/1000000.0))) + 0.5) AS BIGINT) >= 500000
+             AS predicted,
+           l.y
+    FROM fd d JOIN labels l USING (doc_id)
+    """,
+    cite="LLM-ops: model-based quality filter SCORING — broadcast "
+    "integer weight vector, exact integer logits, one re-quantized "
+    "sigmoid per doc (operators/classifier.py score_logreg)",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.classifier import score_logreg
+
+    feats, labels, w = _logreg_spark_halves(spark, sf_dir)
+    return score_logreg(feats, w).join(labels, "doc_id")
