@@ -89,16 +89,12 @@ def test_streaming_entries_match_oracle_on_generated_streams(spark, seed):
     pdf = _gen_frame(seed)
     tmp = tempfile.mkdtemp(prefix="kwh-stream-prop-")
     try:
-        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
-            f"{tmp}/_stage"
-        )
-        # single parquet FILE named events.parquet, as the entries expect
-        part = next(
-            f
-            for f in os.listdir(f"{tmp}/_stage")
-            if f.endswith(".parquet") and not f.startswith("_")
-        )
-        shutil.copy(f"{tmp}/_stage/{part}", f"{tmp}/events.parquet")
+        # Write the fixture the way the DRIVER writes testdata (pandas,
+        # naive ns timestamps) — a Spark write now emits INT64 micros
+        # with isAdjustedToUTC (session outputTimestampType), which
+        # DuckDB types as TIMESTAMPTZ and the dtype-strict compare
+        # rightly rejects against the naive testdata convention.
+        pdf.to_parquet(f"{tmp}/events.parquet", index=False, coerce_timestamps="us")
         con = _events_con(tmp)
         for name in ENTRIES:
             q = REGISTRY[name]
