@@ -933,8 +933,12 @@ def bigram_logprob_scores(
         )
     )
     alltoks = toks.select(F.explode("__l").alias("__tok"))
+    # Vocabulary counts serve double duty (r8): the corpus-wide token
+    # total is sum(__cu) over the |vocab|-row aggregate — the previous
+    # alltoks.count() re-tokenized the whole corpus for one scalar.
     uni = alltoks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cu"))
-    total = alltoks.count()
+    uni = uni.localCheckpoint(eager=True)
+    total = uni.agg(F.sum("__cu")).first()[0]
     bi = pairs.groupBy("__prev", "__tok").agg(F.count(F.lit(1)).alias("__cb"))
     dic = (
         bi.join(
@@ -1004,13 +1008,42 @@ def bm25_topk(
     arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     toks = df.select(F.col(id_col), F.explode(arr).alias("__tok"))
     n_docs = df.count()
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__len"))
-    total_tokens = toks.count()
+    # ONE corpus pass (r8: was three — doclen, global token count, and
+    # per-term tf each re-tokenized the corpus): the fixed query-term
+    # set rides the per-doc length aggregation as conditional sums, so
+    # a single tokenize+combinable-shuffle yields doc lengths AND term
+    # frequencies; avgdl falls out of sum(len). The checkpointed
+    # per-doc table is |docs| rows (not |tokens|) — bounded state.
+    per_doc = (
+        toks.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__len"),
+            *[
+                F.sum(F.when(F.col("__tok") == t, 1).otherwise(0)).alias(f"__tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    total_tokens = per_doc.agg(F.sum("__len")).first()[0]
     avgdl = total_tokens / n_docs
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"), F.col(f"__tf{i}").cast("long").alias("tf")
+            )
+            for i, t in enumerate(terms)
+        ]
+    )
     tf = (
-        toks.filter(F.col("__tok").isin(list(terms)))
-        .groupBy(id_col, "__tok")
-        .agg(F.count(F.lit(1)).alias("__tf"))
+        per_doc.select(id_col, "__len", F.explode(entries).alias("__e"))
+        .select(
+            id_col,
+            "__len",
+            F.col("__e.t").alias("__tok"),
+            F.col("__e.tf").alias("__tf"),
+        )
+        .filter(F.col("__tf") > 0)
     )
     dft = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     idf = dft.withColumn(
@@ -1019,7 +1052,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(idf.select("__tok", "__idf")), "__tok")
-        .join(doclen, id_col)
         .withColumn(
             "__score_q",
             F.floor(
