@@ -769,24 +769,33 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
         "l_orderkey", "l_extendedprice", "l_discount")
     n = load_table(spark, sf_dir, "nation")
-    return (
-        li.join(_bc(o, sf_dir, "orders", 0.04), li.l_orderkey == o.o_orderkey)
-        .join(_bc(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
-        # Per-customer revenue stays in LONG: the group is one quarter's
-        # returned lines for one customer — overflow would need ~8e9
-        # such lines for a single customer (2^63 / 1.1e9-per-row), which
-        # no scale factor produces; ANSI mode throws if it ever did.
-        # Keys are high-cardinality, so the partition-id two-level split
-        # (pricing_summary) does not apply; dropping the decimal
-        # accumulator is the whole win here.
+    # cap_rows=7M: the q5 lesson (r8) — without the hint the quarter
+    # slice (5.8M rows at sf100) SMJ-sorts and shuffles the 150M-row
+    # returned-lines slice before AQE can rewire; the static broadcast
+    # removes that exchange+sort (sf100 hot 15.3 -> 13.1 s). Then EAGER
+    # AGGREGATION below the customer join: c_custkey is unique in the
+    # dim, so summing revenue per o_custkey BEFORE the join is exact
+    # and shrinks the join's stream side from every matched line to one
+    # row per buying customer — the final groupBy collapses to a
+    # projection (13.1 -> 11.6 s; the remaining floor is the 5.8M-row
+    # broadcast build + 150M-row probe, measured in BASELINE.md r8).
+    # Per-customer revenue stays in LONG: overflow would need ~8e9
+    # returned lines for one customer (2^63 / 1.1e9-per-row), which no
+    # scale factor produces; ANSI mode throws if it ever did.
+    rev_by_cust = (
+        li.join(_bc(o, sf_dir, "orders", 0.04, cap_rows=7_000_000),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
         .agg(F.sum(_rev_c()).alias("rev_c"))
+    )
+    return (
+        rev_by_cust.join(c, rev_by_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .orderBy(F.col("rev_c").desc(), "c_custkey")
         .limit(20)
         .select("c_custkey", "c_name",
                 (F.col("rev_c").cast("double") / F.lit(10000.0)).alias("revenue"),
-                "nation_name")
+                F.col("n_name").alias("nation_name"))
     )
 
 
