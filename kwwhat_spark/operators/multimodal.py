@@ -466,11 +466,28 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             ms = 50 + 10 * (i % 20)
             payload = wav_bytes(200.0 + 20 * (i % 10), ms)
             width, height, duration = None, None, ms
+        elif i % 6 == 2:  # REAL AVI-MJPEG container (decodable frames)
+            from kwwhat_spark.operators.avi import encode_avi_mjpeg
+
+            w, h = 16, 16
+            n_frames = 2 + (i % 4)
+            frames = [
+                jpeg_bytes(w, h, seed=seed + 100 * i + j) for j in range(n_frames)
+            ]
+            us_per_frame = 500_000  # 2 fps keeps sampled indices varied
+            payload = encode_avi_mjpeg(
+                frames, width=w, height=h, us_per_frame=us_per_frame
+            )
+            width, height = w, h
+            duration = n_frames * us_per_frame // 1000
+            mime = "video/x-msvideo"
         else:  # opaque container the stub handles
             payload = bytes(rng.randrange(256) for _ in range(128 + (i % 64)))
             width, height, duration = 64, 48, 1000 * (i % 30)
-        if modality != "image":
-            mime = {"audio": "audio/wav", "video": "video/mp4"}[modality]
+        if modality == "audio":
+            mime = "audio/wav"
+        elif modality == "video" and i % 6 != 2:
+            mime = "video/mp4"
         rows.append(
             (
                 i,
@@ -521,16 +538,23 @@ def frame_sample(
     schema matches MEDIA_SCHEMA plus (frame_index, frame_ts_ms), so the
     output feeds extract_features / resize_stub directly.
 
-    STUB: the per-frame payload is a deterministic digest of
-    (video payload, frame timestamp) — a real deployment seeks and
-    decodes the container at frame_ts_ms here (pyav/ffmpeg not in this
-    container). The Spark shape is the real one: mapInPandas expansion is
-    narrow (no shuffle), output batch size is bounded because each input
-    row yields ≤ max_frames rows, and the payload column streams through
-    Arrow without driver materialization.
+    AVI-MJPEG payloads are REAL (operators/avi.py container parse; the
+    sampled payload is the frame's actual JPEG, which decode_image /
+    extract_features then pixel-decode through operators/jpeg.py): the
+    frame at sample time t is the last frame whose presentation time is
+    <= t (index = floor(t / us_per_frame), clamped), exactly what a
+    seek-to-timestamp does. Containers this parser does not understand
+    (mp4 etc. — pyav/ffmpeg absent here) keep the deterministic
+    digest-stub payload, mirroring decode_image's unsupported-codec
+    fallback. The Spark shape is identical either way: mapInPandas
+    expansion is narrow (no shuffle), output batch size is bounded
+    because each input row yields ≤ max_frames rows, and the payload
+    column streams through Arrow without driver materialization.
     """
     if interval_ms <= 0:
         raise ValueError("interval_ms must be positive")
+
+    from kwwhat_spark.operators.avi import decode_avi_mjpeg
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -539,21 +563,36 @@ def frame_sample(
                 continue
             out: dict[str, list] = {f.name: [] for f in FRAME_SCHEMA.fields}
             for row in vids.itertuples(index=False):
-                duration = int(row.duration_ms or 0)
-                n_frames = min(duration // interval_ms + 1, max_frames)
                 src = bytes(row.payload or b"")
-                for j in range(n_frames):
+                avi = decode_avi_mjpeg(src)
+                if avi is not None:
+                    duration = avi["n_frames"] * avi["us_per_frame"] // 1000
+                    width, height = avi["width"], avi["height"]
+                else:
+                    duration = int(row.duration_ms or 0)
+                    width, height = row.width, row.height
+                n_samples = min(duration // interval_ms + 1, max_frames)
+                for j in range(n_samples):
                     ts = j * interval_ms
+                    if avi is not None:
+                        fidx = min(
+                            ts * 1000 // avi["us_per_frame"], avi["n_frames"] - 1
+                        )
+                        payload = avi["frames"][fidx]
+                        mime = "image/jpeg"
+                    else:
+                        payload = hashlib.sha256(
+                            src + ts.to_bytes(8, "big")
+                        ).digest()
+                        mime = "image/x-stub-frame"
                     out["media_id"].append(row.media_id)
                     out["frame_index"].append(j)
                     out["frame_ts_ms"].append(ts)
                     out["modality"].append("image")
-                    out["mime_type"].append("image/x-stub-frame")
-                    out["payload"].append(
-                        hashlib.sha256(src + ts.to_bytes(8, "big")).digest()
-                    )
-                    out["width"].append(row.width)
-                    out["height"].append(row.height)
+                    out["mime_type"].append(mime)
+                    out["payload"].append(payload)
+                    out["width"].append(width)
+                    out["height"].append(height)
                     out["duration_ms"].append(0)
             yield pd.DataFrame(out)
 
