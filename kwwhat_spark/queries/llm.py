@@ -2287,3 +2287,100 @@ def bpe_byte_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     merges = learn_bpe_merges(docs, n_merges=10, level="byte")
     return apply_bpe(docs, merges, level="byte")
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion end-to-end UNDER THE VALUE-HASH GATE (the Common Crawl
+# entry point of a web-scale pipeline): each 10-doc group is rendered
+# into real HTML (entities escaped), framed as WARC/1.0 response
+# records, gzipped member-per-record, then ingested back through
+# operators/warc.py (gunzip -> WARC parse -> HTTP parse -> HTML->text).
+# Because the template is deterministic and html_to_text's whitespace
+# algebra is SQL-expressible, the oracle replays the EXPECTED extracted
+# text directly from the documents table — the whole binary round trip
+# is value-gated, not rows-only.
+# ---------------------------------------------------------------------------
+_WARC_EXPECTED_SQL = r"""
+      SELECT doc_id,
+             'Doc ' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN body = '' THEN '' ELSE chr(10) || body END AS expected
+      FROM (
+        SELECT doc_id,
+               array_to_string(
+                 list_filter(
+                   list_transform(
+                     string_split(text, chr(10)),
+                     x -> trim(regexp_replace(x, '\s+', ' ', 'g'))
+                   ),
+                   x -> x <> ''
+                 ), chr(10)) AS body
+        FROM documents WHERE doc_id < 400
+      )
+"""
+
+
+@query(
+    "warc_ingest_text",
+    oracle=f"""
+    WITH expected AS ({_WARC_EXPECTED_SQL})
+    SELECT doc_id // 10 AS archive_id,
+           CAST(row_number() OVER (PARTITION BY doc_id // 10 ORDER BY doc_id) - 1
+                AS INT) AS record_index,
+           'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+           CAST(200 AS INT) AS http_status,
+           CAST(length(expected) AS BIGINT) AS n_text_chars,
+           md5(expected) AS text_md5
+    FROM expected
+    """,
+    cite="LLM-ops: WARC (ISO 28500) ingestion + HTML text extraction "
+    "(operators/warc.py — member-per-record gzip, WARC/HTTP framing, "
+    "script/style/entity-aware text extraction); oracle replays the "
+    "template's text algebra so the full binary round trip is "
+    "value-hash gated",
+)
+def warc_ingest_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """400 documents -> 40 gzipped WARC archives (10 response records
+    each, entity-escaped HTML bodies) -> ingest_warc -> per-record
+    (uri, status, extracted-text length + md5)."""
+    import html as _html
+
+    import pandas as pd
+
+    from kwwhat_spark.operators.warc import ingest_warc, warc_bytes
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select(
+        "doc_id", "text"
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            {
+                "uri": f"https://corpus.example/doc/{int(r.doc_id)}",
+                "content_type": "text/html",
+                "body": (
+                    f"<html><head><title>Doc {int(r.doc_id)}</title></head>"
+                    f"<body><p>{_html.escape(r.text)}</p></body></html>"
+                ),
+            }
+            for r in pdf.itertuples(index=False)
+        ]
+        return pd.DataFrame(
+            {
+                "archive_id": [int(pdf["doc_id"].iloc[0]) // 10],
+                "payload": [warc_bytes(recs, compress=True)],
+            }
+        )
+
+    archives = docs.groupBy(F.expr("doc_id div 10").alias("_g")).applyInPandas(
+        build, schema="archive_id long, payload binary"
+    )
+    recs = ingest_warc(archives)
+    return recs.select(
+        "archive_id",
+        "record_index",
+        "uri",
+        "http_status",
+        "n_text_chars",
+        F.md5("text").alias("text_md5"),
+    )
