@@ -286,6 +286,17 @@ def _decode_pil(payload: bytes, dim: int):  # pragma: no cover - needs PIL
     return _image_feature(rgb, dim), {"width": img.width, "height": img.height}
 
 
+def _decode_gif(payload: bytes, dim: int):
+    """GIF87a/89a via operators/gif.py (LZW, interlace, local/global
+    color tables); first frame -> RGB features."""
+    from kwwhat_spark.operators.gif import decode_gif
+
+    rgb = decode_gif(payload)
+    if rgb is None:
+        return None
+    return _image_feature(rgb, dim), {"width": rgb.shape[1], "height": rgb.shape[0]}
+
+
 def _real_decode(payload: bytes, dim: int):
     """(feature, decoder_name) for recognized payloads, else None.
     Magic-sniffed, so a mislabeled mime_type cannot crash a 100-TB job."""
@@ -294,6 +305,7 @@ def _real_decode(payload: bytes, dim: int):
     for fn, name in (
         (_decode_png, "png"),
         (_decode_jpeg, "jpeg"),
+        (_decode_gif, "gif"),
         (_decode_ppm, "ppm"),
         (_decode_bmp, "bmp"),
         (_decode_wav, "wav"),
@@ -452,11 +464,18 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         modality = ["image", "audio", "video"][i % 3]
         if modality == "image":
             w, h = 8 + (i % 8), 6 + (i % 5)
-            codec = (i // 3) % 3  # rotate the three real image codecs
+            codec = (i // 3) % 4  # rotate the four real image codecs
             if codec == 0:
                 payload, mime = bmp_bytes(w, h, seed=seed + i), "image/bmp"
             elif codec == 1:
                 payload, mime = png_bytes(w, h, seed=seed + i), "image/png"
+            elif codec == 3:
+                from kwwhat_spark.operators.gif import encode_gif
+
+                rng_img = np.random.default_rng(seed + i)
+                rgb = rng_img.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                payload = encode_gif(rgb, interlace=bool(i % 2))
+                mime = "image/gif"
             else:
                 sub = "420" if (i // 9) % 2 else "444"
                 payload = jpeg_bytes(w, h, seed=seed + i, subsampling=sub)
