@@ -451,9 +451,10 @@ def wav_bytes(freq_hz: float, ms: int, rate: int = 8000, amp: float = 0.5) -> by
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table for tests: REAL decodable payloads
-    (24-bit BMP, RGB8 PNG, and baseline JPEG images — 4:4:4 and 4:2:0 —
-    plus PCM WAV audio) and opaque video/garbage rows that exercise the
-    digest-stub fallback."""
+    (24-bit BMP, RGB8 PNG, baseline JPEG — 4:4:4 and 4:2:0 — and GIF89a
+    images incl. interlaced; PCM WAV audio; AVI-MJPEG video with real
+    extractable frames) plus opaque video/garbage rows that exercise
+    the digest-stub fallback."""
     import random
 
     from kwwhat_spark.operators.jpeg import jpeg_bytes
