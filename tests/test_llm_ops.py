@@ -260,12 +260,14 @@ def test_multimodal_feature_plumbing(spark):
         assert len(r["feature"]) == 16
         assert all(0.0 <= x <= 1.0 for x in r["feature"])
         assert len(r["content_sha256"]) == 64
-    # Real decoders handle the decodable modalities; only the opaque
-    # video payloads fall back to the digest stub.
+    # Real decoders handle the decodable modalities; only opaque video
+    # CONTAINERS fall back to the digest stub (AVI-MJPEG rows keep the
+    # stub at WHOLE-container level too — features of a video are per
+    # sampled frame via frame_sample, not per archive).
     decoders = {r["modality"]: set() for r in feats}
     for r in feats:
         decoders[r["modality"]].add(r["decoder"])
-    assert decoders["image"] == {"bmp", "png", "jpeg"}
+    assert decoders["image"] == {"bmp", "png", "jpeg", "gif"}
     assert decoders["audio"] == {"wav"}
     assert decoders["video"] == {"stub"}
     # Determinism: same seed → same digests.
@@ -287,20 +289,34 @@ def test_multimodal_frame_sample(spark):
         assert r["modality"] == "image"
         by_media.setdefault(r["media_id"], []).append(r)
     assert set(by_media) == set(videos)
+    from kwwhat_spark.operators.avi import decode_avi_mjpeg
+    from kwwhat_spark.operators.jpeg import decode_jpeg
+
     for mid, rows in by_media.items():
-        expected = min(videos[mid]["duration_ms"] // 5000 + 1, 4)
+        avi = decode_avi_mjpeg(bytes(videos[mid]["payload"]))
+        if avi is not None:  # REAL container: duration + dims from it
+            duration = avi["n_frames"] * avi["us_per_frame"] // 1000
+        else:
+            duration = videos[mid]["duration_ms"]
+        expected = min(duration // 5000 + 1, 4)
         assert len(rows) == expected
         rows.sort(key=lambda r: r["frame_index"])
         for j, r in enumerate(rows):
             assert r["frame_index"] == j
             assert r["frame_ts_ms"] == j * 5000
-            assert len(r["payload"]) == 32
-        assert r["width"] == videos[mid]["width"]
-    # Every (video, timestamp) digest is distinct; reruns are deterministic.
-    digests = [bytes(r["payload"]) for rows in by_media.values() for r in rows]
-    assert len(set(digests)) == len(digests)
+            if avi is None:
+                assert len(r["payload"]) == 32  # digest stub
+            else:  # real JPEG frame, pixel-decodable
+                assert bytes(r["payload"]).startswith(b"\xff\xd8")
+                assert decode_jpeg(bytes(r["payload"])) is not None
+        if avi is None:
+            assert r["width"] == videos[mid]["width"]
+    # Stub digests are distinct per (video, ts); reruns deterministic.
+    payloads = [bytes(r["payload"]) for rows in by_media.values() for r in rows]
+    stub_digests = [p for p in payloads if len(p) == 32]
+    assert len(set(stub_digests)) == len(stub_digests)
     again = frame_sample(synthesize_media(spark, n=30), interval_ms=5000, max_frames=4).collect()
-    assert sorted(bytes(r["payload"]) for r in again) == sorted(digests)
+    assert sorted(bytes(r["payload"]) for r in again) == sorted(payloads)
     # Downstream composition: frames feed extract_features unchanged.
     feats = extract_features(
         frame_sample(media, interval_ms=5000, max_frames=4), dim=8
