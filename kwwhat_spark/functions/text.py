@@ -379,3 +379,52 @@ def redact_pii(text: Column | str) -> Column:
         n_emails.alias("n_emails"),
         n_nums.alias("n_long_numbers"),
     )
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of an http(s) URL — the first step of crawl-level
+    URL deduplication (the same URL arrives as dozens of variants in a
+    real crawl):
+
+    - scheme and host lowercased; default ports stripped (http:80,
+      https:443), other ports kept;
+    - fragment dropped;
+    - path: duplicate slashes collapsed, trailing slashes stripped,
+      empty path becomes "/";
+    - query: parameters split, tracking params dropped (utm_*, fbclid,
+      gclid), the rest sorted (order-insensitive identity), empty query
+      dropped.
+
+    Pure built-in expressions (regexp + array ops — codegen, no UDF),
+    and every regex is both Java- and RE2-compatible so the DuckDB
+    oracle replays it verbatim."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.regexp_replace(F.regexp_replace(path, r"/{2,}", "/"), r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid)="),
+        )
+    )
+    q_norm = F.array_join(params, "&")
+    query_part = F.when(q_norm == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), q_norm)
+    )
+    return F.concat(scheme, F.lit("://"), host, port_part, path, query_part)

@@ -2384,3 +2384,93 @@ def warc_ingest_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_text_chars",
         F.md5("text").alias("text_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (the first dedup a crawl
+# pipeline runs — the same page arrives as scheme/case/port/slash/
+# tracking-param/fragment variants). Six deterministic variants are
+# synthesized per underlying page on BOTH engines; Spark canonicalizes
+# with functions/text.canonicalize_url (pure codegen expressions) and
+# the oracle replays the identical regex/array algebra in DuckDB
+# (every pattern is Java+RE2 compatible; DuckDB needs explicit 'g'
+# where Spark's regexp_replace is global by default).
+# ---------------------------------------------------------------------------
+_URL_RAW_SQL = """
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'https://Example-' || CAST(doc_id // 6 % 7 AS VARCHAR) || '.COM/articles/' || CAST(doc_id // 6 AS VARCHAR)
+               WHEN 1 THEN 'HTTPS://example-' || CAST(doc_id // 6 % 7 AS VARCHAR) || '.com:443/articles//' || CAST(doc_id // 6 AS VARCHAR) || '/'
+               WHEN 2 THEN 'https://EXAMPLE-' || CAST(doc_id // 6 % 7 AS VARCHAR) || '.com/articles/' || CAST(doc_id // 6 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+               WHEN 3 THEN 'https://example-' || CAST(doc_id // 6 % 7 AS VARCHAR) || '.com/articles/' || CAST(doc_id // 6 AS VARCHAR) || '#section-2'
+               WHEN 4 THEN 'https://example-' || CAST(doc_id // 6 % 7 AS VARCHAR) || '.com/articles/' || CAST(doc_id // 6 AS VARCHAR) || '?b=2&a=1'
+               ELSE 'http://example-' || CAST(doc_id // 6 % 7 AS VARCHAR) || '.com:80/articles/' || CAST(doc_id // 6 AS VARCHAR) || '?a=1&b=2'
+             END AS raw_url
+      FROM documents
+"""
+
+_URL_CANON_SQL = r"""
+      SELECT doc_id, raw_url,
+             regexp_replace(raw_url, '#.*$', '') AS u,
+             lower(coalesce(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+             regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+             coalesce(regexp_extract(rest, '^([^/?]*)', 1), '') AS hostport,
+             regexp_replace(rest, '^[^/?]*', '') AS pathq,
+             lower(coalesce(regexp_extract(hostport, '^([^:]*)', 1), '')) AS host,
+             coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port,
+             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                  THEN '' ELSE ':' || port END AS port_part,
+             regexp_replace(regexp_replace(coalesce(regexp_extract(pathq, '^([^?]*)', 1), ''),
+                                           '/{2,}', '/', 'g'),
+                            '/+$', '') AS path0,
+             CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+             coalesce(array_to_string(
+               list_sort(
+                 list_filter(string_split(coalesce(regexp_extract(pathq, '\?(.*)$', 1), ''), '&'),
+                             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)='))
+               ), '&'), '') AS q_norm,
+             CASE WHEN q_norm = '' THEN '' ELSE '?' || q_norm END AS query_part,
+             scheme || '://' || host || port_part || path || query_part AS canonical_url
+"""
+
+
+@query(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH raw AS ({_URL_RAW_SQL}),
+    canon AS ({_URL_CANON_SQL} FROM raw)
+    SELECT canonical_url,
+           COUNT(*) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    """,
+    cite="LLM-ops: URL canonicalization + URL-level crawl dedup "
+    "(functions/text.canonicalize_url — scheme/host case, default "
+    "ports, fragments, slash collapse, tracking-param drop, "
+    "order-insensitive query identity; pure codegen expressions)",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.functions.text import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    base = F.expr("CAST(doc_id div 6 AS STRING)")
+    v = F.col("doc_id") % 6
+    raw = (
+        F.when(v == 0, F.concat(F.lit("https://Example-"), (F.expr("doc_id div 6") % 7).cast("string"), F.lit(".COM/articles/"), base))
+        .when(v == 1, F.concat(F.lit("HTTPS://example-"), (F.expr("doc_id div 6") % 7).cast("string"), F.lit(".com:443/articles//"), base, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://EXAMPLE-"), (F.expr("doc_id div 6") % 7).cast("string"), F.lit(".com/articles/"), base, F.lit("?utm_source=feed&utm_campaign=x")))
+        .when(v == 3, F.concat(F.lit("https://example-"), (F.expr("doc_id div 6") % 7).cast("string"), F.lit(".com/articles/"), base, F.lit("#section-2")))
+        .when(v == 4, F.concat(F.lit("https://example-"), (F.expr("doc_id div 6") % 7).cast("string"), F.lit(".com/articles/"), base, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(F.lit("http://example-"), (F.expr("doc_id div 6") % 7).cast("string"), F.lit(".com:80/articles/"), base, F.lit("?a=1&b=2")))
+    )
+    urls = docs.select("doc_id", raw.alias("raw_url"))
+    return (
+        urls.select("doc_id", canonicalize_url("raw_url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )

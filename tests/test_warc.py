@@ -93,3 +93,21 @@ def test_ingest_warc_explodes_and_extracts(spark):
     png = [r for r in by_arch[1] if r.content_type == "image/png"][0]
     assert png.text is None and png.n_text_chars is None
     assert png.body_bytes == 6 + 32
+
+
+def test_canonicalize_url_cases(spark):
+    from kwwhat_spark.functions.text import canonicalize_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/a/b/", "http://www.ex.com/a/b"),
+        ("https://ex.com:443/", "https://ex.com/"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),  # non-default kept
+        ("https://ex.com//a///b//?b=2&a=1#frag", "https://ex.com/a/b?a=1&b=2"),
+        ("https://ex.com/p?utm_source=x&utm_campaign=y", "https://ex.com/p"),
+        ("https://ex.com/p?gclid=1&keep=2&fbclid=3", "https://ex.com/p?keep=2"),
+        ("https://ex.com", "https://ex.com/"),
+        ("https://ex.com/#only-frag", "https://ex.com/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r[0] for r in df.select(canonicalize_url("u")).collect()]
+    assert got == [c for _, c in cases]
