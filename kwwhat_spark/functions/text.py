@@ -388,6 +388,9 @@ def canonicalize_url(url: Column | str) -> Column:
 
     - scheme and host lowercased; default ports stripped (http:80,
       https:443), other ports kept;
+    - userinfo (``user[:password]@``) stripped — RFC 3986 host identity
+      excludes it, and leaving it in would split host/port at the wrong
+      colon; bracketed IPv6 host literals (``[::1]:8080``) kept intact;
     - fragment dropped;
     - path: duplicate slashes collapsed, trailing slashes stripped,
       empty path becomes "/";
@@ -404,7 +407,17 @@ def canonicalize_url(url: Column | str) -> Column:
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
     pathq = F.regexp_replace(rest, r"^[^/?]*", "")
-    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    # Host cannot contain '@' (RFC 3986), so userinfo is everything up
+    # to the LAST '@' — strip it greedily before the host/port split.
+    hostport = F.regexp_replace(hostport, r"^.*@", "")
+    # Bracketed IPv6 literal: the host is the whole [...] token; the
+    # plain ^([^:]*) split would truncate it at the first ':'.
+    bracket = F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)
+    host = F.lower(
+        F.when(bracket != "", bracket).otherwise(
+            F.regexp_extract(hostport, r"^([^:]*)", 1)
+        )
+    )
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     default_port = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")

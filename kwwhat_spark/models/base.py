@@ -159,6 +159,23 @@ class Pipeline:
     # identical plans over DIFFERENT data. The memo holds a strong
     # reference to the DataFrame so a dead object's id can never be
     # recycled into a false hit.
+    #
+    # OBJECT-IDENTITY CONTRACT (callers must honor it): a scalar read
+    # over mutated storage must go through a NEW DataFrame object — the
+    # incremental stores do this (every merge re-reads state into a
+    # fresh read()), so staleness cannot occur there. Any future code
+    # that holds ONE DataFrame object across a write to its underlying
+    # path must call invalidate_scalars() after the write, or it reads
+    # the pre-write watermark forever. Long-lived Pipelines should also
+    # call it periodically: the strong references pin DataFrames (and
+    # their cached plans) for the Pipeline's lifetime.
+    def invalidate_scalars(self) -> None:
+        """Drop all memoized driver scalars (and the DataFrame pins that
+        key them). Call after writing beneath a DataFrame object you
+        intend to re-query, or to bound memory on a long-lived Pipeline."""
+        if hasattr(self, "_scalar_cache"):
+            self._scalar_cache.clear()
+
     def _scalar_memo(self, df: DataFrame, col: str, kind: str, expr):
         if not hasattr(self, "_scalar_cache"):
             self._scalar_cache: dict = {}
@@ -169,9 +186,14 @@ class Pipeline:
         return self._scalar_cache[key][1]
 
     def scalar(self, df: DataFrame, col: str):
+        """Memoized driver-side MIN(col). Keyed by DataFrame identity —
+        see the object-identity contract on _scalar_memo / use
+        invalidate_scalars() after writing beneath a reused object."""
         return self._scalar_memo(df, col, "min", F.min)
 
     def scalar_max(self, df: DataFrame, col: str):
+        """Memoized driver-side MAX(col). Same identity contract as
+        scalar()."""
         return self._scalar_memo(df, col, "max", F.max)
 
 

@@ -29,7 +29,7 @@ corpus regardless of partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EOW = "</w>"
@@ -43,6 +43,22 @@ GPT2_SPLIT_PATTERN = (
     r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
     r"|\s+(?!\S)|\s+"
 )
+
+# Java's \s is ASCII-only by default, while the Python `regex` module
+# (the pinned reference in tests/test_bpe.py) treats \s as Unicode
+# whitespace — without alignment, U+00A0/U+3000 would be classified as
+# punctuation by the JVM but whitespace by the reference. (?U)
+# (UNICODE_CHARACTER_CLASS) makes the JVM side Unicode-aware; it is a
+# JVM-only inline flag (Python regex is already Unicode-default and
+# rejects uppercase (?U)), so it is prepended ONLY on the Spark side.
+_JVM_GPT2_SPLIT_PATTERN = "(?U)" + GPT2_SPLIT_PATTERN
+
+
+def gpt2_pretokenize(col) -> Column:
+    """Array of GPT-2 pre-tokens for a string column — JVM codegen
+    regexp_extract_all with Unicode character classes, byte-for-byte
+    equal to `regex.findall(GPT2_SPLIT_PATTERN, text)` in Python."""
+    return F.regexp_extract_all(col, F.lit(_JVM_GPT2_SPLIT_PATTERN), F.lit(0))
 
 
 def bytes_to_unicode() -> dict[int, str]:
@@ -102,9 +118,7 @@ def _byte_types(df: DataFrame, text_col: str) -> DataFrame:
     b2u = bytes_to_unicode()
 
     pres = df.select(
-        F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit(GPT2_SPLIT_PATTERN), F.lit(0))
-        ).alias("__w")
+        F.explode(gpt2_pretokenize(F.col(text_col))).alias("__w")
     )
     types = pres.groupBy("__w").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -241,9 +255,7 @@ def apply_bpe(
             F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
         )
     elif level == "byte":
-        unit = F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit(GPT2_SPLIT_PATTERN), F.lit(0))
-        )
+        unit = F.explode(gpt2_pretokenize(F.col(text_col)))
     else:
         raise ValueError(f"unknown BPE level: {level!r}")
     b2u = bytes_to_unicode() if level == "byte" else None

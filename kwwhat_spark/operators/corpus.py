@@ -910,6 +910,12 @@ def bigram_logprob_scores(
     otherwise — token bigrams are Zipfian). Documents with <2 tokens
     have no bigrams and drop out, mirroring the oracle's inner join.
     """
+    if abs(lam + lam_c - 1.0) >= 1e-9:
+        raise ValueError(
+            f"lam ({lam}) and lam_c ({lam_c}) must sum to 1.0 — both are "
+            "passed verbatim (never derived) so a caller overriding one "
+            "without the other would silently mis-weight the mixture"
+        )
     from kwwhat_spark.operators.scaling import widen
 
     df = widen(df)
@@ -1002,6 +1008,12 @@ def bm25_topk(
     (broadcast); the final top-k is TakeOrderedAndProject (per-partition
     heads, no global sort materialization).
     """
+    if abs(k1 + 1.0 - k1p1) >= 1e-9 or abs(1.0 - b - b_c) >= 1e-9:
+        raise ValueError(
+            f"k1p1 ({k1p1}) must equal k1+1 ({k1}+1) and b_c ({b_c}) must "
+            f"equal 1-b (b={b}) — verbatim-literal companions to the base "
+            "parameters; overriding one without the other mis-scores"
+        )
     from kwwhat_spark.operators.scaling import widen
 
     df = widen(df)

@@ -141,6 +141,27 @@ def test_byte_level_merges_match_reference(spark, seed):
     assert got == exp
 
 
+def test_byte_level_non_ascii_whitespace_matches_reference(spark):
+    # U+00A0 (NBSP) and U+3000 (ideographic space) are whitespace to the
+    # Python `regex` module's \s but NOT to plain Java \s — the Spark
+    # side prepends (?U) (UNICODE_CHARACTER_CLASS) so both engines
+    # classify them as whitespace. This pins that agreement: were the
+    # JVM still ASCII-\s, NBSP would be swallowed into punctuation runs
+    # and the learned merge table would diverge from the reference.
+    texts = [
+        "café au lait café au",  # NBSP separators
+        "　hello　world　hello",  # ideographic space
+        "mix   of kinds  and 　 runs",
+        "café au lait plain ascii too",
+    ] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(5)
+    got = learn_bpe_merges(df, n_merges=12, level="byte")
+    exp = _ref_byte_bpe(texts, 12)
+    assert got == exp
+
+
 def test_byte_level_alphabet_is_bijective():
     from kwwhat_spark.operators.bpe import bytes_to_unicode
 

@@ -107,6 +107,15 @@ def test_canonicalize_url_cases(spark):
         ("https://ex.com/p?gclid=1&keep=2&fbclid=3", "https://ex.com/p?keep=2"),
         ("https://ex.com", "https://ex.com/"),
         ("https://ex.com/#only-frag", "https://ex.com/"),
+        # userinfo stripped (host cannot contain '@'; greedy to last @)
+        ("https://alice:pw@a.com/x", "https://a.com/x"),
+        ("https://alice@pw@a.com:8443/x", "https://a.com:8443/x"),
+        ("http://bob@b.com:80/y", "http://b.com/y"),
+        # bracketed IPv6 literals kept whole; ports still recognized
+        ("HTTP://[::1]:8080/v6", "http://[::1]:8080/v6"),
+        ("https://[2001:DB8::1]:443/v6", "https://[2001:db8::1]/v6"),
+        ("http://[2001:db8::7]/v6?b=2&a=1", "http://[2001:db8::7]/v6?a=1&b=2"),
+        ("https://u:p@[::1]:9443/z", "https://[::1]:9443/z"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r[0] for r in df.select(canonicalize_url("u")).collect()]
