@@ -103,23 +103,33 @@ def _word_types(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _byte_types(df: DataFrame, text_col: str) -> DataFrame:
+def _byte_types(
+    df: DataFrame, text_col: str, pretokenizer: str = "gpt2"
+) -> DataFrame:
     """(symbols array<string>, cnt long): byte-level pre-token types.
 
-    Pre-tokenization (GPT2_SPLIT_PATTERN) runs JVM-side as a codegen
-    regexp_extract_all; only the DISTINCT pre-token types cross into
-    Python (Arrow-batched) for UTF-8 byte mapping — per-TYPE work
-    bounded by the vocabulary, not the token stream, exactly like the
-    word-level path. No end-of-word marker: byte-level BPE carries the
-    word boundary in the leading-space convention of the pre-tokenizer
-    itself."""
+    Pre-tokenization runs JVM-side as a codegen expression; only the
+    DISTINCT pre-token types cross into Python (Arrow-batched) for
+    UTF-8 byte mapping — per-TYPE work bounded by the vocabulary, not
+    the token stream, exactly like the word-level path. No end-of-word
+    marker: byte-level BPE carries the word boundary in the
+    leading-space convention of the pre-tokenizer itself.
+
+    ``pretokenizer='gpt2'`` is the production shape (GPT2_SPLIT_PATTERN,
+    regex lookahead — not RE2-replayable); ``'whitespace'`` splits on
+    \\s+ (SQL-replayable) so the byte->unicode bijection and the byte
+    merge loop can sit under the DuckDB value-hash gate."""
     import pandas as pd
 
     b2u = bytes_to_unicode()
 
-    pres = df.select(
-        F.explode(gpt2_pretokenize(F.col(text_col))).alias("__w")
-    )
+    if pretokenizer == "gpt2":
+        unit = gpt2_pretokenize(F.col(text_col))
+    elif pretokenizer == "whitespace":
+        unit = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    else:
+        raise ValueError(f"unknown pretokenizer: {pretokenizer!r}")
+    pres = df.select(F.explode(unit).alias("__w"))
     types = pres.groupBy("__w").agg(F.count(F.lit(1)).alias("cnt"))
 
     def to_syms(batches):
@@ -181,6 +191,7 @@ def learn_bpe_merges(
     *,
     n_merges: int = 24,
     level: str = "word",
+    pretokenizer: str = "gpt2",
 ) -> list[tuple[int, str, str, int]]:
     """Learn the top-``n_merges`` BPE merges: [(rank, left, right,
     pair_count)], rank 1 = first merge. Stops early when no pair occurs
@@ -188,12 +199,14 @@ def learn_bpe_merges(
 
     ``level='word'`` is 2016-style word BPE (whitespace pre-tokenizer,
     </w> marker); ``level='byte'`` is the modern byte-level shape
-    (GPT-2 regex pre-tokenizer + byte->unicode alphabet). Both share
-    the identical distributed merge loop over the type table."""
+    (GPT-2 regex pre-tokenizer + byte->unicode alphabet; pass
+    ``pretokenizer='whitespace'`` for the SQL-replayable twin shape).
+    Both share the identical distributed merge loop over the type
+    table."""
     if level == "word":
         types = _word_types(df, text_col)
     elif level == "byte":
-        types = _byte_types(df, text_col)
+        types = _byte_types(df, text_col, pretokenizer)
     else:
         raise ValueError(f"unknown BPE level: {level!r}")
     types = types.localCheckpoint(eager=True)

@@ -2054,7 +2054,8 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/bpe.py _byte_types/learn_bpe_merges level='byte') — "
     "rows-only (iterative + RE2 lacks the pre-tokenizer's lookahead); "
     "pinned vs a pure-Python reference over 3-seed random corpora in "
-    "tests/test_bpe.py (partition-invariant, identical tie-breaks)",
+    "tests/test_bpe.py; byte machinery value-hash-bound via "
+    "bpe_byte_merges_replayable",
 )
 def bpe_byte_level_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-14 byte-level merges on the lowest-150 doc_ids: the modern
@@ -2071,35 +2072,26 @@ def bpe_byte_level_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_replay_sql(n_rounds: int, doc_limit: int) -> str:
+def _bpe_rounds_sql(preamble: str, n_rounds: int) -> str:
     """Unrolled-CTE DuckDB replay of ``n_rounds`` BPE merge-learning
     rounds (the kmeans/pagerank replayable-twin pattern): per round, a
     pair-count GROUP BY, the (count desc, left, right) argmax, and the
     greedy left-to-right adjacent merge expressed as a list_reduce fold
-    over a chr(31)-delimited accumulator string.
+    over a chr(31)-delimited accumulator string. ``preamble`` must be a
+    WITH clause ending in a CTE ``t0(s array<varchar>, cnt)`` — the
+    symbol-split type table (word- or byte-level alphabet).
 
     The fold IS the greedy scan: fusing rewrites the accumulator's last
     element to left||right, which can never equal ``left`` again (right
     is non-empty), so consecutive runs merge non-overlapping
     left-to-right exactly like operators/bpe.py _merge_types. chr(31)
     (ASCII unit separator) never appears in the corpus (asserted over
-    the gate slice), so the string encoding is injective."""
+    the gate slice) nor in the byte alphabet (bytes_to_unicode remaps
+    all controls to >= chr(256)), so the string encoding is injective."""
     S = "chr(31)"
     last_re = f"{S} || '([^' || {S} || ']*)$'"
     strip_re = f"{S} || '[^' || {S} || ']*$'"
-    parts = [
-        f"""
-    WITH w0 AS (
-      SELECT w, COUNT(*) AS cnt FROM (
-        SELECT UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
-        FROM documents WHERE doc_id < {doc_limit}
-      ) GROUP BY w
-    ), t0 AS (
-      SELECT list_transform(string_split(w, ''), (c, i) ->
-               CASE WHEN i = length(w) THEN c || '</w>' ELSE c END) AS s, cnt
-      FROM w0
-    )"""
-    ]
+    parts = [preamble]
     for k in range(1, n_rounds + 1):
         p, m, tp = f"p{k}", f"m{k}", f"t{k - 1}"
         parts.append(
@@ -2134,6 +2126,72 @@ def _bpe_replay_sql(n_rounds: int, doc_limit: int) -> str:
     return "".join(parts)
 
 
+def _bpe_replay_sql(n_rounds: int, doc_limit: int) -> str:
+    """Word-level replay: whitespace pre-tokenizer, char split, </w>
+    fused onto the final character (see _bpe_rounds_sql)."""
+    preamble = f"""
+    WITH w0 AS (
+      SELECT w, COUNT(*) AS cnt FROM (
+        SELECT UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+        FROM documents WHERE doc_id < {doc_limit}
+      ) GROUP BY w
+    ), t0 AS (
+      SELECT list_transform(string_split(w, ''), (c, i) ->
+               CASE WHEN i = length(w) THEN c || '</w>' ELSE c END) AS s, cnt
+      FROM w0
+    )"""
+    return _bpe_rounds_sql(preamble, n_rounds)
+
+
+# Deterministic non-ASCII suffixes for the byte-level replay: the gate
+# corpus is pure ASCII (max codepoint 121 over the slice), which would
+# leave bytes_to_unicode's non-identity region (controls, >= 0x80)
+# untested — so both engines append the same 2-byte-UTF-8 words
+# (all < U+0800, the range the oracle's byte expansion covers).
+_BPE_BYTE_SUFFIXES = [" café über café",
+                      " żółw λόγος café",
+                      " über żółw naïve"]
+
+
+def _bpe_byte_replay_sql(n_rounds: int, doc_limit: int) -> str:
+    """Byte-level replay: whitespace pre-tokenizer (the SQL-expressible
+    twin of the GPT-2 one — RE2 lacks its lookahead), then each token
+    expands to its UTF-8 bytes mapped through the bytes_to_unicode
+    bijection embedded as a 256-entry literal list (m[byte+1]). ASCII
+    is m[cp+1]; codepoints in [0x80, 0x800) expand to the 2-byte
+    sequence [0xC0 | cp>>6, 0x80 | cp&63] — the corpus slice plus the
+    synthesized suffixes stay below U+0800 by construction."""
+    from kwwhat_spark.operators.bpe import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    m_list = "[" + ", ".join(
+        "'" + b2u[b].replace("'", "''") + "'" for b in range(256)
+    ) + "]"
+    suffix_case = (
+        "CASE doc_id % 3 WHEN 0 THEN '" + _BPE_BYTE_SUFFIXES[0].replace("'", "''")
+        + "' WHEN 1 THEN '" + _BPE_BYTE_SUFFIXES[1].replace("'", "''")
+        + "' ELSE '" + _BPE_BYTE_SUFFIXES[2].replace("'", "''") + "' END"
+    )
+    preamble = f"""
+    WITH b2u AS (SELECT {m_list} AS m),
+    docs_aug AS (
+      SELECT doc_id, text || {suffix_case} AS text
+      FROM documents WHERE doc_id < {doc_limit}
+    ), w0 AS (
+      SELECT w, COUNT(*) AS cnt FROM (
+        SELECT UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+        FROM docs_aug
+      ) GROUP BY w
+    ), t0 AS (
+      SELECT flatten(list_transform(string_split(w, ''), c ->
+               CASE WHEN ord(c) < 128 THEN [m[ord(c) + 1]]
+                    ELSE [m[192 + (ord(c) // 64) + 1], m[128 + (ord(c) % 64) + 1]]
+               END)) AS s, cnt
+      FROM w0, b2u
+    )"""
+    return _bpe_rounds_sql(preamble, n_rounds)
+
+
 # ---------------------------------------------------------------------------
 # Replayable twin for BPE merge learning (closes the last rows-only
 # family): a FIXED number of rounds is SQL-expressible by unrolling —
@@ -2156,6 +2214,43 @@ def bpe_learn_merges_replayable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     merges = learn_bpe_merges(docs, n_merges=8)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Replayable twin for BYTE-LEVEL BPE (binds the byte machinery —
+# bytes_to_unicode + the byte merge tables — to the value-hash gate;
+# the production GPT-2 pre-tokenizer stays rows-only because RE2 lacks
+# its lookahead, but the byte alphabet and merge loop don't need it):
+# whitespace pre-tokenizer + byte->unicode alphabet on BOTH engines,
+# over text augmented with deterministic non-ASCII words so the
+# bijection's non-identity region (>= 0x80 -> 2-byte UTF-8 -> remapped
+# symbols) is actually exercised, not just the ASCII diagonal.
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_byte_merges_replayable",
+    oracle=_bpe_byte_replay_sql(8, 120),
+    cite="LLM-ops: byte-level BPE merge learning, value-hash replayable "
+    "twin — 8 unrolled rounds vs the production distributed learner "
+    "(operators/bpe.py learn_bpe_merges level='byte', "
+    "pretokenizer='whitespace'); bytes_to_unicode embedded in the "
+    "oracle as a 256-entry literal, UTF-8 expansion in SQL",
+)
+def bpe_byte_merges_replayable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kwwhat_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_BPE_BYTE_SUFFIXES[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_BPE_BYTE_SUFFIXES[1]))
+        .otherwise(F.lit(_BPE_BYTE_SUFFIXES[2]))
+    )
+    aug = docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    merges = learn_bpe_merges(
+        aug, n_merges=8, level="byte", pretokenizer="whitespace"
+    )
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
@@ -2276,7 +2371,8 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounded slice, re-segment each GPT-2 pre-token TYPE once, "
     "broadcast join back) — rows-only (iterative learning upstream + "
     "RE2 lacks the pre-tokenizer lookahead); both halves pinned vs the "
-    "pure-Python regex-module reference in tests/test_bpe.py",
+    "pure-Python regex-module reference in tests/test_bpe.py; byte "
+    "machinery value-hash-bound via bpe_byte_merges_replayable",
 )
 def bpe_byte_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn 10 byte-level merges on the lowest-150 doc_ids, then

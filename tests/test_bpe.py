@@ -162,6 +162,59 @@ def test_byte_level_non_ascii_whitespace_matches_reference(spark):
     assert got == exp
 
 
+def test_byte_level_whitespace_pretokenizer_matches_reference(spark):
+    # The SQL-replayable twin shape (whitespace pre-tokenizer + byte
+    # alphabet) must agree with a sequential reference that whitespace-
+    # splits then byte-maps — the same machinery the gate entry
+    # bpe_byte_merges_replayable binds to the DuckDB oracle. Non-ASCII
+    # words exercise the bijection's remapped region.
+    from kwwhat_spark.operators.bpe import bytes_to_unicode, learn_bpe_merges
+
+    b2u = bytes_to_unicode()
+    texts = [
+        "café über low low café",
+        "żółw lower żółw café naïve",
+        "low lower λόγος über",
+    ] * 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(5)
+    got = learn_bpe_merges(df, n_merges=10, level="byte", pretokenizer="whitespace")
+
+    vocab = Counter()
+    for t in texts:
+        for tok in t.split():
+            vocab[tuple(b2u[b] for b in tok.encode("utf-8"))] += 1
+    merges = []
+    for rank in range(1, 11):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((rank, left, right, cnt))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            res, i = [], 0
+            syms = list(syms)
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] += c
+        vocab = new_vocab
+    assert got == merges
+
+
 def test_byte_level_alphabet_is_bijective():
     from kwwhat_spark.operators.bpe import bytes_to_unicode
 
