@@ -1049,7 +1049,35 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # installed) with a digest-stub fallback for opaque containers — the
 # per-row `decoder` column in the output records which path ran.
 # ---------------------------------------------------------------------------
-@query("multimodal_features", oracle=None, cite="LLM-ops: multimodal binary column decode + features")
+# Pinned golden rows for the two multimodal entries (VERDICT r8 #6):
+# DuckDB cannot decode the codecs, but the fixture set (synthesize_media
+# seed=42) and every decoder are deterministic pure functions, so the
+# expected output is a CONSTANT — pinned here as a literal VALUES
+# oracle, which puts both entries under the driver's full value-hash
+# gate instead of rows-only. Feature aggregates are per-row
+# micro-quantized integer sums (order-independent; float avg would be
+# partial-order-sensitive in the last ulp). Regenerate after an
+# intentional decoder change with:
+#   python -m tests.pin_multimodal
+_MULTIMODAL_FEATURES_PINNED = """
+    SELECT * FROM (VALUES
+      ('audio', 'wav', CAST(21 AS BIGINT), CAST(48284 AS BIGINT), CAST(20 AS BIGINT), CAST(49333 AS BIGINT)),
+      ('image', 'bmp', CAST(6 AS BIGINT), CAST(1680 AS BIGINT), CAST(6 AS BIGINT), CAST(14649 AS BIGINT)),
+      ('image', 'gif', CAST(5 AS BIGINT), CAST(2477 AS BIGINT), CAST(5 AS BIGINT), CAST(12939 AS BIGINT)),
+      ('image', 'jpeg', CAST(5 AS BIGINT), CAST(3216 AS BIGINT), CAST(5 AS BIGINT), CAST(15136 AS BIGINT)),
+      ('image', 'png', CAST(6 AS BIGINT), CAST(2374 AS BIGINT), CAST(6 AS BIGINT), CAST(19044 AS BIGINT)),
+      ('video', 'stub', CAST(21 AS BIGINT), CAST(27012 AS BIGINT), CAST(21 AS BIGINT), CAST(10513725 AS BIGINT))
+    ) AS t(modality, decoder, media_count, total_bytes, distinct_payloads, sum_feature0_micro)
+"""
+
+
+@query(
+    "multimodal_features",
+    oracle=_MULTIMODAL_FEATURES_PINNED,
+    cite="LLM-ops: multimodal binary column decode + features — "
+    "value-hash via pinned golden rows (deterministic fixture set + "
+    "pure-function decoders; integer-quantized feature sums)",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(spark, n=64)
     feats = extract_features(media, dim=16)
@@ -1057,20 +1085,51 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("media_count"),
         F.sum("payload_bytes").alias("total_bytes"),
         F.countDistinct("content_sha256").alias("distinct_payloads"),
-        F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_feature_0"),
+        F.sum(
+            F.floor(F.element_at("feature", 1) * 1e6 + F.lit(0.5)).cast("long")
+        ).alias("sum_feature0_micro"),
     )
+
+
+_MULTIMODAL_FRAME_FEATURES_PINNED = """
+    SELECT * FROM (VALUES
+      (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3906 AS BIGINT)),
+      (CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(1160784 AS BIGINT)),
+      (CAST(8 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3906 AS BIGINT)),
+      (CAST(11 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(937255 AS BIGINT)),
+      (CAST(14 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3906 AS BIGINT)),
+      (CAST(17 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(2556862 AS BIGINT)),
+      (CAST(20 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3906 AS BIGINT)),
+      (CAST(23 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(2043138 AS BIGINT)),
+      (CAST(26 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3906 AS BIGINT)),
+      (CAST(29 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(2070588 AS BIGINT)),
+      (CAST(32 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3906 AS BIGINT)),
+      (CAST(35 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(1266667 AS BIGINT)),
+      (CAST(38 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3906 AS BIGINT)),
+      (CAST(41 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(1250980 AS BIGINT)),
+      (CAST(44 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3906 AS BIGINT)),
+      (CAST(47 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(2039215 AS BIGINT)),
+      (CAST(50 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3906 AS BIGINT)),
+      (CAST(53 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(2156862 AS BIGINT)),
+      (CAST(56 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3906 AS BIGINT)),
+      (CAST(59 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(2607844 AS BIGINT)),
+      (CAST(62 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3906 AS BIGINT))
+    ) AS t(media_id, frame_count, distinct_frames, sum_feature0_micro)
+"""
 
 
 @query(
     "multimodal_frame_features",
-    oracle=None,
-    cite="LLM-ops: video frame sampling -> per-frame features (one-to-many mapInPandas)",
+    oracle=_MULTIMODAL_FRAME_FEATURES_PINNED,
+    cite="LLM-ops: video frame sampling -> per-frame features "
+    "(one-to-many mapInPandas) — value-hash via pinned golden rows",
 )
 def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video rows → sampled frames (stub decode) → per-frame features,
-    rolled up per source video: the decode→sample→featurize chain a
-    multimodal training pipeline runs, with both mapInPandas stages
-    fused into one narrow plan (no shuffle until the final rollup)."""
+    """Video rows → sampled frames (real MJPEG extraction or stub) →
+    per-frame features, rolled up per source video: the
+    decode→sample→featurize chain a multimodal training pipeline runs,
+    with both mapInPandas stages fused into one narrow plan (no shuffle
+    until the final rollup)."""
     from kwwhat_spark.operators.multimodal import frame_sample
 
     media = synthesize_media(spark, n=64)
@@ -1079,7 +1138,9 @@ def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("frame_count"),
         F.countDistinct("content_sha256").alias("distinct_frames"),
-        F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_feature_0"),
+        F.sum(
+            F.floor(F.element_at("feature", 1) * 1e6 + F.lit(0.5)).cast("long")
+        ).alias("sum_feature0_micro"),
     )
 
 
