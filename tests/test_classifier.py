@@ -44,6 +44,34 @@ def test_classifier_partition_invariant(spark):
     assert w1 == w2
 
 
+def test_classifier_heldout_accuracy(spark):
+    # The production shape (r9): normalized integer-frequency features,
+    # confident weak labels (stopword-density band), held-out split,
+    # halving step schedule. The VERDICT r8 target is >= 0.85 held-out
+    # accuracy on the gate corpus — this pins it so a regression in
+    # normalization, schedule, or labels is caught locally.
+    from kwwhat_spark.queries.curation import _logreg_spark_halves, _LOGREG_CACHE
+    from kwwhat_spark.operators.classifier import FREQ_SCALE, SIG_SCALE, score_logreg
+
+    _LOGREG_CACHE.clear()
+    feats, labels, splits, w = _logreg_spark_halves(spark, "/root/testdata/sf0.01")
+    scored = (
+        score_logreg(feats, w, dot_scale=SIG_SCALE * FREQ_SCALE)
+        .join(labels, "doc_id")
+        .join(splits, "doc_id")
+    )
+    rows = scored.collect()
+    held = [r for r in rows if not r.train]
+    assert len(held) >= 50
+    acc = sum(1 for r in held if int(r.predicted) == r.y) / len(held)
+    base = max(
+        sum(1 for r in held if r.y == 1), sum(1 for r in held if r.y == 0)
+    ) / len(held)
+    assert acc >= 0.85, (acc, base)
+    assert acc > base + 0.2, (acc, base)
+    _LOGREG_CACHE.clear()
+
+
 def test_bias_bucket_present_for_empty_docs(spark):
     from kwwhat_spark.operators.classifier import BIAS_BUCKET, hashed_token_features
 
