@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""sf100 sweep for the LLM-ops heavy family (VERDICT r8 #1): paired
+Spark-vs-DuckDB hot runs over the 5M-doc / 2M-vector tmpfs replica.
+
+Each entry runs 2 Spark trials (cold, hot — DataFrame rebuilt per trial;
+Spark 4 caches an executed DataFrame's result stage) and, when an oracle
+exists, 2 DuckDB trials in a SUBPROCESS with a hard timeout — at this
+scale some all-pairs oracles are expected to DNF, and that is itself the
+measurement (the Spark plan is the one that survives the decade).
+
+Usage: python tools/sf100_llmops.py [SF_DIR] [ENTRY ...]
+Writes JSONL to /tmp/sf100_llmops.jsonl (append).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_ENTRIES = [
+    # paired (oracle exists)
+    "dedup_substring_spans",
+    "dedup_minhash_components_replayable",
+    "pipeline_clean_corpus_scalable_replayable",
+    "semdedup_clustered",
+    "similarity_topk",
+    "similarity_ivf_fullprobe",
+    # spark-only (rows-only prod paths)
+    "dedup_minhash_components",
+    "pipeline_clean_corpus_scalable",
+    "similarity_ivf_topk",
+]
+
+DUCK_TIMEOUT_S = 2400
+
+_DUCK_RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+import duckdb
+from kwwhat_spark.queries import REGISTRY
+from kwwhat_spark.sources.testdata import TESTDATA_TABLES
+sf_dir, name = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+con.execute("SET TimeZone='UTC'")
+con.execute("SET enable_progress_bar=false")
+con.execute(f"SET threads={{os.cpu_count() or 8}}")
+con.execute("SET memory_limit='80GB'")
+con.execute("SET temp_directory='/tmp/duck_spill'")
+for t in TESTDATA_TABLES:
+    con.execute(f"CREATE VIEW {{t}} AS SELECT * FROM read_parquet('{{sf_dir}}/{{t}}.parquet')")
+times = []
+for _ in range(2):
+    t0 = time.perf_counter()
+    n = len(con.execute(REGISTRY[name].oracle).fetchall())
+    times.append(round(time.perf_counter() - t0, 2))
+print("RESULT::" + json.dumps({{"times": times, "rows": n}}))
+"""
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/dev/shm/sf100"
+    entries = sys.argv[2:] or DEFAULT_ENTRIES
+
+    from kwwhat_spark.queries import REGISTRY
+    from kwwhat_spark.session import get_spark
+
+    spark = get_spark(app_name="sf100-llmops")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_path = "/tmp/sf100_llmops.jsonl"
+    runner = _DUCK_RUNNER.format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    for name in entries:
+        q = REGISTRY[name]
+        rec: dict = {"entry": name, "sf_dir": sf_dir,
+                     "load_start": os.getloadavg()}
+        trials = []
+        rows = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            trials.append(round(time.perf_counter() - t0, 2))
+        # row count once, cheap relative to the timed noop writes
+        rec["spark_trials"] = trials
+        rec["spark_hot"] = min(trials)
+        if q.oracle:
+            try:
+                p = subprocess.run(
+                    [sys.executable, "-c", runner, sf_dir, name],
+                    capture_output=True, text=True, timeout=DUCK_TIMEOUT_S,
+                )
+                if p.returncode == 0:
+                    duck = json.loads(p.stdout.rsplit("RESULT::", 1)[1].strip())
+                    rec["duck_trials"] = duck["times"]
+                    rec["duck_hot"] = min(duck["times"])
+                    rec["duck_rows"] = duck["rows"]
+                    rec["ratio_hot"] = round(rec["spark_hot"] / rec["duck_hot"], 2)
+                else:
+                    rec["duck_error"] = (p.stderr or "")[-400:]
+            except subprocess.TimeoutExpired:
+                rec["duck_dnf_s"] = DUCK_TIMEOUT_S
+        rec["load_end"] = os.getloadavg()
+        print(json.dumps(rec), flush=True)
+        with open(out_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
