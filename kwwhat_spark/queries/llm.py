@@ -637,7 +637,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.vec_id AS corpus_id, c.e, ct.cell,
                ROW_NUMBER() OVER (
                  PARTITION BY c.vec_id
-                 ORDER BY list_cosine_similarity(c.e, ct.ce) DESC, ct.cell DESC
+                 ORDER BY round(list_cosine_similarity(c.e, ct.ce), 6) DESC, ct.cell DESC
                ) AS rn
         FROM corpus c CROSS JOIN cent ct
       ) WHERE rn = 1
@@ -646,7 +646,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.vec_id AS corpus_id, ct.cell,
                ROW_NUMBER() OVER (
                  PARTITION BY c.vec_id
-                 ORDER BY list_cosine_similarity(c.e, ct.ce) DESC, ct.cell DESC
+                 ORDER BY round(list_cosine_similarity(c.e, ct.ce), 6) DESC, ct.cell DESC
                ) AS rn
         FROM corpus c CROSS JOIN cent ct
       ) WHERE rn = 1
@@ -655,7 +655,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT q.vec_id AS query_id, q.e AS qe, ct.cell,
                ROW_NUMBER() OVER (
                  PARTITION BY q.vec_id
-                 ORDER BY list_cosine_similarity(q.e, ct.ce) DESC, ct.cell DESC
+                 ORDER BY round(list_cosine_similarity(q.e, ct.ce), 6) DESC, ct.cell DESC
                ) AS rn
         FROM (SELECT * FROM corpus WHERE vec_id < 20) q CROSS JOIN cent ct
       ) WHERE rn <= 3
