@@ -43,7 +43,7 @@ def main() -> None:
     spark = get_spark(app_name="components-floor")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def t(fn, trials=2):
+    def t(fn, trials=int(os.environ.get('FLOOR_TRIALS', '2'))):
         best = None
         for _ in range(trials):
             t0 = time.perf_counter()
