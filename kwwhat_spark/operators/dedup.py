@@ -387,23 +387,46 @@ def minhash_lsh_components(
     can chain clusters. Use the verified pair path when pair precision
     matters and cluster sizes are bounded; use this when the corpus is
     huge or duplication is heavy."""
-    from kwwhat_spark.functions.text import let_
+    from kwwhat_spark.functions.text import MINHASH_MASK52, md5_52, minhash_seed_pair
     from kwwhat_spark.operators.graph import connected_components
     from pyspark.sql import Window
 
     df = widen(df)
-    banded = df.select(
+    # Signature via explode + codegen groupBy-min (r9): the array-lambda
+    # form ran the per-(shingle, seed) hash in the INTERPRETED
+    # expression evaluator — measured as 80% of the sf100 wall
+    # (components_stage_floor: 418 s of 524 s at 5M docs). Exploding the
+    # shingles keeps every hash and the (h1 + i*h2) double-hash family
+    # (minhash_from_hashed) inside whole-stage codegen, and the
+    # groupBy(doc_id) min is map-side combinable — the shuffle carries
+    # ~|docs| × num_hashes longs, not the shingle stream.
+    combine = md5_52 if replayable_hash else F.xxhash64
+    rows = num_hashes // bands
+    ex = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            let_(
-                minhash_signature(
-                    F.array_distinct(word_shingles(F.col(text_col), k)),
-                    num_hashes,
-                    replayable=replayable_hash,
-                ),
-                lambda sig: _sig_bands(sig, num_hashes, bands, replayable=replayable_hash),
-            )
-        ).alias("band_idx", "band_hash"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("__s"),
+    )
+    h1, h2 = minhash_seed_pair(combine(F.col("__s")), replayable_hash)
+    hp = ex.select("doc_id", h1.alias("__h1"), h2.alias("__h2"))
+    sig = hp.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("__h1") + F.lit(i) * F.col("__h2")).bitwiseAND(
+                    F.lit(MINHASH_MASK52)
+                )
+            ).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        combine(
+            F.concat_ws(",", *[F.col(f"__m{i}") for i in range(b * rows, (b + 1) * rows)])
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
     )
     # One shuffle on (band_idx, band_hash); the window min never
     # materializes a bucket cross product.
