@@ -86,16 +86,14 @@ def int_connector_preparing(p: Pipeline) -> DataFrame:
         F.col("ingested_ts").alias("conf_ingested_ts"),
         F.col("payload").alias("conf_payload"),
     )
+    from kwwhat_spark.operators.temporal import uid_window_join
+
     retry_s = p.vars.transaction_message_retry_interval_seconds
-    events_conf = events.join(
-        conf,
-        (F.col("conf_unique_id") == F.col("unique_id"))
-        & (F.col("conf_ingested_ts") >= F.col("ingested_ts"))
-        & (
-            F.col("conf_ingested_ts")
-            <= F.col("ingested_ts") + F.expr(f"interval {retry_s} seconds")
-        ),
-        "left",
+    events_conf = uid_window_join(
+        events, conf,
+        "unique_id", "conf_unique_id",
+        "ingested_ts", "conf_ingested_ts",
+        retry_s,
     ).select(
         F.col("charger_id").alias("e_charger_id"),
         "action",

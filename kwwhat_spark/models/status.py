@@ -73,17 +73,17 @@ def int_status_changes(p: Pipeline) -> DataFrame:
         F.col("ingested_timestamp").alias("confirmation_ingested_ts"),
     )
 
+    from kwwhat_spark.operators.temporal import uid_window_join
+
     with_conf = (
-        req.join(F.broadcast(connectors), ["charger_id", "connector_id"], "left")
-        .join(
+        uid_window_join(
+            req.join(F.broadcast(connectors), ["charger_id", "connector_id"], "left"),
             conf,
-            (F.col("conf_unique_id") == F.col("unique_id"))
-            & (F.col("confirmation_ingested_ts") >= F.col("ingested_timestamp"))
-            & (
-                F.col("confirmation_ingested_ts")
-                <= F.col("ingested_timestamp") + F.expr("interval 15 seconds")
-            ),
-            "left",
+            "unique_id",
+            "conf_unique_id",
+            "ingested_timestamp",
+            "confirmation_ingested_ts",
+            p.vars.message_response_interval_seconds,
         )
         .select(
             "charger_id",

@@ -64,12 +64,13 @@ def int_transactions(p: Pipeline) -> DataFrame:
         F.col("ingested_ts").alias("conf_ingested_ts"),
         F.col("payload").alias("conf_payload"),
     )
-    events_conf = tx_events.join(
-        conf,
-        (F.col("conf_unique_id") == F.col("unique_id"))
-        & (F.col("conf_ingested_ts") >= F.col("ingested_ts"))
-        & (F.col("conf_ingested_ts") <= F.col("ingested_ts") + F.expr("interval 15 seconds")),
-        "left",
+    from kwwhat_spark.operators.temporal import uid_window_join
+
+    events_conf = uid_window_join(
+        tx_events, conf,
+        "unique_id", "conf_unique_id",
+        "ingested_ts", "conf_ingested_ts",
+        p.vars.message_response_interval_seconds,
     )
 
     details = events_conf.select(
