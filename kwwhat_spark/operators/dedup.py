@@ -387,7 +387,7 @@ def minhash_lsh_components(
     can chain clusters. Use the verified pair path when pair precision
     matters and cluster sizes are bounded; use this when the corpus is
     huge or duplication is heavy."""
-    from kwwhat_spark.functions.text import MINHASH_MASK52, md5_52, minhash_seed_pair
+    from kwwhat_spark.functions.text import md5_52, minhash_seed_pair, minhash_slot
     from kwwhat_spark.operators.graph import connected_components
     from pyspark.sql import Window
 
@@ -410,11 +410,7 @@ def minhash_lsh_components(
     hp = ex.select("doc_id", h1.alias("__h1"), h2.alias("__h2"))
     sig = hp.groupBy("doc_id").agg(
         *[
-            F.min(
-                (F.col("__h1") + F.lit(i) * F.col("__h2")).bitwiseAND(
-                    F.lit(MINHASH_MASK52)
-                )
-            ).alias(f"__m{i}")
+            F.min(minhash_slot(F.col("__h1"), F.col("__h2"), i)).alias(f"__m{i}")
             for i in range(num_hashes)
         ]
     )

@@ -130,7 +130,7 @@ _MINHASH_PAIRS_REPLAYABLE_SQL = r"""
     ), sig AS (
       SELECT doc_id, h,
              [list_min(list_transform(h,
-                  x -> (x + i * (CAST(('0x' || substr(md5('1:' || CAST(x AS VARCHAR)), 1, 13)) AS UBIGINT)::BIGINT)) & 4503599627370495))
+                  x -> xor(x, ((((CAST(('0x' || substr(md5('1:' || CAST(x AS VARCHAR)), 1, 13)) AS UBIGINT)::BIGINT) & (4503599627370495 >> ((7*i+3) % 52))) << ((7*i+3) % 52)) | ((CAST(('0x' || substr(md5('1:' || CAST(x AS VARCHAR)), 1, 13)) AS UBIGINT)::BIGINT) >> (52 - ((7*i+3) % 52)))))))
               for i in generate_series(0, 31)] AS sig
       FROM hs
     ), banded AS (
@@ -193,7 +193,7 @@ _MINHASH_COMPONENTS_REPLAYABLE_SQL = r"""
     ), sig AS (
       SELECT doc_id,
              [list_min(list_transform(h,
-                  x -> (x + i * (CAST(('0x' || substr(md5('1:' || CAST(x AS VARCHAR)), 1, 13)) AS UBIGINT)::BIGINT)) & 4503599627370495))
+                  x -> xor(x, ((((CAST(('0x' || substr(md5('1:' || CAST(x AS VARCHAR)), 1, 13)) AS UBIGINT)::BIGINT) & (4503599627370495 >> ((7*i+3) % 52))) << ((7*i+3) % 52)) | ((CAST(('0x' || substr(md5('1:' || CAST(x AS VARCHAR)), 1, 13)) AS UBIGINT)::BIGINT) >> (52 - ((7*i+3) % 52)))))))
               for i in generate_series(0, 15)] AS sig
       FROM hs
     ), banded AS (
@@ -1317,7 +1317,7 @@ _SCALABLE_CHAIN_REPLAYABLE_SQL = r"""
     ), sig AS (
       SELECT doc_id,
              [list_min(list_transform(h,
-                  x -> (x + i * (CAST(('0x' || substr(md5('1:' || CAST(x AS VARCHAR)), 1, 13)) AS UBIGINT)::BIGINT)) & 4503599627370495))
+                  x -> xor(x, ((((CAST(('0x' || substr(md5('1:' || CAST(x AS VARCHAR)), 1, 13)) AS UBIGINT)::BIGINT) & (4503599627370495 >> ((7*i+3) % 52))) << ((7*i+3) % 52)) | ((CAST(('0x' || substr(md5('1:' || CAST(x AS VARCHAR)), 1, 13)) AS UBIGINT)::BIGINT) >> (52 - ((7*i+3) % 52)))))))
               for i in generate_series(0, 15)] AS sig
       FROM hs
     ), banded AS (

@@ -341,12 +341,10 @@ def test_minhash_seed_family_is_actually_seeded(spark):
             minhash_from_hashed(F.col("h"), 16, seed_hash=seed_hash).alias("s")
         ).first()["s"]
         assert len(set(sig)) > 8, f"degenerate signature (seed ignored): {sig}"
-    # Slot 0 of the double-hashing family over ALREADY-HASHED input is
-    # min(h & mask52) — the input values here are the pretend-hashes
-    # 100..129 themselves; slot 1 must differ (h2 participates).
-    got = df.select(minhash_from_hashed(F.col("h"), 2).alias("s")).first()["s"]
-    assert got[0] == 100
-    assert got[1] != got[0]
+    # Two-hash rotate family: distinct rotations per slot, so slots of a
+    # multi-element set must not collapse to one value.
+    got = df.select(minhash_from_hashed(F.col("h"), 4).alias("s")).first()["s"]
+    assert len(set(got)) >= 3, got
 
 
 def test_minhash_replayable_matches_xxhash_pairs(spark, sf_dir):
