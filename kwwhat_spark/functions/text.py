@@ -178,11 +178,11 @@ MINHASH_MASK52 = (1 << 52) - 1
 
 def minhash_seed_pair(h: Column, replayable: bool = False) -> tuple[Column, Column]:
     """(h1, h2) double-hashing base pair from a base shingle hash ``h``
-    (Kirsch-Mitzenmacher: the full seed family is h1 + i*h2 — two real
-    hash evaluations per shingle instead of one per seed). Both values
-    are masked to 52 bits so h1 + 31*h2 < 2^57 stays inside a signed
-    long under ANSI mode, and so the replayable family is the exact
-    integer DuckDB recomputes."""
+    — two real hash evaluations per shingle instead of one per seed.
+    The full seed family is h1 XOR rot52(h2, k_i) (minhash_slot). Both
+    values are masked to 52 bits so the rotate width is well-defined
+    (rot52 rotates within the 52-bit lane) and so the replayable family
+    is the exact integer DuckDB recomputes."""
     if replayable:
         h1 = h  # md5_52 output is already 52-bit
         h2 = md5_52_seeded(h, 1)
@@ -211,37 +211,85 @@ def minhash_slot(h1: Column, h2: Column, i: int) -> Column:
 def minhash_from_hashed(
     hashed: Column, num_hashes: int = 32, seed_hash=None, replayable: bool = False
 ) -> Column:
-    """MinHash signature over ALREADY-HASHED shingles (array<long>) via
-    the two-hash rotate family: h_i = h1 XOR rot52(h2, k_i), with
-    (h1, h2) from minhash_seed_pair — TWO hash evaluations per shingle
-    total, not one per seed (r9: the per-seed md5 family measured as
-    80% of the sf100 components wall, 2.55e10 digests). Exposed
-    separately so callers that keep a hashed shingle-set column
+    """MinHash signature over ALREADY-HASHED shingles (array<long>).
+    Exposed separately so callers that keep a hashed shingle-set column
     (minhash_lsh_pairs) hash each string exactly once across signature
-    AND verification; replayable=True keeps every step md5_52-exact for
-    the DuckDB oracles.
+    AND verification.
+
+    Two constructions, chosen by hash family (r10 A/B, sf0.1 pairs
+    entry, alternating in-process trials):
+
+    - non-replayable: per-seed family xxhash64(h, i) — ONE expression
+      node per (element, seed). Higher-order-function lambdas run in
+      the INTERPRETED evaluator where cost scales with node count, so
+      the 6-node rotate arithmetic of minhash_slot is ~30% slower here
+      (1.40 s vs 1.07 s full entry) despite doing less "real" work.
+      This array form is for callers that already hold per-doc arrays;
+      the corpus-scale explode + groupBy-min path (operators/dedup.py
+      minhash_banded) uses the double-hash rotate family in WHOLE-STAGE
+      CODEGEN, where it wins (sf100 components 512→324 s).
+    - replayable=True: the md5_52 double-hash rotate family
+      h_i = h1 XOR rot52(h2, k_i) (minhash_seed_pair / minhash_slot) —
+      TWO md5 digests per shingle instead of one per seed, and exactly
+      the integers the DuckDB oracles recompute. The rotation schedule
+      k=(7*i+3)%52 has period 52, so num_hashes > 52 is rejected
+      (duplicate slots would silently degrade band independence).
 
     ``seed_hash`` is accepted for backward compatibility and implies
-    replayable=True when set to md5_52_seeded."""
+    replayable=True — md5_52_seeded is the only supported family; any
+    other callable raises rather than being silently replaced."""
     if seed_hash is not None:
+        if seed_hash is not md5_52_seeded:
+            raise ValueError(
+                "minhash_from_hashed: custom seed_hash families are not "
+                "supported (only md5_52_seeded for back-compat); the "
+                "md5_52 rotate family would silently replace it"
+            )
         replayable = True
 
-    def pair(h: Column) -> Column:
-        h1, h2 = minhash_seed_pair(h, replayable)
-        return F.struct(h1.alias("h1"), h2.alias("h2"))
+    if not replayable:
+        def seeded(i):
+            # Factory, NOT a default-arg lambda: F.transform treats a
+            # two-parameter callable as (element, array_index) and would
+            # silently bind the index over the seed.
+            return lambda h: F.xxhash64(h, F.lit(i))
 
-    def seeded(i):
-        # Factory, NOT a default-arg lambda: F.transform treats a
-        # two-parameter callable as (element, array_index) and would
-        # silently bind the index over the seed.
-        return lambda p: minhash_slot(p.getField("h1"), p.getField("h2"), i)
+        return F.array(
+            *[F.array_min(F.transform(hashed, seeded(i))) for i in range(num_hashes)]
+        )
 
-    return let_(
-        F.transform(hashed, pair),
-        lambda pairs: F.array(
-            *[F.array_min(F.transform(pairs, seeded(i))) for i in range(num_hashes)]
-        ),
-    )
+    if num_hashes > 52:
+        raise ValueError(
+            f"minhash_from_hashed: num_hashes={num_hashes} > 52 would repeat "
+            "rotation offsets (period-52 schedule) and duplicate signature slots"
+        )
+
+    def slot(i):
+        # Factory for the same reason as above: zip_with would otherwise
+        # close over the loop variable and bind every slot to the last seed.
+        return lambda x, y: minhash_slot(x, y, i)
+
+    def pair_arrays(hs: Column) -> Column:
+        # Two parallel primitive long arrays instead of one array of
+        # structs (r9's shape): struct elements cost a per-element
+        # GenericInternalRow plus interpreted getField in every slot
+        # lambda; primitive arrays stay in UnsafeArrayData.
+        h1s = F.transform(hs, lambda h: minhash_seed_pair(h, True)[0])
+        h2s = F.transform(hs, lambda h: minhash_seed_pair(h, True)[1])
+        return let_(
+            h1s,
+            lambda a1: let_(
+                h2s,
+                lambda a2: F.array(
+                    *[
+                        F.array_min(F.zip_with(a1, a2, slot(i)))
+                        for i in range(num_hashes)
+                    ]
+                ),
+            ),
+        )
+
+    return let_(hashed, pair_arrays)
 
 
 def minhash_signature(

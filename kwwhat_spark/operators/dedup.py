@@ -199,22 +199,15 @@ def minhash_lsh_pairs(
     (~3× smaller candidate payload, same at 100 TB)."""
     from pyspark.storagelevel import StorageLevel
 
-    from kwwhat_spark.functions.text import (
-        md5_52,
-        md5_52_seeded,
-        minhash_from_hashed,
-    )
+    from kwwhat_spark.functions.text import md5_52, minhash_from_hashed
 
     if replayable_hash:
         shingle_hash = md5_52
-        seed_hash = md5_52_seeded
         combine_hash = lambda c: md5_52(c)  # noqa: E731
     else:
         shingle_hash = F.xxhash64
-        seed_hash = None  # minhash_from_hashed's xxhash64 default
         combine_hash = F.xxhash64
 
-    rows = bands and num_hashes // bands
     # Shingle+MinHash is the CPU hot spot; widen narrow scans first
     # (measured 1.7 s single-core shingle pass at sf0.1 without this).
     df = widen(df)
@@ -240,7 +233,14 @@ def minhash_lsh_pairs(
     # join moves a few long columns; document payloads are fetched by the
     # verification join below, for colliding candidates only. (On a real
     # cluster, persist/checkpoint `shingled` to avoid recomputing the
-    # signature scan on each side of the self-join.)
+    # signature scan on each side of the self-join.) The signature stays
+    # in the per-doc ARRAY form (minhash_from_hashed) rather than the
+    # explode + groupBy-min shape components uses: the arrays are
+    # already persisted for verification, and at bench scale the extra
+    # groupBy shuffle costs more than the in-row pass (r10 A/B: 1.49 s
+    # vs 1.05 s hot for the banding stage).
+    rows = num_hashes // bands
+
     def band_hashes(sig: Column) -> Column:
         return F.array(
             *[
@@ -261,7 +261,9 @@ def minhash_lsh_pairs(
         "doc_id",
         F.posexplode(
             let_(
-                minhash_from_hashed(F.col("shingles"), num_hashes, seed_hash=seed_hash),
+                minhash_from_hashed(
+                    F.col("shingles"), num_hashes, replayable=replayable_hash
+                ),
                 band_hashes,
             )
         ).alias("band_idx", "band_hash"),
@@ -354,6 +356,72 @@ def simhash_pairs(
     )
 
 
+def _banded_from_hash_rows(
+    ex: DataFrame,
+    num_hashes: int,
+    bands: int,
+    combine_hash,
+    replayable_hash: bool,
+) -> DataFrame:
+    """Signature + banding over exploded (doc_id, __s long) hash rows:
+    min(slot_i) per doc via map-side-combinable groupBy, then the band
+    hashes over the num_hashes min columns — every step whole-stage
+    codegen, no higher-order-function lambdas."""
+    from kwwhat_spark.functions.text import minhash_seed_pair, minhash_slot
+
+    rows = num_hashes // bands
+    h1, h2 = minhash_seed_pair(F.col("__s"), replayable_hash)
+    hp = ex.select("doc_id", h1.alias("__h1"), h2.alias("__h2"))
+    sig = hp.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_slot(F.col("__h1"), F.col("__h2"), i)).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        combine_hash(
+            F.concat_ws(",", *[F.col(f"__m{i}") for i in range(b * rows, (b + 1) * rows)])
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+    )
+
+
+def minhash_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    replayable_hash: bool = False,
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — the shipped signature + banding
+    plan shared by minhash_lsh_components and the stage-floor tool
+    (tools/components_stage_floor.py), so floor measurements always
+    track the production shape.
+
+    Signature via explode + codegen groupBy-min (r9): the array-lambda
+    form ran the per-(shingle, seed) hash in the INTERPRETED expression
+    evaluator — measured as 80% of the sf100 wall
+    (components_stage_floor: 418 s of 524 s at 5M docs). Exploding the
+    shingles keeps every hash and the h1 XOR rot52(h2, k_i) double-hash
+    family (minhash_slot) inside whole-stage codegen, and the
+    groupBy(doc_id) min is map-side combinable — the shuffle carries
+    ~|docs| × num_hashes longs, not the shingle stream."""
+    from kwwhat_spark.functions.text import md5_52
+
+    combine = md5_52 if replayable_hash else F.xxhash64
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("__raw"),
+    ).select("doc_id", combine(F.col("__raw")).alias("__s"))
+    return _banded_from_hash_rows(ex, num_hashes, bands, combine, replayable_hash)
+
+
 def minhash_lsh_components(
     df: DataFrame,
     id_col: str,
@@ -387,42 +455,12 @@ def minhash_lsh_components(
     can chain clusters. Use the verified pair path when pair precision
     matters and cluster sizes are bounded; use this when the corpus is
     huge or duplication is heavy."""
-    from kwwhat_spark.functions.text import md5_52, minhash_seed_pair, minhash_slot
     from kwwhat_spark.operators.graph import connected_components
     from pyspark.sql import Window
 
     df = widen(df)
-    # Signature via explode + codegen groupBy-min (r9): the array-lambda
-    # form ran the per-(shingle, seed) hash in the INTERPRETED
-    # expression evaluator — measured as 80% of the sf100 wall
-    # (components_stage_floor: 418 s of 524 s at 5M docs). Exploding the
-    # shingles keeps every hash and the (h1 + i*h2) double-hash family
-    # (minhash_from_hashed) inside whole-stage codegen, and the
-    # groupBy(doc_id) min is map-side combinable — the shuffle carries
-    # ~|docs| × num_hashes longs, not the shingle stream.
-    combine = md5_52 if replayable_hash else F.xxhash64
-    rows = num_hashes // bands
-    ex = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("__s"),
-    )
-    h1, h2 = minhash_seed_pair(combine(F.col("__s")), replayable_hash)
-    hp = ex.select("doc_id", h1.alias("__h1"), h2.alias("__h2"))
-    sig = hp.groupBy("doc_id").agg(
-        *[
-            F.min(minhash_slot(F.col("__h1"), F.col("__h2"), i)).alias(f"__m{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    band_cols = [
-        combine(
-            F.concat_ws(",", *[F.col(f"__m{i}") for i in range(b * rows, (b + 1) * rows)])
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+    banded = minhash_banded(
+        df, id_col, text_col, k, num_hashes, bands, replayable_hash
     )
     # One shuffle on (band_idx, band_hash); the window min never
     # materializes a bucket cross product.

@@ -168,6 +168,11 @@ def uid_window_join(
     and a conf row's two replicas carry distinct bucket keys, so each
     qualifying (req, conf) pair matches exactly once — left-join
     null-extension semantics are identical to the plain form."""
+    if int(window_s) < 1:
+        raise ValueError(
+            f"uid_window_join: window_s must be >= 1 (got {window_s}); the "
+            "bucket decomposition divides by the window width"
+        )
     width_us = int(window_s) * 1_000_000
     b_left = F.floor(F.unix_micros(F.col(ts_left)) / F.lit(width_us))
     cb = F.floor(F.unix_micros(F.col(ts_right)) / F.lit(width_us))

@@ -361,3 +361,22 @@ def test_minhash_replayable_matches_xxhash_pairs(spark, sf_dir):
     md = {(r.doc_a, r.doc_b): round(r.jaccard, 9)
           for r in minhash_lsh_pairs(docs, "doc_id", "text", replayable_hash=True, **kw).collect()}
     assert xx and xx == md
+
+
+def test_minhash_from_hashed_validations(spark):
+    """ADVICE r9: custom seed_hash families must raise (not be silently
+    swapped for md5_52), and num_hashes > 52 must raise (the rotation
+    schedule has period 52, so slots would repeat)."""
+    import pytest
+
+    from kwwhat_spark.functions.text import minhash_from_hashed
+
+    df = spark.createDataFrame([(1, [100, 101])], "id long, h array<long>")
+    with pytest.raises(ValueError, match="seed_hash"):
+        df.select(minhash_from_hashed(F.col("h"), 8, seed_hash=lambda h, s: h))
+    with pytest.raises(ValueError, match="num_hashes"):
+        df.select(minhash_from_hashed(F.col("h"), 53, replayable=True))
+    # The non-replayable per-seed family has no period-52 schedule; 53
+    # seeds are legal there.
+    row = df.select(minhash_from_hashed(F.col("h"), 53).alias("s")).first()
+    assert len(row["s"]) == 53

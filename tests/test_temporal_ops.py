@@ -119,3 +119,20 @@ def test_temporal_plans_have_no_nested_loops(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_uid_window_join_rejects_nonpositive_window(spark):
+    """window_s <= 0 would zero the bucket width (NULL buckets -> every
+    row silently unmatched); the operator must refuse instead (ADVICE r9)."""
+    import pytest
+
+    from kwwhat_spark.operators.temporal import uid_window_join
+
+    df = spark.createDataFrame([(1, "u", "2024-01-01 00:00:00")],
+                               "id long, uid string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="window_s"):
+            uid_window_join(df, df.select(F.col("uid").alias("u2"),
+                                          F.col("ts").alias("ts2")),
+                            "uid", "u2", "ts", "ts2", window_s=bad)

@@ -31,8 +31,7 @@ def main() -> None:
     replay = variant == "replayable"
     num_hashes, bands = (16, 4) if replay else (32, 8)
 
-    from kwwhat_spark.functions.text import let_, minhash_signature
-    from kwwhat_spark.operators.dedup import _sig_bands, word_shingles
+    from kwwhat_spark.operators.dedup import minhash_banded
     from kwwhat_spark.operators.graph import connected_components
     from kwwhat_spark.operators.scaling import widen
     from kwwhat_spark.queries import REGISTRY
@@ -56,19 +55,13 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     def banded_df():
+        # The SHIPPED shape: shared helper with minhash_lsh_components
+        # (explode + codegen groupBy-min), so stage floors track the
+        # production plan (ADVICE r9: the old array-lambda build here
+        # no longer measured what ships).
         docs = widen(load_table(spark, sf_dir, "documents"))
-        return docs.select(
-            F.col("doc_id"),
-            F.posexplode(
-                let_(
-                    minhash_signature(
-                        F.array_distinct(word_shingles(F.col("text"), 3)),
-                        num_hashes,
-                        replayable=replay,
-                    ),
-                    lambda sig: _sig_bands(sig, num_hashes, bands, replayable=replay),
-                )
-            ).alias("band_idx", "band_hash"),
+        return minhash_banded(
+            docs, "doc_id", "text", 3, num_hashes, bands, replayable_hash=replay
         )
 
     def edges_df():
