@@ -283,20 +283,30 @@ def _order_names(
     changed: dict[str, int],
 ) -> list[str]:
     """Pure ordering logic (unit-tested): reds, never-checked, own-module
-    rewrites (stalest first), transitively-changed greens (stalest
-    first), unchanged greens (stalest first)."""
+    rewrites (stalest first), then ALL remaining greens stalest first —
+    transitively-changed entries break ties ahead of unchanged ones at
+    the same round.
+
+    r10 revision: transitive changes no longer form their own tier. A
+    round that touches a shared module (functions/, operators/) flags
+    100+ entries transitively, and a whole tier of those starved the
+    staleness bound — three round-6-stale unchanged entries ranked
+    behind 130 fresher "changed" ones. Staleness is the primary duty of
+    the rotation; a transitive change is a weak re-prove signal, worth a
+    tie-break only. Own-function rewrites keep their priority tier."""
 
     def key(n: str):
         got = led.get(n)
         if got is None:
-            return (1, 0, n)  # never checked → right after the reds
+            return (1, 0, 0, n)  # never checked → right after the reds
         rnd, green = got
         if not green:
-            return (0, rnd, n)  # red at latest check → first
+            return (0, rnd, 0, n)  # red at latest check → first
         lvl = changed.get(n)
-        if lvl is not None:
-            return (2 + lvl, rnd, n)  # rewritten after its green → re-prove next
-        return (4, rnd, n)  # green & unchanged → stalest first
+        if lvl == 0:
+            return (2, rnd, 0, n)  # own rewrite → re-prove next
+        # stalest first; transitive fallout ahead of unchanged per round
+        return (3, rnd, 0 if lvl is not None else 1, n)
 
     return sorted(names, key=key)
 

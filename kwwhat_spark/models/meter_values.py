@@ -22,10 +22,15 @@ from pyspark.sql.types import (
 from kwwhat_spark.functions.core import bucket_15min, surrogate_key
 from kwwhat_spark.models.base import Pipeline, model
 
-# STRUCT<meterValue: ARRAY<STRUCT<timestamp, sampledValue: ARRAY<...>>>>
-# (payload_extractions.sql:131).
+# STRUCT<connectorId, transactionId, meterValue: ARRAY<STRUCT<timestamp,
+# sampledValue: ARRAY<...>>>> (payload_extractions.sql:131). The two
+# scalar ids live in the SAME schema so the whole payload parses once
+# per row (one from_json bound to a column — see models/payload.py for
+# the measured trap analysis).
 METER_VALUES_SCHEMA = StructType(
     [
+        StructField("connectorId", StringType()),
+        StructField("transactionId", StringType()),
         StructField(
             "meterValue",
             ArrayType(
@@ -61,12 +66,14 @@ def _meter_measurements(logs_windowed: DataFrame) -> DataFrame:
     """
     mv_logs = logs_windowed.filter(
         (F.col("action") == "MeterValues") & (F.col("message_type_id") == "2")
+    ).withColumn(
+        "__pj", F.from_json("payload", METER_VALUES_SCHEMA)
     ).select(
         F.col("ingested_ts").alias("log_ingested_ts"),
         "charger_id",
-        F.get_json_object("payload", "$.connectorId").cast("string").alias("connector_id"),
-        F.get_json_object("payload", "$.transactionId").cast("string").alias("transaction_id"),
-        F.from_json("payload", METER_VALUES_SCHEMA).getField("meterValue").alias("meter_values"),
+        F.col("__pj.connectorId").cast("string").alias("connector_id"),
+        F.col("__pj.transactionId").cast("string").alias("transaction_id"),
+        F.col("__pj.meterValue").alias("meter_values"),
     )
     level1 = mv_logs.filter(F.col("meter_values").isNotNull()).select(
         "log_ingested_ts",

@@ -20,7 +20,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kwwhat_spark.models.base import Pipeline, model
-from kwwhat_spark.models.transactions import _extract
+from kwwhat_spark.models.payload import parsed_payload, payload_field
+
+
+def _gate(action_set, col):
+    """Per-action gate over an ALREADY-EXTRACTED scalar column (the
+    payload fields are pulled out of the bound structs in events_conf,
+    before the anchor fanout join)."""
+    actions = [action_set] if isinstance(action_set, str) else action_set
+    return F.when(F.col("action").isin(actions), F.col(col))
 
 
 @model("int_connector_preparing")
@@ -89,20 +97,37 @@ def int_connector_preparing(p: Pipeline) -> DataFrame:
     from kwwhat_spark.operators.temporal import uid_window_join
 
     retry_s = p.vars.transaction_message_retry_interval_seconds
+    # One from_json per side (models/payload.py), bound once (each
+    # struct is referenced 3×, so CollapseProject keeps it aliased);
+    # only the SIX needed scalars cross the anchor interval join — not
+    # the structs, not the JSON strings (r10: carrying whole structs
+    # through the fanout join measured +25 s at the 500× fleet).
     events_conf = uid_window_join(
         events, conf,
         "unique_id", "conf_unique_id",
         "ingested_ts", "conf_ingested_ts",
         retry_s,
+    ).withColumn("__pj", parsed_payload()).withColumn(
+        "__conf_pj", parsed_payload("conf_payload")
     ).select(
         F.col("charger_id").alias("e_charger_id"),
         "action",
         F.col("ingested_ts").alias("e_ingested_ts"),
-        "payload",
-        "conf_payload",
-        _extract(
-            ["StatusNotification", "StartTransaction", "MeterValues", "RemoteStartTransaction"],
-            "connectorId",
+        F.col("__pj.idTag").alias("e_id_tag"),
+        F.col("__pj.transactionId").alias("e_txn_id"),
+        F.col("__pj.errorCode").alias("e_error_code"),
+        F.col("__conf_pj.idTagInfo.status").alias("c_id_tag_status"),
+        F.col("__conf_pj.idTagInfo.idTag").alias("c_parent_id_tag"),
+        F.col("__conf_pj.transactionId").alias("c_txn_id"),
+        # Join key: its own pruned single-field parse (payload_field
+        # docstring) — the join pushes isnotnull(key) into a per-row
+        # filter, which must not drag a full-schema parse with it.
+        F.when(
+            F.col("action").isin(
+                ["StatusNotification", "StartTransaction", "MeterValues",
+                 "RemoteStartTransaction"]
+            ),
+            payload_field("connectorId"),
         ).cast("string").alias("e_connector_id"),
     )
 
@@ -135,17 +160,16 @@ def int_connector_preparing(p: Pipeline) -> DataFrame:
         "previous_payload_ts",
         "next_payload_ts",
         "payload_ts",
-        _extract(["StartTransaction", "RemoteStartTransaction"], "idTag")
+        _gate(["StartTransaction", "RemoteStartTransaction"], "e_id_tag")
         .cast("string").alias("id_tag"),
-        _extract(["StartTransaction", "Authorize"], "idTagInfo.status", "conf_payload")
+        _gate(["StartTransaction", "Authorize"], "c_id_tag_status")
         .cast("string").alias("id_tag_status"),
-        _extract("Authorize", "idTagInfo.idTag", "conf_payload")
-        .cast("string").alias("parent_id_tag"),
+        _gate("Authorize", "c_parent_id_tag").cast("string").alias("parent_id_tag"),
         F.coalesce(
-            _extract(["StopTransaction", "RemoteStopTransaction", "MeterValues"], "transactionId"),
-            _extract("StartTransaction", "transactionId", "conf_payload"),
+            _gate(["StopTransaction", "RemoteStopTransaction", "MeterValues"], "e_txn_id"),
+            _gate("StartTransaction", "c_txn_id"),
         ).cast("string").alias("transaction_id"),
-        _extract("StatusNotification", "errorCode").cast("string").alias("error_code"),
+        _gate("StatusNotification", "e_error_code").cast("string").alias("error_code"),
     )
 
     group_keys = [

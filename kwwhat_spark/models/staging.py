@@ -18,17 +18,24 @@ from kwwhat_spark.models.base import Pipeline, model
 @model("stg_ocpp_logs")
 def stg_ocpp_logs(p: Pipeline) -> DataFrame:
     src = p.source("raw_ocpp_logs")
-    msg_type = F.get_json_object("msg", "$[0]")
+    # One from_json over the whole envelope instead of one
+    # get_json_object parse per slot ($[0], $[1], ...): elements land as
+    # strings with objects re-serialized by the SAME Jackson writer
+    # get_json_object uses (verified byte-identical, incl. nested
+    # arrays/objects/numbers), so downstream payload parsing and the
+    # DuckDB oracles see unchanged text. F.get is null-safe on short
+    # envelopes (ANSI mode: element_at would throw).
+    msg_type = F.get("__env", 0)
     cols = [
         F.col("timestamp").cast("timestamp").alias("ingested_timestamp"),
         F.col("id").cast("string").alias("charger_id"),
         F.col("action").cast("string").alias("action"),
         msg_type.cast("string").alias("message_type_id"),
-        F.get_json_object("msg", "$[1]").cast("string").alias("unique_id"),
+        F.get("__env", 1).cast("string").alias("unique_id"),
         # CALL carries payload at [3], CALLRESULT at [2]; CALLERROR → null
         # (stg_ocpp_logs.sql:30-36).
-        F.when(msg_type == p.vars.call_message_type_id, F.get_json_object("msg", "$[3]"))
-        .when(msg_type == p.vars.callresult_message_type_id, F.get_json_object("msg", "$[2]"))
+        F.when(msg_type == p.vars.call_message_type_id, F.get("__env", 3))
+        .when(msg_type == p.vars.callresult_message_type_id, F.get("__env", 2))
         .alias("payload"),
     ]
     if p.vars.extract_callerror:
@@ -38,17 +45,11 @@ def stg_ocpp_logs(p: Pipeline) -> DataFrame:
         # fault triage blind.
         is_err = msg_type == p.vars.callerror_message_type_id
         cols += [
-            F.when(is_err, F.get_json_object("msg", "$[2]"))
-            .cast("string")
-            .alias("error_code"),
-            F.when(is_err, F.get_json_object("msg", "$[3]"))
-            .cast("string")
-            .alias("error_description"),
-            F.when(is_err, F.get_json_object("msg", "$[4]"))
-            .cast("string")
-            .alias("error_details"),
+            F.when(is_err, F.get("__env", 2)).cast("string").alias("error_code"),
+            F.when(is_err, F.get("__env", 3)).cast("string").alias("error_description"),
+            F.when(is_err, F.get("__env", 4)).cast("string").alias("error_details"),
         ]
-    return src.select(*cols)
+    return src.withColumn("__env", F.from_json("msg", "array<string>")).select(*cols)
 
 
 @model("stg_chargers")

@@ -17,13 +17,14 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from kwwhat_spark.models.base import Pipeline, model
+from kwwhat_spark.models.payload import parsed_payload
 
 
 def _payload_str(path: str, when_actions: list[str] | str):
+    # Reads from the bound __pj struct (models/payload.py: one from_json
+    # per row instead of one get_json_object parse per field).
     actions = [when_actions] if isinstance(when_actions, str) else when_actions
-    return F.when(
-        F.col("action").isin(actions), F.get_json_object("payload", f"$.{path}")
-    ).cast("string")
+    return F.when(F.col("action").isin(actions), F.col(f"__pj.{path}")).cast("string")
 
 
 @model("int_status_changes")
@@ -51,6 +52,8 @@ def int_status_changes(p: Pipeline) -> DataFrame:
     req = ocpp_logs.filter(
         (F.col("action") == "StatusNotification")
         & (F.col("message_type_id") == p.vars.call_message_type_id)
+    ).withColumn(
+        "__pj", parsed_payload()
     ).select(
         "ingested_timestamp",
         "charger_id",

@@ -19,13 +19,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kwwhat_spark.models.base import Pipeline, model
+from kwwhat_spark.models.payload import parsed_payload, payload_field
 
 _NUMERIC = "decimal(28,6)"
 
 
-def _extract(action_set, path, src="payload"):
+def _extract(action_set, path, src="__pj"):
+    """Per-action field gate over a BOUND parsed-payload struct column
+    (models/payload.py) — src names the struct column (__pj for the
+    request payload, __conf_pj for the correlated CALLRESULT's)."""
     actions = [action_set] if isinstance(action_set, str) else action_set
-    return F.when(F.col("action").isin(actions), F.get_json_object(src, f"$.{path}"))
+    return F.when(F.col("action").isin(actions), F.col(f"{src}.{path}"))
 
 
 @model("int_transactions")
@@ -49,12 +53,26 @@ def int_transactions(p: Pipeline) -> DataFrame:
     )
     incremental_ts = p.scalar_max(ocpp_logs, "ingested_ts")
 
-    tx_events = ocpp_logs.filter(F.col("action").isin(list(p.vars.transaction_actions))).select(
-        "*",
-        _extract(
-            ["StatusNotification", "StartTransaction", "MeterValues", "RemoteStartTransaction"],
-            "connectorId",
-        ).cast("string").alias("connector_id"),
+    # Parse the request payload ONCE per row; the raw string is dropped
+    # before the correlation join so the shuffle carries the pruned
+    # struct, not the JSON text.
+    tx_events = (
+        ocpp_logs.filter(F.col("action").isin(list(p.vars.transaction_actions)))
+        .withColumn("__pj", parsed_payload())
+        .withColumn(
+            "connector_id",
+            # Pruned parse, NOT __pj.connectorId: beside the kept whole
+            # struct a field read is duplicated into a second full parse
+            # by projection pushdown (payload_field docstring).
+            F.when(
+                F.col("action").isin(
+                    ["StatusNotification", "StartTransaction", "MeterValues",
+                     "RemoteStartTransaction"]
+                ),
+                payload_field("connectorId"),
+            ).cast("string"),
+        )
+        .drop("payload")
     )
 
     conf = ocpp_logs.filter(
@@ -71,7 +89,10 @@ def int_transactions(p: Pipeline) -> DataFrame:
         "unique_id", "conf_unique_id",
         "ingested_ts", "conf_ingested_ts",
         p.vars.message_response_interval_seconds,
-    )
+    # CALLRESULT payloads parse AFTER the correlation join: only
+    # confirmations that matched a transaction action pay the parse,
+    # not every CALLRESULT in the batch.
+    ).withColumn("__conf_pj", parsed_payload("conf_payload"))
 
     details = events_conf.select(
         "charger_id",
@@ -81,18 +102,18 @@ def int_transactions(p: Pipeline) -> DataFrame:
         # Stop/RemoteStop/MeterValues (payload_extractions.sql:67-75).
         F.coalesce(
             _extract(["StopTransaction", "RemoteStopTransaction", "MeterValues"], "transactionId"),
-            _extract("StartTransaction", "transactionId", "conf_payload"),
+            _extract("StartTransaction", "transactionId", "__conf_pj"),
         ).cast("string").alias("transaction_id"),
         _extract(["StartTransaction", "RemoteStartTransaction"], "idTag")
         .cast("string").alias("id_tag"),
-        _extract("StartTransaction", "idTagInfo.status", "conf_payload")
+        _extract("StartTransaction", "idTagInfo.status", "__conf_pj")
         .cast("string").alias("id_tag_status"),
         _extract("StartTransaction", "timestamp").cast("timestamp").alias("transaction_start_ts"),
         _extract("StopTransaction", "timestamp").cast("timestamp").alias("transaction_stop_ts"),
         # Reason omitted ⇒ 'Local' (payload_extractions.sql:57-65).
         F.when(
             F.col("action") == "StopTransaction",
-            F.coalesce(F.get_json_object("payload", "$.reason"), F.lit("Local")),
+            F.coalesce(F.col("__pj.reason"), F.lit("Local")),
         ).cast("string").alias("transaction_stop_reason"),
         _extract("StartTransaction", "meterStart").cast(_NUMERIC).alias("meter_start"),
         _extract("StopTransaction", "meterStop").cast(_NUMERIC).alias("meter_stop"),
@@ -121,8 +142,11 @@ def int_transactions(p: Pipeline) -> DataFrame:
     ).select(
         F.col("charger_id").alias("sn_charger_id"),
         F.col("ingested_ts").alias("sn_ingested_ts"),
-        F.get_json_object("payload", "$.connectorId").cast("string").alias("sn_connector_id"),
-        F.get_json_object("payload", "$.errorCode").cast("string").alias("sn_error_code"),
+        # Two pruned parses, no bound struct: sn_connector_id is a join
+        # key (the tsn interval join), so it must stay cheap when the
+        # join pushes it into a per-row filter.
+        payload_field("connectorId").cast("string").alias("sn_connector_id"),
+        payload_field("errorCode").cast("string").alias("sn_error_code"),
     )
     tsn = (
         transactions.alias("t")

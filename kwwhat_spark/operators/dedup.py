@@ -455,7 +455,7 @@ def minhash_lsh_components(
     can chain clusters. Use the verified pair path when pair precision
     matters and cluster sizes are bounded; use this when the corpus is
     huge or duplication is heavy."""
-    from kwwhat_spark.operators.graph import connected_components
+    from kwwhat_spark.operators.graph import star_components
     from pyspark.sql import Window
 
     df = widen(df)
@@ -471,7 +471,10 @@ def minhash_lsh_components(
         .select("doc_id", "root")
         .dropDuplicates()
     )
-    comps = connected_components(edges, "doc_id", "root")
+    # Star edges → root-graph contraction before the iterative closure
+    # (star_components docstring): the pointer-jumping rounds run on
+    # |roots| nodes, not |docs|.
+    comps = star_components(edges, "doc_id", "root")
     docs = df.select(F.col(id_col).alias("node"))
     return docs.join(comps, "node", "left").select(
         F.col("node").alias("doc_id"),

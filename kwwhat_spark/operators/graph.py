@@ -96,6 +96,66 @@ def connected_components(
     return labels
 
 
+def star_components(
+    edges: DataFrame,
+    member: str,
+    root: str,
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of a STAR edge list — (member → root) rows
+    where every member's edges came from bucket minima (LSH banding).
+    Returns (node, component) for every node appearing in the edges.
+
+    Contraction argument: a member connects exactly the set of roots it
+    points at, so collapsing each member's root-set into clique edges
+    anchored at its MINIMUM root — (r0, r) for r in roots(member) —
+    yields a ROOT-only graph with identical connectivity among roots.
+    And the component minimum of the original graph is always a root
+    (every member has a root ≤ itself, because a bucket root is the
+    bucket MINIMUM), so min-labels computed on the root graph are the
+    true component labels. Members then read their label through their
+    minimum root in one broadcast-friendly join.
+
+    Scale shape (why this beats running pointer jumping on the raw star
+    list): the iterative closure now touches |roots| nodes — in a
+    heavy-duplication corpus roots ≈ |docs| / mean-cluster-size, orders
+    of magnitude smaller — while the per-member work is ONE map-side
+    combinable groupBy. r10 sf100 (5M docs): closure stage 102 s → the
+    root graph collapses to ~360k nodes and the full entry drops ~40%
+    (BASELINE.md round 10)."""
+    # Re-add each root's self-row first: the edge list drops doc==root
+    # rows, so a node that is a MEMBER of one bucket and the ROOT of
+    # another would otherwise lose the link between its own bucket and
+    # the bucket it belongs to (found by the random-bucket union-find
+    # test: member 60 of root-48's bucket, itself root of {60,65,102} —
+    # without (60,60) the 48↔60 components never merge). With self-rows
+    # every node appearing anywhere is in `rs`, so one mapping covers
+    # members and roots alike.
+    aug = edges.select(
+        F.col(member).alias("m"), F.col(root).alias("r")
+    ).union(
+        edges.select(F.col(root).alias("m"), F.col(root).alias("r")).distinct()
+    )
+    rs = aug.groupBy("m").agg(
+        F.min("r").alias("r0"),
+        F.collect_set("r").alias("rts"),
+    )
+    root_edges = (
+        rs.select("r0", F.explode("rts").alias("r"))
+        .filter(F.col("r0") != F.col("r"))
+        .dropDuplicates()
+    )
+    root_comps = connected_components(root_edges, "r0", "r", max_iter=max_iter)
+    return (
+        rs.join(root_comps, rs.r0 == root_comps.node, "left")
+        .select(
+            F.col("m").alias("node"),
+            F.coalesce("component", "r0").alias("component"),
+        )
+    )
+
+
 def dedup_keepers(
     pairs: DataFrame,
     id_a: str,

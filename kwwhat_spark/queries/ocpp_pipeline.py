@@ -2238,3 +2238,149 @@ def ocpp_stream_visits_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# The finalization pass (VERDICT r9 #6): the parity entry above
+# faithfully WITHHOLDS watermark-open tails (3 of 135 visits on the
+# seed) — correct append-mode semantics, but operators also need the
+# "union of emitted + flushed equals the batch mart exactly" story. A
+# far-future SENTINEL row per stage advances the event-time watermark
+# past every real tail inside one availableNow run (the no-data batch
+# then fires every event-time timeout), so all real chains/visits
+# flush; the sentinel's own chain/visit stays open in state and never
+# reaches the output. Oracle = the batch fact_visits compile itself.
+_FV_STREAM_FINALIZED_ORACLE = f"SELECT * EXCLUDE (incremental_ts) FROM ({_FV_ORACLE})"
+
+
+@query(
+    "ocpp_stream_visits_finalized",
+    oracle=_FV_STREAM_FINALIZED_ORACLE,
+    cite="fact_visits.sql:57-273 two-step sessionization as chained stateful "
+    "streams PLUS watermark finalization (sentinel flush rows): "
+    "emitted+flushed visits byte-match the batch mart (minus the "
+    "batch-only incremental_ts)",
+)
+def ocpp_stream_visits_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+    import uuid
+
+    from kwwhat_spark.functions.core import surrogate_key
+    from kwwhat_spark.streaming.ocpp import stream_visit_chains, stream_visit_parity
+
+    attempts = _mart(spark, "fact_charge_attempts")
+    pipe = _mart_pipeline(spark)
+    conns = pipe.ref("dim_connectors").select(
+        F.col("charger_id").alias("c_charger_id"),
+        F.col("connector_id").alias("c_connector_id"),
+        "port_id",
+    )
+    chargers = pipe.ref("dim_chargers").select(
+        F.col("charger_id").alias("ch_charger_id"), "location_id"
+    )
+    from_ts = "2025-10-01 00:00:00"
+    cap = attempts.agg(F.max("incremental_ts")).first()[0]
+    to_ts = min(cap, datetime.datetime(2026, 1, 1))
+    att = (
+        attempts.filter(
+            (F.col("incremental_ts") > F.lit(from_ts).cast("timestamp"))
+            & (F.col("incremental_ts") <= F.lit(to_ts))
+        )
+        .join(
+            F.broadcast(conns),
+            (F.col("charger_id") == F.col("c_charger_id"))
+            & (F.col("connector_id") == F.col("c_connector_id")),
+        )
+        .join(F.broadcast(chargers), F.col("charger_id") == F.col("ch_charger_id"))
+        .filter(F.col("charge_attempt_start_ts").isNotNull())
+        .select(
+            "charge_attempt_id", "charger_id", "port_id", "connector_id",
+            "location_id", "charge_attempt_start_ts", "charge_attempt_stop_ts",
+            F.col("energy_transferred_kwh").cast("double").alias(
+                "energy_transferred_kwh"
+            ),
+            "is_successful", "id_tag",
+        )
+    )
+    flush_ts = to_ts + datetime.timedelta(days=2)
+
+    root = tempfile.mkdtemp(prefix="kwh-visitfinal-")
+    name = f"stream_visitfinal_{uuid.uuid4().hex[:8]}"
+    try:
+        att.write.mode("overwrite").parquet(f"{root}/attempts")
+        in_schema = spark.read.parquet(f"{root}/attempts").schema
+        sentinel = spark.createDataFrame(
+            [("__FLUSH__", "__FLUSH__", "__FLUSH__", "0", "__FLUSH__",
+              flush_ts, flush_ts, 0.0, False, None)],
+            in_schema,
+        )
+        sentinel.write.mode("append").parquet(f"{root}/attempts")
+
+        chains_q = (
+            stream_visit_chains(
+                spark.readStream.schema(in_schema).parquet(f"{root}/attempts")
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{root}/chained")
+            .option("checkpointLocation", f"{root}/ckpt1")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not chains_q.awaitTermination(120):
+            chains_q.stop()
+            raise TimeoutError("visit-final chain stage still running after 120s")
+
+        # The chain stage never emits the sentinel's own (open) chain, so
+        # stage 2 needs its own watermark-advancer. It cannot be dropped
+        # into the sink directory: a file STREAM source reads the sink's
+        # _spark_metadata log when one is present (exactly-once
+        # sink-to-source chaining) and would never see a foreign file —
+        # found live, two tail visits stayed open. Re-stage the topic
+        # into a plain directory and append the sentinel there.
+        chained = spark.read.parquet(f"{root}/chained")
+        chained_schema = chained.schema
+        chained.write.mode("overwrite").parquet(f"{root}/chained_in")
+        spark.createDataFrame(
+            [("__FLUSH__", "__FLUSH__", "__FLUSH__", "0", "__FLUSH__",
+              flush_ts, flush_ts, 0.0, False, None)],
+            chained_schema,
+        ).write.mode("append").parquet(f"{root}/chained_in")
+
+        visits_q = (
+            stream_visit_parity(
+                spark.readStream.schema(chained_schema).parquet(f"{root}/chained_in")
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not visits_q.awaitTermination(120):
+            visits_q.stop()
+            raise TimeoutError("visit-final visit stage still running after 120s")
+
+        v = spark.table(name).filter(F.col("location_id") != "__FLUSH__")
+        out = v.select(
+            surrogate_key(
+                "location_id", "first_charger_id", "first_port_id", "visit_start_ts"
+            ).alias("visit_id"),
+            surrogate_key("location_id").alias("location_key"),
+            surrogate_key(F.coalesce(F.col("id_tag"), F.lit("UNKNOWN"))).alias(
+                "driver_key"
+            ),
+            surrogate_key("first_charger_id", "first_port_id").alias("first_port_key"),
+            surrogate_key("last_charger_id", "last_port_id").alias("last_port_key"),
+            "location_id", "charger_ids", "id_tag", "visit_start_ts",
+            "visit_end_ts", "charge_attempt_count", "charge_attempt_ids",
+            "total_energy_transferred_kwh",
+            "first_charge_attempt_id", "last_charge_attempt_id",
+            "first_charger_id", "last_charger_id", "first_port_id", "last_port_id",
+            "is_successful", "grouping_key", "visit_duration_minutes",
+        ).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -32,6 +32,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from kwwhat_spark.config import VARS, PipelineVars
 from kwwhat_spark.models.meter_values import _meter_measurements
+from kwwhat_spark.models.payload import parsed_payload
 from kwwhat_spark.sources.ocpp import OCPP_LOGS_SCHEMA
 
 
@@ -52,20 +53,18 @@ def read_ocpp_stream(
 
 
 def stage_stream(raw: DataFrame, vars: PipelineVars = VARS) -> DataFrame:
-    """Envelope split — identical expressions to batch stg_ocpp_logs
-    (stg_ocpp_logs.sql:14-36); row-wise, so streaming-safe."""
-    msg_type = F.get_json_object("msg", "$[0]")
-    return raw.select(
+    """Envelope split — value-identical to batch stg_ocpp_logs
+    (stg_ocpp_logs.sql:14-36) via the same one-pass from_json envelope
+    parse (models/staging.py r10); row-wise, so streaming-safe."""
+    msg_type = F.get("__env", 0)
+    return raw.withColumn("__env", F.from_json("msg", "array<string>")).select(
         F.col("timestamp").cast("timestamp").alias("ingested_timestamp"),
         F.col("id").cast("string").alias("charger_id"),
         F.col("action").cast("string").alias("action"),
         msg_type.cast("string").alias("message_type_id"),
-        F.get_json_object("msg", "$[1]").cast("string").alias("unique_id"),
-        F.when(msg_type == vars.call_message_type_id, F.get_json_object("msg", "$[3]"))
-        .when(
-            msg_type == vars.callresult_message_type_id,
-            F.get_json_object("msg", "$[2]"),
-        )
+        F.get("__env", 1).cast("string").alias("unique_id"),
+        F.when(msg_type == vars.call_message_type_id, F.get("__env", 3))
+        .when(msg_type == vars.callresult_message_type_id, F.get("__env", 2))
         .alias("payload"),
     )
 
@@ -174,17 +173,15 @@ def stream_status_changes(staged: DataFrame, vars: PipelineVars = VARS) -> DataF
     events = staged.filter(
         (F.col("action") == "StatusNotification")
         & (F.col("message_type_id") == vars.call_message_type_id)
+    ).withColumn(
+        "__pj", parsed_payload()
     ).select(
         "charger_id",
-        F.get_json_object("payload", "$.connectorId").cast("string").alias(
-            "connector_id"
-        ),
+        F.col("__pj.connectorId").cast("string").alias("connector_id"),
         F.col("ingested_timestamp").alias("ingested_ts"),
-        F.get_json_object("payload", "$.status").alias("status"),
-        F.get_json_object("payload", "$.errorCode").alias("error_code"),
-        F.get_json_object("payload", "$.timestamp").cast("timestamp").alias(
-            "payload_ts"
-        ),
+        F.col("__pj.status").alias("status"),
+        F.col("__pj.errorCode").alias("error_code"),
+        F.col("__pj.timestamp").cast("timestamp").alias("payload_ts"),
     )
     return events.groupBy("charger_id", "connector_id").applyInPandasWithState(
         _status_change_fn,

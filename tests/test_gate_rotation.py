@@ -1,9 +1,11 @@
 """Driver-gate rotation ordering (__spark_entry__._order_names).
 
 Round-6 verdict: entries rewritten AFTER their last green sat mid-pack
-under the staleness-only rotation. The ordering now has five groups:
-reds, never-checked, own-function rewrites, transitively-changed greens,
-unchanged greens — each staleness-sorted.
+under the staleness-only rotation. Round-10 revision: transitive-import
+fallout no longer forms its own tier (a shared-module round flags 100+
+entries and starves the staleness bound); groups are reds,
+never-checked, own-function rewrites, then all greens stalest-first
+with transitive fallout winning same-round ties.
 """
 
 import sys
@@ -32,8 +34,9 @@ def test_order_groups_and_staleness():
         "red_r3", "red_r5",            # reds first, stalest first
         "new_a", "new_b",              # never checked
         "rewritten_r2", "rewritten_r5",  # own-function rewrites
-        "fallout_r4",                  # transitive-import fallout
-        "green_r2", "green_r6",        # unchanged greens, stalest first
+        "green_r2",                    # merged tier: stalest first...
+        "fallout_r4",                  # ...transitive ahead of unchanged
+        "green_r6",                    # only as a same-round tie-break
     ]
 
 

@@ -118,3 +118,40 @@ def test_select_representatives_string_ids(spark):
     keepers = sorted(r.doc_id for r in rows if r.is_keeper)
     assert keepers == ["doc-c", "doc-x"]  # best score; tie -> min id
     assert all(r.is_keeper is not None for r in rows)
+
+
+def test_star_components_matches_union_find_on_random_buckets(spark):
+    """star_components' root-contraction must equal plain union-find on
+    the same star edge list. Buckets are random subsets with root =
+    bucket min (the LSH shape: every member's root <= member), chained
+    so clusters span multiple buckets; includes roots that never appear
+    as members and pair-only buckets."""
+    from kwwhat_spark.operators.graph import star_components
+
+    rng = random.Random(11)
+    edges = []
+    for _ in range(40):
+        members = rng.sample(range(120), rng.randrange(2, 7))
+        r = min(members)
+        edges += [(m, r) for m in members if m != r]
+    edges = sorted(set(edges))
+    df = spark.createDataFrame(edges, "doc long, root long")
+    got = {r.node: r.component
+           for r in star_components(df, "doc", "root").collect()}
+    assert got == _union_find(edges)
+
+
+def test_star_components_relabels_unseen_root_through_member_path(spark):
+    """A root that is the minimum of every bucket it anchors never
+    appears as a member, but a shared member can still pull it into a
+    lower-rooted component — the union branch must carry its label."""
+    from kwwhat_spark.operators.graph import star_components
+
+    # bucket A = {5, 9} root 5; bucket B = {1, 9} root 1.
+    # 9 connects 5 and 1; component min = 1, and 5 never appears as a
+    # member row.
+    edges = [(9, 5), (9, 1)]
+    df = spark.createDataFrame(edges, "doc long, root long")
+    got = {r.node: r.component
+           for r in star_components(df, "doc", "root").collect()}
+    assert got == {9: 1, 5: 1, 1: 1} == _union_find(edges)

@@ -44,6 +44,13 @@ def build(n: int = 10, src: str = "/root/testdata/sf0.1", dst: str = "/tmp/sf1")
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads={os.cpu_count() or 8}")
+    # The 10-way UNION over a 60M-row lineitem at the sf10->sf100 step
+    # buffered ~95 GB and got OOM-killed (r10): COPY preserves insertion
+    # order by default, holding every branch's output in memory. Row
+    # order is irrelevant here (replicas are key-shifted), so stream it
+    # under a hard cap instead.
+    con.execute("SET preserve_insertion_order=false")
+    con.execute(f"SET memory_limit='{os.environ.get('SCALE_MEM', '24GB')}'")
 
     def copy(table: str, select_tpl: str | None = None) -> None:
         path = f"{src}/{table}.parquet"
