@@ -469,11 +469,12 @@ def minhash_lsh_components(
         banded.withColumn("root", F.min("doc_id").over(w))
         .filter(F.col("doc_id") != F.col("root"))
         .select("doc_id", "root")
-        .dropDuplicates()
     )
     # Star edges → root-graph contraction before the iterative closure
     # (star_components docstring): the pointer-jumping rounds run on
-    # |roots| nodes, not |docs|.
+    # |roots| nodes, not |docs|. No dropDuplicates here — the
+    # contraction's collect_set dedups (band_idx, band_hash) repeats
+    # map-side, saving one full shuffle of the banded set.
     comps = star_components(edges, "doc_id", "root")
     docs = df.select(F.col(id_col).alias("node"))
     return docs.join(comps, "node", "left").select(

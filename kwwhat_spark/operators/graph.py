@@ -132,15 +132,27 @@ def star_components(
     # without (60,60) the 48↔60 components never merge). With self-rows
     # every node appearing anywhere is in `rs`, so one mapping covers
     # members and roots alike.
-    aug = edges.select(
+    # The edge list feeds two union branches, and the rootset frame
+    # feeds both the root closure and the final label join — without
+    # materialization each consumer would re-run the WHOLE upstream
+    # sig+banding pipeline (measured at sf100: the 139 s signature stage
+    # re-evaluated per consumer). Persist the input once, truncate the
+    # small rootset's lineage eagerly.
+    edges_p = edges.select(
         F.col(member).alias("m"), F.col(root).alias("r")
-    ).union(
-        edges.select(F.col(root).alias("m"), F.col(root).alias("r")).distinct()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    aug = edges_p.union(
+        edges_p.select(F.col("r").alias("m"), F.col("r").alias("r")).distinct()
     )
-    rs = aug.groupBy("m").agg(
-        F.min("r").alias("r0"),
-        F.collect_set("r").alias("rts"),
+    rs = (
+        aug.groupBy("m")
+        .agg(
+            F.min("r").alias("r0"),
+            F.collect_set("r").alias("rts"),
+        )
+        .localCheckpoint(eager=True)
     )
+    edges_p.unpersist()
     root_edges = (
         rs.select("r0", F.explode("rts").alias("r"))
         .filter(F.col("r0") != F.col("r"))

@@ -32,7 +32,7 @@ def main() -> None:
     num_hashes, bands = (16, 4) if replay else (32, 8)
 
     from kwwhat_spark.operators.dedup import minhash_banded
-    from kwwhat_spark.operators.graph import connected_components
+    from kwwhat_spark.operators.graph import connected_components, star_components
     from kwwhat_spark.operators.scaling import widen
     from kwwhat_spark.queries import REGISTRY
     from kwwhat_spark.session import get_spark
@@ -71,7 +71,6 @@ def main() -> None:
             .withColumn("root", F.min("doc_id").over(w))
             .filter(F.col("doc_id") != F.col("root"))
             .select("doc_id", "root")
-            .dropDuplicates()
         )
 
     rec = {"sf_dir": sf_dir, "variant": variant,
@@ -80,9 +79,15 @@ def main() -> None:
         load_table(spark, sf_dir, "documents").agg(F.sum(F.length("text")))))
     rec["sig_s"] = t(lambda: noop(banded_df()))
     rec["edges_s"] = t(lambda: noop(edges_df()))
+    # Shipped closure = star_components (root-graph contraction);
+    # raw pointer-jumping kept as a comparison floor.
     rec["closure_s"] = t(
-        lambda: noop(connected_components(edges_df(), "doc_id", "root"))
+        lambda: noop(star_components(edges_df(), "doc_id", "root"))
     )
+    if os.environ.get("FLOOR_RAW_CC"):
+        rec["closure_raw_cc_s"] = t(
+            lambda: noop(connected_components(edges_df(), "doc_id", "root"))
+        )
     name = ("dedup_minhash_components_replayable" if replay
             else "dedup_minhash_components")
     rec["full_s"] = t(lambda: noop(REGISTRY[name].spark(spark, sf_dir)))
