@@ -36,7 +36,7 @@ DEFAULT_ENTRIES = [
     "similarity_ivf_topk",
 ]
 
-DUCK_TIMEOUT_S = 2400
+DUCK_TIMEOUT_S = int(os.environ.get("DUCK_TIMEOUT_S", "2400"))
 
 _DUCK_RUNNER = r"""
 import json, os, sys, time
@@ -62,6 +62,20 @@ print("RESULT::" + json.dumps({{"times": times, "rows": n}}))
 """
 
 
+def _classify_failure(rc: int) -> str:
+    if rc == -9:
+        try:
+            km = subprocess.run(["dmesg"], capture_output=True, text=True,
+                                timeout=10).stdout
+            if "Out of memory: Killed process" in km.rsplit("\n", 200)[-1] or \
+               "oom-kill" in km[-20000:]:
+                return "OOM_KILLED"
+        except Exception:
+            pass
+        return "SIGKILL"
+    return f"ERROR_rc{rc}"
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/dev/shm/sf100"
     entries = sys.argv[2:] or DEFAULT_ENTRIES
@@ -74,6 +88,8 @@ def main() -> None:
     out_path = "/tmp/sf100_llmops.jsonl"
     runner = _DUCK_RUNNER.format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+    results: list[dict] = []
+    q_has_oracle = {n: bool(REGISTRY[n].oracle) for n in entries}
     for name in entries:
         q = REGISTRY[name]
         rec: dict = {"entry": name, "sf_dir": sf_dir,
@@ -101,13 +117,46 @@ def main() -> None:
                     rec["duck_rows"] = duck["rows"]
                     rec["ratio_hot"] = round(rec["spark_hot"] / rec["duck_hot"], 2)
                 else:
+                    # Programmatic OOM verdict (VERDICT r9 #7): a global
+                    # OOM kill delivers SIGKILL (rc == -9); confirm via
+                    # the kernel log when readable.
+                    rec["duck_rc"] = p.returncode
                     rec["duck_error"] = (p.stderr or "")[-400:]
+                    rec["duck_verdict"] = _classify_failure(p.returncode)
             except subprocess.TimeoutExpired:
                 rec["duck_dnf_s"] = DUCK_TIMEOUT_S
+                rec["duck_verdict"] = "TIMEOUT"
         rec["load_end"] = os.getloadavg()
         print(json.dumps(rec), flush=True)
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        results.append(rec)
+
+    # Consolidated BENCH-style artifact for the repo root: one object per
+    # entry with {spark_s, duckdb_s | verdict}.
+    artifact = {
+        "sf_dir": sf_dir,
+        "entries": {
+            r["entry"]: {
+                "spark_s": r.get("spark_hot"),
+                "spark_trials": r.get("spark_trials"),
+                **({"duckdb_s": r["duck_hot"], "duck_trials": r["duck_trials"],
+                    "ratio_hot": r.get("ratio_hot")} if "duck_hot" in r else {}),
+                **({"duck_verdict": r["duck_verdict"],
+                    "duck_rc": r.get("duck_rc"),
+                    "duck_dnf_s": r.get("duck_dnf_s")} if "duck_verdict" in r else {}),
+                **({} if q_has_oracle.get(r["entry"]) else {"rows_only": True}),
+            }
+            for r in results
+        },
+        "loadavg_end": os.getloadavg(),
+    }
+    dst = os.environ.get("LLMOPS_ARTIFACT",
+                         os.path.join(os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))), "sf100_llmops.json"))
+    with open(dst, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print("artifact ->", dst)
 
 
 if __name__ == "__main__":
