@@ -43,7 +43,7 @@ def main() -> None:
     # — apply throughput is what scales with data, not the learn loop.
     small = load_table(spark, "/root/testdata/sf0.01", "documents")
     t0 = time.perf_counter()
-    merges = learn_bpe_merges(small, "doc_id", "text", n_merges=n_merges, level=level)
+    merges = learn_bpe_merges(small, "text", n_merges=n_merges, level=level)
     learn_s = round(time.perf_counter() - t0, 1)
 
     docs = widen(load_table(spark, sf_dir, "documents"))
