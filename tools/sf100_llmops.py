@@ -49,7 +49,7 @@ con = duckdb.connect()
 con.execute("SET TimeZone='UTC'")
 con.execute("SET enable_progress_bar=false")
 con.execute(f"SET threads={{os.cpu_count() or 8}}")
-con.execute("SET memory_limit='80GB'")
+con.execute(f"SET memory_limit='{{os.environ.get('DUCK_MEM', '80GB')}}'")
 con.execute("SET temp_directory='/tmp/duck_spill'")
 for t in TESTDATA_TABLES:
     con.execute(f"CREATE VIEW {{t}} AS SELECT * FROM read_parquet('{{sf_dir}}/{{t}}.parquet')")
@@ -90,20 +90,31 @@ def main() -> None:
 
     results: list[dict] = []
     q_has_oracle = {n: bool(REGISTRY[n].oracle) for n in entries}
+    # PHASE 1: every Spark trial under one JVM. PHASE 2: DuckDB probes
+    # AFTER spark.stop() — on a 125 GB box a 64 GB driver heap and an
+    # 80 GB DuckDB cannot coexist (r10: the paired layout OS-OOM-killed
+    # the JVM, and a 45 GB DuckDB spilled /tmp toward disk-full);
+    # sequential phases give each engine the whole machine, which is
+    # also the fairer comparison.
     for name in entries:
         q = REGISTRY[name]
         rec: dict = {"entry": name, "sf_dir": sf_dir,
                      "load_start": os.getloadavg()}
         trials = []
-        rows = None
         for _ in range(2):
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             trials.append(round(time.perf_counter() - t0, 2))
-        # row count once, cheap relative to the timed noop writes
         rec["spark_trials"] = trials
         rec["spark_hot"] = min(trials)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    spark.stop()
+
+    for rec in results:
+        name = rec["entry"]
+        q = REGISTRY[name]
         if q.oracle:
             try:
                 p = subprocess.run(
@@ -130,7 +141,6 @@ def main() -> None:
         print(json.dumps(rec), flush=True)
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
-        results.append(rec)
 
     # Consolidated BENCH-style artifact for the repo root: one object per
     # entry with {spark_s, duckdb_s | verdict}.
