@@ -102,6 +102,42 @@ def _scan_floor(spark, sf_dir: str) -> float:
 
 N_TRIALS = 3
 
+# Steady-state bands for the rig verdict (BASELINE.md "Scan-floor
+# canary": steady ≈ 0.15–0.31 s at sf0.1/sf1 on tmpfs; r10's contended
+# session read 0.308/0.163 under loadavg 9.6 vs r9's 0.263/0.113 at 6.0).
+# Only the PRE-bench loadavg is diagnostic: the bench itself saturates
+# local[32], so even r9's steady run ENDED at loadavg 8.8.
+STEADY_CANARY_MAX = 0.32
+STEADY_START_LOAD_MAX = 7.0
+
+
+def _rig_verdict(
+    floor_before: float, floor_after: float, load_start: list[float]
+) -> dict:
+    """One-line machine-noise verdict so the artifact self-labels —
+    adjudicating a ±10% total no longer needs a builder-side A/B
+    (r10's +2.3% rode a loadavg-9.6 session and took a manual
+    same-window A/B to clear)."""
+    if not load_start:
+        return {"verdict": "unknown", "why": "loadavg unavailable"}
+    reasons = []
+    worst_canary = max(floor_before, floor_after)
+    if worst_canary > STEADY_CANARY_MAX:
+        reasons.append(
+            f"canary {worst_canary:.3f}s > steady band max {STEADY_CANARY_MAX}"
+        )
+    if load_start[0] > STEADY_START_LOAD_MAX:
+        reasons.append(
+            f"pre-bench loadavg {load_start[0]:.1f} > {STEADY_START_LOAD_MAX}"
+        )
+    if reasons:
+        return {"verdict": "contended", "why": "; ".join(reasons)}
+    return {
+        "verdict": "steady",
+        "why": f"canary {worst_canary:.3f}s in band, pre-bench loadavg "
+        f"{load_start[0]:.1f} <= {STEADY_START_LOAD_MAX}",
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR") or _default_sf_dir()
@@ -146,6 +182,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     floor_after = _scan_floor(spark, sf_dir)
+    load_end = _loadavg()
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -160,7 +197,8 @@ def main() -> None:
         # with an inflated canary = host contention, not a plan change.
         "trials": trials,
         "scan_floor_sec": {"before": floor_before, "after": floor_after},
-        "loadavg": {"start": load_start, "end": _loadavg()},
+        "loadavg": {"start": load_start, "end": load_end},
+        "rig": _rig_verdict(floor_before, floor_after, load_start),
         "n_trials": N_TRIALS,
         "per_query_stat": "min",
     }))

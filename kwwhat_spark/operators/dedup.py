@@ -369,6 +369,13 @@ def _banded_from_hash_rows(
     codegen, no higher-order-function lambdas."""
     from kwwhat_spark.functions.text import minhash_seed_pair, minhash_slot
 
+    if num_hashes > 52:
+        raise ValueError(
+            f"minhash banding: num_hashes={num_hashes} > 52 would repeat "
+            "rotation offsets (period-52 schedule) and duplicate signature "
+            "slots, degrading band independence (see functions/text.py "
+            "minhash_from_hashed guard)"
+        )
     rows = num_hashes // bands
     h1, h2 = minhash_seed_pair(F.col("__s"), replayable_hash)
     hp = ex.select("doc_id", h1.alias("__h1"), h2.alias("__h2"))

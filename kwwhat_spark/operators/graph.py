@@ -144,15 +144,20 @@ def star_components(
     aug = edges_p.union(
         edges_p.select(F.col("r").alias("m"), F.col("r").alias("r")).distinct()
     )
-    rs = (
-        aug.groupBy("m")
-        .agg(
-            F.min("r").alias("r0"),
-            F.collect_set("r").alias("rts"),
+    try:
+        rs = (
+            aug.groupBy("m")
+            .agg(
+                F.min("r").alias("r0"),
+                F.collect_set("r").alias("rts"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    edges_p.unpersist()
+    finally:
+        # Unpersist even when the checkpoint throws — the cached edge
+        # list (bands× the deduplicated size since dropDuplicates moved
+        # to the caller) would otherwise leak for the session lifetime.
+        edges_p.unpersist()
     root_edges = (
         rs.select("r0", F.explode("rts").alias("r"))
         .filter(F.col("r0") != F.col("r"))

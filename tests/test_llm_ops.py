@@ -380,3 +380,20 @@ def test_minhash_from_hashed_validations(spark):
     # seeds are legal there.
     row = df.select(minhash_from_hashed(F.col("h"), 53).alias("s")).first()
     assert len(row["s"]) == 53
+
+
+def test_minhash_banded_num_hashes_guard(spark):
+    """ADVICE r10: the exploded banding path uses the SAME period-52
+    rotation schedule as minhash_from_hashed, so it needs the same
+    num_hashes > 52 guard — both hash families route through it."""
+    import pytest
+
+    from kwwhat_spark.operators.dedup import minhash_banded
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    for replayable in (False, True):
+        with pytest.raises(ValueError, match="num_hashes"):
+            minhash_banded(
+                df, "doc_id", "text", num_hashes=64, bands=8,
+                replayable_hash=replayable,
+            )

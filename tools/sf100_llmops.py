@@ -67,8 +67,8 @@ def _classify_failure(rc: int) -> str:
         try:
             km = subprocess.run(["dmesg"], capture_output=True, text=True,
                                 timeout=10).stdout
-            if "Out of memory: Killed process" in km.rsplit("\n", 200)[-1] or \
-               "oom-kill" in km[-20000:]:
+            tail = km[-20000:]
+            if "Out of memory: Killed process" in tail or "oom-kill" in tail:
                 return "OOM_KILLED"
         except Exception:
             pass
