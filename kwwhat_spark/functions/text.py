@@ -54,19 +54,29 @@ def char_shingles(text: Column | str, k: int = 3) -> Column:
 
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """k-word shingles (space-joined), for MinHash/Jaccard on documents."""
+    """k-word shingles (space-joined), for MinHash/Jaccard on documents.
 
-    def shingle(toks: Column) -> Column:
-        n = F.size(toks)
-        return F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
-
-    return let_(F.filter(F.split(_col(text), r"\s+"), lambda t: t != ""), shingle)
+    Built in ONE codegen regex pass: normalize whitespace runs to single
+    spaces (trim AFTER the replace so tab/newline edges strip too), then
+    a zero-width lookahead anchored at token boundaries captures every
+    overlapping k-token run. Fewer than k tokens falls back to the whole
+    normalized string, so the output is element-for-element identical to
+    the r1-r10 form (filter/split tokens → transform(sequence) →
+    concat_ws(slice)) — which ran ENTIRELY in the interpreted
+    higher-order-function evaluator and was 80%+ of the MinHash
+    signature wall (r11 probe at sf10/5e5 docs: 12.7 s HOF vs 1.9 s
+    regex for the same 27M shingles; the r9 "HOFs are never codegen'd"
+    lesson, hiding one level deeper). regexp_extract_all and
+    regexp_replace are both whole-stage-codegen expressions."""
+    norm = F.trim(F.regexp_replace(_col(text), r"\s+", " "))
+    pat = r"(?=(?:^| )([^ ]+" + r"(?: [^ ]+)" * (k - 1) + r"))"
+    return let_(
+        norm,
+        lambda n: let_(
+            F.regexp_extract_all(n, F.lit(pat), 1),
+            lambda sh: F.when(F.size(sh) > 0, sh).otherwise(F.array(n)),
+        ),
+    )
 
 
 def punctuation_ratio(text: Column | str) -> Column:

@@ -14,7 +14,12 @@ tag (join grain stays per-charger: fan-out is wider, never deeper) and
 retags each message uuid's first segment so request↔confirmation
 correlation ids stay replica-unique.
 
-Usage: python tools/fleet_scale.py [N] [build|batch|stream|incremental|all]
+The `visits` step (r11) measures the chained stateful visit stream at
+fleet scale: batch-compiled attempts -> stream_visit_chains ->
+stream_visit_parity with sentinel finalization, recording per-stage
+wall, msgs/s, peak state rows, and emitted+flushed vs the batch mart.
+
+Usage: python tools/fleet_scale.py [N] [build|batch|stream|incremental|visits|all]
 Seed CSVs land in /tmp/fleet_{N}x; results print as JSON lines.
 """
 
@@ -173,6 +178,141 @@ def run_incremental(spark, seed_dir: str) -> dict:
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
+def run_visits(spark, seed_dir: str) -> dict:
+    """Streaming visits at fleet scale (VERDICT r10 #4): batch-compile
+    fact_charge_attempts from the replicated seed, feed it through the
+    two chained stateful stages (stream_visit_chains ->
+    stream_visit_parity) with the sentinel finalization row, and record
+    throughput (attempt rows / stage wall), peak state rows per stage
+    (stateOperators.numRowsTotal from the last progress), and the
+    emitted+flushed count vs the batch mart."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kwwhat_spark.models import Pipeline
+    from kwwhat_spark.sources.ocpp import load_ocpp_sources
+    from kwwhat_spark.streaming.ocpp import stream_visit_chains, stream_visit_parity
+
+    pipe = Pipeline(
+        spark=spark,
+        sources=load_ocpp_sources(spark, seed_dir=seed_dir),
+        cache_views=("stg_ocpp_logs",),
+    )
+    t0 = time.perf_counter()
+    attempts = pipe.ref("fact_charge_attempts")
+    conns = pipe.ref("dim_connectors").select(
+        F.col("charger_id").alias("c_charger_id"),
+        F.col("connector_id").alias("c_connector_id"),
+        "port_id",
+    )
+    chargers = pipe.ref("dim_chargers").select(
+        F.col("charger_id").alias("ch_charger_id"), "location_id"
+    )
+    att = (
+        attempts.join(
+            F.broadcast(conns),
+            (F.col("charger_id") == F.col("c_charger_id"))
+            & (F.col("connector_id") == F.col("c_connector_id")),
+        )
+        .join(F.broadcast(chargers), F.col("charger_id") == F.col("ch_charger_id"))
+        .filter(F.col("charge_attempt_start_ts").isNotNull())
+        .select(
+            "charge_attempt_id", "charger_id", "port_id", "connector_id",
+            "location_id", "charge_attempt_start_ts", "charge_attempt_stop_ts",
+            F.col("energy_transferred_kwh").cast("double").alias(
+                "energy_transferred_kwh"
+            ),
+            "is_successful", "id_tag",
+        )
+    )
+    root = tempfile.mkdtemp(prefix="fleet-visits-")
+    try:
+        att.write.mode("overwrite").parquet(f"{root}/attempts")
+        in_schema = spark.read.parquet(f"{root}/attempts").schema
+        n_attempts = spark.read.parquet(f"{root}/attempts").count()
+        cap = att.agg(F.max(F.coalesce(
+            "charge_attempt_stop_ts", "charge_attempt_start_ts"))).first()[0]
+        flush_ts = cap + datetime.timedelta(days=2)
+        sentinel = spark.createDataFrame(
+            [("__FLUSH__", "__FLUSH__", "__FLUSH__", "0", "__FLUSH__",
+              flush_ts, flush_ts, 0.0, False, None)],
+            in_schema,
+        )
+        sentinel.write.mode("append").parquet(f"{root}/attempts")
+        compile_s = round(time.perf_counter() - t0, 2)
+
+        def drain(q, timeout_s):
+            if not q.awaitTermination(timeout_s):
+                q.stop()
+                raise TimeoutError("stream stage still running")
+            st = (q.lastProgress or {}).get("stateOperators") or []
+            return max((s.get("numRowsTotal", 0) for s in st), default=0)
+
+        t1 = time.perf_counter()
+        q1 = (
+            stream_visit_chains(
+                spark.readStream.schema(in_schema).parquet(f"{root}/attempts")
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{root}/chained")
+            .option("checkpointLocation", f"{root}/ckpt1")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        state1 = drain(q1, 1800)
+        chains_s = round(time.perf_counter() - t1, 2)
+
+        # Stage 2 needs its own watermark-advancer, and it cannot be
+        # appended to the stage-1 sink directory (the file stream source
+        # trusts the sink's _spark_metadata log and would never see a
+        # foreign file — ocpp_stream_visits_finalized docstring). Re-stage
+        # the topic into a plain directory and append the sentinel there.
+        chained = spark.read.parquet(f"{root}/chained")
+        chained_schema = chained.schema
+        chained.write.mode("overwrite").parquet(f"{root}/chained_in")
+        spark.createDataFrame(
+            [("__FLUSH__", "__FLUSH__", "__FLUSH__", "0", "__FLUSH__",
+              flush_ts, flush_ts, 0.0, False, None)],
+            chained_schema,
+        ).write.mode("append").parquet(f"{root}/chained_in")
+        t2 = time.perf_counter()
+        q2 = (
+            stream_visit_parity(
+                spark.readStream.schema(chained_schema).parquet(f"{root}/chained_in")
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{root}/visits")
+            .option("checkpointLocation", f"{root}/ckpt2")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        state2 = drain(q2, 1800)
+        visits_s = round(time.perf_counter() - t2, 2)
+
+        emitted = (
+            spark.read.parquet(f"{root}/visits")
+            .filter(F.col("location_id") != "__FLUSH__")
+            .count()
+        )
+        batch_visits = pipe.ref("fact_visits").count()
+        pipe.unpersist_all()
+        return {
+            "step": "visits", "attempt_rows": n_attempts,
+            "compile_attempts_s": compile_s,
+            "chains_s": chains_s, "visits_s": visits_s,
+            "chains_state_rows": state1, "visits_state_rows": state2,
+            "chains_msgs_per_s": round(n_attempts / max(chains_s, 0.01)),
+            "emitted_plus_flushed": emitted, "batch_fact_visits": batch_visits,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     what = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -191,7 +331,7 @@ def main() -> None:
     for step in steps:
         rec = {"n": n, "load_start": os.getloadavg()}
         fn = {"batch": run_batch, "stream": run_stream,
-              "incremental": run_incremental}[step]
+              "incremental": run_incremental, "visits": run_visits}[step]
         rec.update(fn(spark, dst))
         rec["load_end"] = os.getloadavg()
         print(json.dumps(rec), flush=True)
