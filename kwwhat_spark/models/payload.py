@@ -20,6 +20,17 @@ struct accesses. Two traps, both measured (r10, 4M rows × 9 fields):
 
 So: always bind the parsed struct to a column (PARSED_COL) and read
 fields from it; never call parsed_payload() inline per field.
+
+Trap 4 (r11, measured at the 500× fleet): never parse AFTER a fanout
+join. The request↔confirmation uid_window_join multiplies rows under
+the repeated-uuid pathology (370k preparing events → ~125M joined rows;
+136k transaction events → ~68M), and a parse placed after it runs once
+per fanout COPY of the payload, not once per payload. Extract the
+needed scalars on each side BEFORE the join: int_connector_preparing's
+events_conf stage 85.7 → 5.7 s (15×), int_transactions' CALLRESULT
+parse 25.0 → 5.1 s (5×). The old "only matched confirmations pay the
+parse" rationale inverts exactly when the join fans out — |join output|
+≫ |all CALLRESULTs|.
 """
 
 from __future__ import annotations

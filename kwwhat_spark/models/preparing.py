@@ -98,30 +98,27 @@ def int_connector_preparing(p: Pipeline) -> DataFrame:
 
     retry_s = p.vars.transaction_message_retry_interval_seconds
     # One from_json per side (models/payload.py), bound once (each
-    # struct is referenced 3×, so CollapseProject keeps it aliased);
-    # only the SIX needed scalars cross the anchor interval join — not
-    # the structs, not the JSON strings (r10: carrying whole structs
-    # through the fanout join measured +25 s at the 500× fleet).
-    events_conf = uid_window_join(
-        events, conf,
-        "unique_id", "conf_unique_id",
-        "ingested_ts", "conf_ingested_ts",
-        retry_s,
-    ).withColumn("__pj", parsed_payload()).withColumn(
-        "__conf_pj", parsed_payload("conf_payload")
-    ).select(
-        F.col("charger_id").alias("e_charger_id"),
+    # struct is referenced 3×, so CollapseProject keeps it aliased) —
+    # and BOTH parses run BEFORE the uid correlation join (trap 4,
+    # models/payload.py): the repeated-uuid pathology fans this join to
+    # ~125M rows at the 500× fleet (370k events × ~339 same-uuid
+    # CALLRESULTs), so a parse placed after it re-parses each payload
+    # per fanout copy — measured 85.7 s after vs 5.7 s before (15×) for
+    # this stage. Only the SIX needed scalars cross the join and the
+    # later anchor interval join — not the structs, not the JSON
+    # strings (r10: carrying whole structs through the fanout join
+    # measured +25 s at the 500× fleet).
+    events_p = events.withColumn("__pj", parsed_payload()).select(
+        "charger_id",
         "action",
-        F.col("ingested_ts").alias("e_ingested_ts"),
+        "ingested_ts",
+        "unique_id",
         F.col("__pj.idTag").alias("e_id_tag"),
         F.col("__pj.transactionId").alias("e_txn_id"),
         F.col("__pj.errorCode").alias("e_error_code"),
-        F.col("__conf_pj.idTagInfo.status").alias("c_id_tag_status"),
-        F.col("__conf_pj.idTagInfo.idTag").alias("c_parent_id_tag"),
-        F.col("__conf_pj.transactionId").alias("c_txn_id"),
         # Join key: its own pruned single-field parse (payload_field
-        # docstring) — the join pushes isnotnull(key) into a per-row
-        # filter, which must not drag a full-schema parse with it.
+        # docstring) — the anchor join pushes isnotnull(key) into a
+        # per-row filter, which must not drag a full-schema parse.
         F.when(
             F.col("action").isin(
                 ["StatusNotification", "StartTransaction", "MeterValues",
@@ -129,6 +126,25 @@ def int_connector_preparing(p: Pipeline) -> DataFrame:
             ),
             payload_field("connectorId"),
         ).cast("string").alias("e_connector_id"),
+    )
+    conf_p = conf.withColumn("__conf_pj", parsed_payload("conf_payload")).select(
+        "conf_unique_id",
+        "conf_ingested_ts",
+        F.col("__conf_pj.idTagInfo.status").alias("c_id_tag_status"),
+        F.col("__conf_pj.idTagInfo.idTag").alias("c_parent_id_tag"),
+        F.col("__conf_pj.transactionId").alias("c_txn_id"),
+    )
+    events_conf = uid_window_join(
+        events_p, conf_p,
+        "unique_id", "conf_unique_id",
+        "ingested_ts", "conf_ingested_ts",
+        retry_s,
+    ).select(
+        F.col("charger_id").alias("e_charger_id"),
+        "action",
+        F.col("ingested_ts").alias("e_ingested_ts"),
+        "e_id_tag", "e_txn_id", "e_error_code",
+        "c_id_tag_status", "c_parent_id_tag", "c_txn_id", "e_connector_id",
     )
 
     chained = anchors.join(

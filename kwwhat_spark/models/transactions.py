@@ -84,15 +84,27 @@ def int_transactions(p: Pipeline) -> DataFrame:
     )
     from kwwhat_spark.operators.temporal import uid_window_join
 
+    # CALLRESULT payloads parse BEFORE the correlation join (trap 4,
+    # models/payload.py). The r1-r10 rationale — "only confirmations
+    # that matched pay the parse" — inverts under the repeated-uuid
+    # fanout: the join multiplies matched rows (~68M from 136k events ×
+    # same-uuid CALLRESULTs at the 500× fleet), so a post-join parse
+    # runs once per COPY. Parsing all 4.4M CALLRESULTs once, then
+    # joining the two extracted scalars, measured 25.0 -> 5.1 s (5×).
+    conf_parsed = conf.withColumn(
+        "__conf_pj", parsed_payload("conf_payload")
+    ).select(
+        "conf_unique_id",
+        "conf_ingested_ts",
+        F.col("__conf_pj.transactionId").alias("__conf_txn_id"),
+        F.col("__conf_pj.idTagInfo.status").alias("__conf_id_tag_status"),
+    )
     events_conf = uid_window_join(
-        tx_events, conf,
+        tx_events, conf_parsed,
         "unique_id", "conf_unique_id",
         "ingested_ts", "conf_ingested_ts",
         p.vars.message_response_interval_seconds,
-    # CALLRESULT payloads parse AFTER the correlation join: only
-    # confirmations that matched a transaction action pay the parse,
-    # not every CALLRESULT in the batch.
-    ).withColumn("__conf_pj", parsed_payload("conf_payload"))
+    )
 
     details = events_conf.select(
         "charger_id",
@@ -102,11 +114,11 @@ def int_transactions(p: Pipeline) -> DataFrame:
         # Stop/RemoteStop/MeterValues (payload_extractions.sql:67-75).
         F.coalesce(
             _extract(["StopTransaction", "RemoteStopTransaction", "MeterValues"], "transactionId"),
-            _extract("StartTransaction", "transactionId", "__conf_pj"),
+            F.when(F.col("action") == "StartTransaction", F.col("__conf_txn_id")),
         ).cast("string").alias("transaction_id"),
         _extract(["StartTransaction", "RemoteStartTransaction"], "idTag")
         .cast("string").alias("id_tag"),
-        _extract("StartTransaction", "idTagInfo.status", "__conf_pj")
+        F.when(F.col("action") == "StartTransaction", F.col("__conf_id_tag_status"))
         .cast("string").alias("id_tag_status"),
         _extract("StartTransaction", "timestamp").cast("timestamp").alias("transaction_start_ts"),
         _extract("StopTransaction", "timestamp").cast("timestamp").alias("transaction_stop_ts"),

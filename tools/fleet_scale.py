@@ -248,8 +248,13 @@ def run_visits(spark, seed_dir: str) -> dict:
             if not q.awaitTermination(timeout_s):
                 q.stop()
                 raise TimeoutError("stream stage still running")
-            st = (q.lastProgress or {}).get("stateOperators") or []
-            return max((s.get("numRowsTotal", 0) for s in st), default=0)
+            # Peak state across ALL progress events — the last batch is
+            # the sentinel flush, after which state is ~empty.
+            peak = 0
+            for pr in q.recentProgress or []:
+                for s in pr.get("stateOperators") or []:
+                    peak = max(peak, s.get("numRowsTotal", 0))
+            return peak
 
         t1 = time.perf_counter()
         q1 = (
