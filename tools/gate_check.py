@@ -30,6 +30,7 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
+    load_start = os.getloadavg()
     spark = get_spark()
     con = duckdb_connection(args.sf_dir)
     names = args.names or list(REGISTRY)
@@ -71,9 +72,19 @@ def main() -> int:
     # tool for keeping all entries inside one driver round (VERDICT r2
     # item 10). Committed to the repo so rounds can diff it.
     if not args.names:
+        # Rig self-label (ADVICE r10: a load-contaminated snapshot with
+        # 3-6x outliers was committed unnoticed): pre-run loadavg is the
+        # diagnostic one — the gate itself saturates local[32].
+        rig = (
+            "steady" if load_start[0] <= 7.0
+            else f"contended (pre-run loadavg {load_start[0]:.1f})"
+        )
         with open(TIMINGS_PATH, "w") as f:
             json.dump(
                 {"sf_dir": args.sf_dir, "total_sec": round(total, 1),
+                 "load_start": list(load_start),
+                 "load_end": list(os.getloadavg()),
+                 "rig": rig,
                  "entries": timings},
                 f, indent=1, sort_keys=True,
             )
