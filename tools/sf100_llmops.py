@@ -110,6 +110,13 @@ def main() -> None:
         rec["spark_hot"] = min(trials)
         results.append(rec)
         print(json.dumps(rec), flush=True)
+        # Per-entry isolation, mirroring bench.py: operators persist()
+        # intermediates keyed by logical plan, which pile up across the
+        # sweep — by the 9th entry storage memory holds every previous
+        # entry's cached stages and eviction churn contaminates the
+        # measurement (bench.py measured the same pathology:
+        # dedup_substring_spans 11.7 s mid-run vs 1.1 s isolated).
+        spark.catalog.clearCache()
     spark.stop()
 
     for rec in results:
