@@ -134,18 +134,51 @@ def int_connector_preparing(p: Pipeline) -> DataFrame:
         F.col("__conf_pj.idTagInfo.idTag").alias("c_parent_id_tag"),
         F.col("__conf_pj.transactionId").alias("c_txn_id"),
     )
+    # Confirmation values are consumed ONLY by StartTransaction and
+    # Authorize rows (the _gate()s over c_* below); joining them to
+    # every preparing action fans all of them ~170× through in-window
+    # retry copies (2.00B pairs measured at the 2000× fleet before the
+    # split+dedup below). Non-consuming actions bypass the join with
+    # null conf columns — identical output (their duplicates were
+    # collect_set-inert anyway), pair volume scales with
+    # |Start|+|Authorize| instead of |all preparing actions|.
+    conf_actions = ["StartTransaction", "Authorize"]
+    ev_conf_side = events_p.filter(F.col("action").isin(conf_actions))
+    ev_pass_side = events_p.filter(~F.col("action").isin(conf_actions))
     events_conf = uid_window_join(
-        events_p, conf_p,
+        ev_conf_side, conf_p,
         "unique_id", "conf_unique_id",
         "ingested_ts", "conf_ingested_ts",
         retry_s,
+    ).unionByName(
+        ev_pass_side.select(
+            "*",
+            F.lit(None).cast("string").alias("conf_unique_id"),
+            F.lit(None).cast("timestamp").alias("conf_ingested_ts"),
+            F.lit(None).cast("string").alias("c_id_tag_status"),
+            F.lit(None).cast("string").alias("c_parent_id_tag"),
+            F.lit(None).cast("string").alias("c_txn_id"),
+        )
     ).select(
         F.col("charger_id").alias("e_charger_id"),
         "action",
         F.col("ingested_ts").alias("e_ingested_ts"),
         "e_id_tag", "e_txn_id", "e_error_code",
         "c_id_tag_status", "c_parent_id_tag", "c_txn_id", "e_connector_id",
-    )
+    ).dropDuplicates()
+    # ^ Pair-dedup BEFORE the anchor fanout join. Retried confirmations
+    # share one correlation id, so the uid window join emits one pair
+    # per (call, retry-copy) — measured 2.00 BILLION pairs at the 2000×
+    # fleet (~167 near-identical confirmations per event, the seed's
+    # own id-reuse × in-window retry bursts), and the anchor interval
+    # join then sort-merges all of them (280 s of the model's 406 s).
+    # Every downstream use is duplicate-insensitive — the details
+    # projection is row-wise and the rollup aggregates ONLY via
+    # collect_set over these exact columns — so distinct pairs are
+    # semantically identical and the dedup is a map-side-combinable
+    # groupBy on rows already partitioned by the join's uid key
+    # (duplicates co-reside, partial aggregation collapses them before
+    # the shuffle).
 
     chained = anchors.join(
         events_conf,

@@ -49,17 +49,33 @@ def int_status_changes(p: Pipeline) -> DataFrame:
     # as a literal — int_status_changes.sql:36-40.
     incremental_ts = p.scalar_max(ocpp_logs, "ingested_timestamp")
 
-    req = ocpp_logs.filter(
+    # The raw payload TEXT does not enter the correlation join or the
+    # lag/lead windows: the uid join fans each request to one row per
+    # in-window retry copy of its confirmation (dense same-id bursts in
+    # real logs — measured here as the dominant cost of this model at
+    # the 2000× fleet), and a ~300 B JSON string materialized into every
+    # fanout copy turns a narrow correlation into tens of GB of shuffle
+    # and sort traffic. The output's payload column is re-attached 1:1
+    # AFTER the change filter via (charger_id, unique_id, ingested_ts) —
+    # unique per CALL row (verified on the seed; generated-fleet
+    # property harness guards the general case).
+    req_all = ocpp_logs.filter(
         (F.col("action") == "StatusNotification")
         & (F.col("message_type_id") == p.vars.call_message_type_id)
-    ).withColumn(
+    )
+    payload_lookup = req_all.select(
+        F.col("charger_id").alias("__pl_charger_id"),
+        F.col("unique_id").alias("__pl_unique_id"),
+        F.col("ingested_timestamp").alias("__pl_ingested_ts"),
+        F.col("payload").alias("__pl_payload"),
+    )
+    req = req_all.withColumn(
         "__pj", parsed_payload()
     ).select(
         "ingested_timestamp",
         "charger_id",
         "unique_id",
         "action",
-        "payload",
         _payload_str("connectorId", "StatusNotification").alias("connector_id"),
         _payload_str("status", "StatusNotification").alias("status"),
         _payload_str("errorCode", "StatusNotification").alias("error_code"),
@@ -96,7 +112,6 @@ def int_status_changes(p: Pipeline) -> DataFrame:
             "unique_id",
             "status",
             "error_code",
-            "payload",
             "payload_ts",
             "confirmation_ingested_ts",
         )
@@ -109,10 +124,14 @@ def int_status_changes(p: Pipeline) -> DataFrame:
     # (int_status_changes.sql:90-146).
     base_cols = [
         "charger_id", "connector_id", "port_id", "ingested_ts", "unique_id",
-        "status", "error_code", "payload", "payload_ts", "confirmation_ingested_ts",
+        "status", "error_code", "payload_ts", "confirmation_ingested_ts",
     ]
+    # __buf_payload: buffer rows (prior state) carry their stored payload
+    # through the stitch; new rows re-attach theirs from payload_lookup
+    # after the change filter (see coalesce at the end).
     with_null_prev = with_conf.select(
         *base_cols,
+        F.lit(None).cast("string").alias("__buf_payload"),
         F.lit(None).cast("string").alias("previous_status"),
         F.lit(None).cast("timestamp").alias("previous_ingested_ts"),
         F.lit(None).cast("timestamp").alias("previous_payload_ts"),
@@ -127,6 +146,7 @@ def int_status_changes(p: Pipeline) -> DataFrame:
             )
             .select(
                 *base_cols,
+                F.col("payload").alias("__buf_payload"),
                 "previous_status", "previous_ingested_ts", "previous_payload_ts",
             )
         )
@@ -137,6 +157,7 @@ def int_status_changes(p: Pipeline) -> DataFrame:
     w = W.partitionBy("charger_id", "connector_id").orderBy("ingested_ts")
     with_lag = statuses_with_buffer.select(
         *base_cols,
+        "__buf_payload",
         F.coalesce("previous_status", F.lag("status").over(w)).alias("previous_status"),
         F.coalesce("previous_ingested_ts", F.lag("ingested_ts").over(w)).alias(
             "previous_ingested_ts"
@@ -156,7 +177,19 @@ def int_status_changes(p: Pipeline) -> DataFrame:
         F.lead("ingested_ts").over(w).alias("next_ingested_ts"),
         F.lead("payload_ts").over(w).alias("next_payload_ts"),
     )
-    return with_lead.withColumn("incremental_ts", F.lit(incremental_ts).cast("timestamp"))
+    return (
+        with_lead.join(
+            payload_lookup,
+            (F.col("charger_id") == F.col("__pl_charger_id"))
+            & (F.col("unique_id") == F.col("__pl_unique_id"))
+            & (F.col("ingested_ts") == F.col("__pl_ingested_ts")),
+            "left",
+        )
+        .withColumn("payload", F.coalesce("__buf_payload", "__pl_payload"))
+        .drop("__buf_payload", "__pl_charger_id", "__pl_unique_id",
+              "__pl_ingested_ts", "__pl_payload")
+        .withColumn("incremental_ts", F.lit(incremental_ts).cast("timestamp"))
+    )
 
 
 @model("int_connector_latest_status")

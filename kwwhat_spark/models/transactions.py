@@ -24,14 +24,6 @@ from kwwhat_spark.models.payload import parsed_payload, payload_field
 _NUMERIC = "decimal(28,6)"
 
 
-def _extract(action_set, path, src="__pj"):
-    """Per-action field gate over a BOUND parsed-payload struct column
-    (models/payload.py) — src names the struct column (__pj for the
-    request payload, __conf_pj for the correlated CALLRESULT's)."""
-    actions = [action_set] if isinstance(action_set, str) else action_set
-    return F.when(F.col("action").isin(actions), F.col(f"{src}.{path}"))
-
-
 @model("int_transactions")
 def int_transactions(p: Pipeline) -> DataFrame:
     logs = p.ref("stg_ocpp_logs")
@@ -56,23 +48,37 @@ def int_transactions(p: Pipeline) -> DataFrame:
     # Parse the request payload ONCE per row; the raw string is dropped
     # before the correlation join so the shuffle carries the pruned
     # struct, not the JSON text.
+    # Extract the SIX request scalars the details projection needs
+    # BEFORE the correlation join instead of carrying the whole bound
+    # struct through it (trap 3 one join later than r10 caught it): the
+    # uid window join fans each event to one row per in-window retry
+    # copy of its confirmation (~273M pairs at the 2000× fleet), and a
+    # struct column is physically materialized into every copy.
     tx_events = (
         ocpp_logs.filter(F.col("action").isin(list(p.vars.transaction_actions)))
         .withColumn("__pj", parsed_payload())
-        .withColumn(
-            "connector_id",
-            # Pruned parse, NOT __pj.connectorId: beside the kept whole
-            # struct a field read is duplicated into a second full parse
-            # by projection pushdown (payload_field docstring).
+        .select(
+            "charger_id",
+            "action",
+            "ingested_ts",
+            "unique_id",
+            F.col("__pj.transactionId").alias("e_txn_id"),
+            F.col("__pj.idTag").alias("e_id_tag"),
+            F.col("__pj.timestamp").alias("e_payload_ts"),
+            F.col("__pj.reason").alias("e_stop_reason"),
+            F.col("__pj.meterStart").alias("e_meter_start"),
+            F.col("__pj.meterStop").alias("e_meter_stop"),
+            # Pruned parse, NOT __pj.connectorId: beside the kept struct
+            # a field read is duplicated into a second full parse by
+            # projection pushdown (payload_field docstring).
             F.when(
                 F.col("action").isin(
                     ["StatusNotification", "StartTransaction", "MeterValues",
                      "RemoteStartTransaction"]
                 ),
                 payload_field("connectorId"),
-            ).cast("string"),
+            ).cast("string").alias("connector_id"),
         )
-        .drop("payload")
     )
 
     conf = ocpp_logs.filter(
@@ -99,12 +105,37 @@ def int_transactions(p: Pipeline) -> DataFrame:
         F.col("__conf_pj.transactionId").alias("__conf_txn_id"),
         F.col("__conf_pj.idTagInfo.status").alias("__conf_id_tag_status"),
     )
+    # Only StartTransaction consumes confirmation values (__conf_txn_id,
+    # __conf_id_tag_status are gated on action == 'StartTransaction' in
+    # the details projection below), yet a blanket left join fans EVERY
+    # event to one row per in-window retry copy of its confirmation —
+    # semantically-inert duplicates (the rollup is min/max/collect_set
+    # only) that still cost a 1.09B-pair scan at the 2000× fleet
+    # (measured; ~176 same-id confirmations per call in the seed's
+    # dense retry bursts). Join confirmations to the Start events only;
+    # everything else passes through with null conf columns — identical
+    # model output, pair volume scales with |StartTransaction| instead
+    # of |all tx actions|.
+    start_events = tx_events.filter(F.col("action") == "StartTransaction")
+    other_events = tx_events.filter(F.col("action") != "StartTransaction")
     events_conf = uid_window_join(
-        tx_events, conf_parsed,
+        start_events, conf_parsed,
         "unique_id", "conf_unique_id",
         "ingested_ts", "conf_ingested_ts",
         p.vars.message_response_interval_seconds,
+    ).unionByName(
+        other_events.select(
+            "*",
+            F.lit(None).cast("string").alias("conf_unique_id"),
+            F.lit(None).cast("timestamp").alias("conf_ingested_ts"),
+            F.lit(None).cast("string").alias("__conf_txn_id"),
+            F.lit(None).cast("string").alias("__conf_id_tag_status"),
+        )
     )
+
+    def _gate(action_set, col):
+        actions = [action_set] if isinstance(action_set, str) else action_set
+        return F.when(F.col("action").isin(actions), F.col(col))
 
     details = events_conf.select(
         "charger_id",
@@ -113,22 +144,22 @@ def int_transactions(p: Pipeline) -> DataFrame:
         # transactionId: CALLRESULT for StartTransaction, request payload for
         # Stop/RemoteStop/MeterValues (payload_extractions.sql:67-75).
         F.coalesce(
-            _extract(["StopTransaction", "RemoteStopTransaction", "MeterValues"], "transactionId"),
+            _gate(["StopTransaction", "RemoteStopTransaction", "MeterValues"], "e_txn_id"),
             F.when(F.col("action") == "StartTransaction", F.col("__conf_txn_id")),
         ).cast("string").alias("transaction_id"),
-        _extract(["StartTransaction", "RemoteStartTransaction"], "idTag")
+        _gate(["StartTransaction", "RemoteStartTransaction"], "e_id_tag")
         .cast("string").alias("id_tag"),
         F.when(F.col("action") == "StartTransaction", F.col("__conf_id_tag_status"))
         .cast("string").alias("id_tag_status"),
-        _extract("StartTransaction", "timestamp").cast("timestamp").alias("transaction_start_ts"),
-        _extract("StopTransaction", "timestamp").cast("timestamp").alias("transaction_stop_ts"),
+        _gate("StartTransaction", "e_payload_ts").cast("timestamp").alias("transaction_start_ts"),
+        _gate("StopTransaction", "e_payload_ts").cast("timestamp").alias("transaction_stop_ts"),
         # Reason omitted ⇒ 'Local' (payload_extractions.sql:57-65).
         F.when(
             F.col("action") == "StopTransaction",
-            F.coalesce(F.col("__pj.reason"), F.lit("Local")),
+            F.coalesce(F.col("e_stop_reason"), F.lit("Local")),
         ).cast("string").alias("transaction_stop_reason"),
-        _extract("StartTransaction", "meterStart").cast(_NUMERIC).alias("meter_start"),
-        _extract("StopTransaction", "meterStop").cast(_NUMERIC).alias("meter_stop"),
+        _gate("StartTransaction", "e_meter_start").cast(_NUMERIC).alias("meter_start"),
+        _gate("StopTransaction", "e_meter_stop").cast(_NUMERIC).alias("meter_stop"),
     )
 
     transactions = (

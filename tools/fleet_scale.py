@@ -45,10 +45,22 @@ def build(n: int, dst: str) -> None:
     retag_id = f"regexp_replace(id, '^CH-', 'CH-' || {rep} || '-')"
     retag_cp = f"regexp_replace(charge_point_id, '^CH-', 'CH-' || {rep} || '-')"
     retag_loc = f"regexp_replace(location_id, '^LOC-', 'LOC-' || {rep} || '-')"
-    # uuid first segment -> replica-unique hex tag (keeps uuid shape)
+    # Correlation id -> replica-unique (prefix the replica tag into the
+    # envelope's second element, the unique_id). The seed's ids are NOT
+    # RFC uuids — they look like "notif-bf5357" — so the previous
+    # '[0-9a-f]{8}-' uuid-segment rewrite never matched ANY id and every
+    # replica silently shared every correlation id. Because replica
+    # copies also share timestamps, the request<->confirmation window
+    # join then produced n^2 pairs per id (measured: 70.87M joined rows
+    # at 500x but 1.13B at 2000x — 16x for 4x replicas), so every
+    # fleet-scale number was dominated by an artificial quadratic data
+    # bomb instead of the engine. The anchored rewrite below touches
+    # only the uid position ('[<type>, "<uid>') of both CALL and
+    # CALLRESULT envelopes, keeping request<->confirmation correlation
+    # intact WITHIN a replica and distinct ACROSS replicas — the
+    # documented intent ("fan-out is wider, never deeper").
     retag_msg = (
-        "regexp_replace(msg, '[0-9a-f]{8}-', "
-        f"lpad(format('{{:x}}', r), 8, '0') || '-', 'g')"
+        "regexp_replace(msg, '^(\\[[0-9]+, \")', " f"'\\1' || {rep} || '-')"
     )
     con.execute(
         f"""COPY (
@@ -322,12 +334,14 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     what = sys.argv[2] if len(sys.argv) > 2 else "all"
     dst = f"/tmp/fleet_{n}x"
-    if what in ("build", "all") and not os.path.exists(
-        os.path.join(dst, "connectors.csv")
-    ):
-        build(n, dst)
     if what == "build":
+        # Explicit build ALWAYS rebuilds: the exists-skip below silently
+        # no-op'd a rebuild after the uid-retag fix (r11) and three
+        # measurement rounds ran on the stale seed.
+        build(n, dst)
         return
+    if what == "all" and not os.path.exists(os.path.join(dst, "connectors.csv")):
+        build(n, dst)
     from kwwhat_spark.session import get_spark
 
     spark = get_spark(app_name=f"fleet-{n}x")
