@@ -56,18 +56,26 @@ def int_status_changes(p: Pipeline) -> DataFrame:
     # the 2000× fleet), and a ~300 B JSON string materialized into every
     # fanout copy turns a narrow correlation into tens of GB of shuffle
     # and sort traffic. The output's payload column is re-attached 1:1
-    # AFTER the change filter via (charger_id, unique_id, ingested_ts) —
-    # unique per CALL row (verified on the seed; generated-fleet
-    # property harness guards the general case).
+    # AFTER the change filter via (charger_id, unique_id, ingested_ts).
+    # That triple is NOT assumed unique in the raw log: at-least-once
+    # delivery / uid-reuse bursts can duplicate a CALL row verbatim, and
+    # a 1:many lookup would fan out exactly the change rows the lag
+    # filter just collapsed. The lookup is therefore aggregated to one
+    # row per triple (min payload — deterministic under exact-duplicate
+    # rows, and a stable tie-break if payloads ever differ), making the
+    # join provably 1:1. Map-side combinable, so the dedup costs one
+    # combiner pass, not a shuffle of payload text per duplicate.
     req_all = ocpp_logs.filter(
         (F.col("action") == "StatusNotification")
         & (F.col("message_type_id") == p.vars.call_message_type_id)
     )
-    payload_lookup = req_all.select(
-        F.col("charger_id").alias("__pl_charger_id"),
-        F.col("unique_id").alias("__pl_unique_id"),
-        F.col("ingested_timestamp").alias("__pl_ingested_ts"),
-        F.col("payload").alias("__pl_payload"),
+    payload_lookup = (
+        req_all.groupBy(
+            F.col("charger_id").alias("__pl_charger_id"),
+            F.col("unique_id").alias("__pl_unique_id"),
+            F.col("ingested_timestamp").alias("__pl_ingested_ts"),
+        )
+        .agg(F.min("payload").alias("__pl_payload"))
     )
     req = req_all.withColumn(
         "__pj", parsed_payload()

@@ -52,6 +52,12 @@ class Gen:
         self.t = BASE + dt.timedelta(milliseconds=offset_ms)
         self.rows: list[tuple[str, str, str, str]] = []
         self._uid = 0
+        # Separate stream for at-least-once duplicate injection: drawing
+        # from the main rng would shift every downstream choice and
+        # regenerate a different fleet (the seeds' drift-tripwire margins
+        # are calibrated to the existing timelines). This keeps the base
+        # fleet byte-identical; duplicates are purely additive rows.
+        self.dup_rng = random.Random(f"dup-{charger}")
 
     def uid(self, prefix: str) -> str:
         self._uid += 1
@@ -83,12 +89,23 @@ class Gen:
         # nondeterministic in BOTH engines (the generator's determinism
         # contract, caught by the streaming comparison).
         self.advance(1)
+        before = len(self.rows)
         self.call(
             "StatusNotification",
             {"connectorId": connector, "status": status, "errorCode": error},
             conf_payload=None if conf_delay is None else {},
             conf_delay=conf_delay or 0.1,
         )
+        # At-least-once redelivery: occasionally repeat the CALL row
+        # VERBATIM (same uid, timestamp, payload — a duplicate
+        # (charger, unique_id, ingested_ts) triple). Exercises the
+        # payload re-attach join's 1:1 guarantee in int_status_changes:
+        # a 1:many lookup would fan change rows back out after the lag
+        # filter collapsed them. Identical-in-every-column rows keep
+        # ORDER BY ingested_ts deterministic despite the shared
+        # timestamp (any permutation of equal rows is the same result).
+        if self.dup_rng.random() < 0.08:
+            self.rows.append(self.rows[before])
 
     def heartbeat(self):
         self.call("Heartbeat", {}, conf_payload={"currentTime": self.ts()})

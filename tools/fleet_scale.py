@@ -34,6 +34,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SEED = "/root/reference/demo/seeds"
 
+# Bump whenever build()'s retag logic changes. Stamped into the built
+# dir and checked in 'all' mode, so a stale /tmp/fleet_Nx seed from an
+# older builder (e.g. the pre-r11 one whose notif-* correlation ids
+# stayed shared across replicas) is rebuilt instead of silently reused.
+BUILDER_VERSION = "2-replica-unique-uids"
+
 
 def build(n: int, dst: str) -> None:
     import duckdb
@@ -46,10 +52,12 @@ def build(n: int, dst: str) -> None:
     retag_cp = f"regexp_replace(charge_point_id, '^CH-', 'CH-' || {rep} || '-')"
     retag_loc = f"regexp_replace(location_id, '^LOC-', 'LOC-' || {rep} || '-')"
     # Correlation id -> replica-unique (prefix the replica tag into the
-    # envelope's second element, the unique_id). The seed's ids are NOT
-    # RFC uuids — they look like "notif-bf5357" — so the previous
-    # '[0-9a-f]{8}-' uuid-segment rewrite never matched ANY id and every
-    # replica silently shared every correlation id. Because replica
+    # envelope's second element, the unique_id). The seed carries two id
+    # shapes: ~16k of its 17.7k rows use RFC uuids (which the previous
+    # '[0-9a-f]{8}-' uuid-segment rewrite DID retag correctly) and the
+    # rest use short "notif-bf5357"-style ids — exactly the
+    # high-multiplicity shared ones — which that pattern missed, so
+    # those ids stayed shared across every replica. Because replica
     # copies also share timestamps, the request<->confirmation window
     # join then produced n^2 pairs per id (measured: 70.87M joined rows
     # at 500x but 1.13B at 2000x — 16x for 4x replicas), so every
@@ -95,7 +103,17 @@ def build(n: int, dst: str) -> None:
     rows = con.execute(
         f"SELECT COUNT(*) FROM read_csv('{dst}/ocpp_1_6_synthetic_logs_14d.csv', header=true, all_varchar=true)"
     ).fetchone()[0]
+    with open(os.path.join(dst, "_builder_version"), "w") as fh:
+        fh.write(BUILDER_VERSION)
     print(json.dumps({"step": "build", "n": n, "log_rows": rows, "dst": dst}))
+
+
+def _stamp_matches(dst: str) -> bool:
+    try:
+        with open(os.path.join(dst, "_builder_version")) as fh:
+            return fh.read().strip() == BUILDER_VERSION
+    except OSError:
+        return False
 
 
 def run_batch(spark, seed_dir: str) -> dict:
@@ -340,7 +358,10 @@ def main() -> None:
         # measurement rounds ran on the stale seed.
         build(n, dst)
         return
-    if what == "all" and not os.path.exists(os.path.join(dst, "connectors.csv")):
+    if what == "all" and (
+        not os.path.exists(os.path.join(dst, "connectors.csv"))
+        or not _stamp_matches(dst)
+    ):
         build(n, dst)
     from kwwhat_spark.session import get_spark
 
