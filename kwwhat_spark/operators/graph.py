@@ -23,7 +23,55 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
+
+# Bounded-driver closure threshold, in DOUBLED (undirected) edge rows.
+# Below this the component closure runs as one union-find over an Arrow
+# collect of the edge list instead of O(log diameter) distributed rounds
+# — the same documented-bound pattern as the BPE argmax: the ROOT graph
+# a star-contraction leaves behind is |roots| ≪ |docs| (sf100: ~360k
+# roots for 5M docs), so its edges fit one driver read by construction,
+# while each distributed round costs a shuffle + two joins + an eager
+# checkpoint (measured ~21 s of the 59 s sf100 MinHash components wall).
+# 12M doubled rows ≈ 6M edges ≈ 200 MB collected — minutes of saved
+# rounds vs seconds of driver work; above it, the distributed
+# pointer-jumping loop is the scale path.
+LOCAL_CLOSURE_MAX_EDGE_ROWS = 12_000_000
+
+_LOCAL_CLOSURE_TYPES = (
+    T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.StringType,
+)
+
+
+def _local_components(und_pdf):
+    """Single-pass union-find over a collected (a, b) edge frame.
+    Union roots larger→smaller, so the final root of every tree is the
+    component minimum — the same label the distributed closure
+    produces. Returns a pandas frame (node, component)."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            r = parent[r]
+        # Path compression: point the whole chain at the root.
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(und_pdf["a"].tolist(), und_pdf["b"].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = list(parent)
+    return pd.DataFrame(
+        {"node": nodes, "component": [find(n) for n in nodes]}
+    ).astype({"node": und_pdf["a"].dtype, "component": und_pdf["a"].dtype})
 
 
 def connected_components(
@@ -32,6 +80,7 @@ def connected_components(
     dst: str,
     *,
     max_iter: int = 25,
+    local_max_edge_rows: int | None = None,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
     Isolated nodes only appear if present as self-edges; callers union
@@ -43,7 +92,23 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    und.count()  # materialize once; reused every round
+    n_und = und.count()  # materialize once; reused every round
+    limit = (
+        LOCAL_CLOSURE_MAX_EDGE_ROWS
+        if local_max_edge_rows is None
+        else local_max_edge_rows
+    )
+    node_type = und.schema["a"].dataType
+    if n_und <= limit and isinstance(node_type, _LOCAL_CLOSURE_TYPES):
+        labels_pdf = _local_components(und.toPandas())
+        und.unpersist()
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type, False),
+                T.StructField("component", node_type, False),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(labels_pdf, schema)
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
@@ -102,6 +167,7 @@ def star_components(
     root: str,
     *,
     max_iter: int = 25,
+    local_max_edge_rows: int | None = None,
 ) -> DataFrame:
     """Connected components of a STAR edge list — (member → root) rows
     where every member's edges came from bucket minima (LSH banding).
@@ -163,7 +229,10 @@ def star_components(
         .filter(F.col("r0") != F.col("r"))
         .dropDuplicates()
     )
-    root_comps = connected_components(root_edges, "r0", "r", max_iter=max_iter)
+    root_comps = connected_components(
+        root_edges, "r0", "r",
+        max_iter=max_iter, local_max_edge_rows=local_max_edge_rows,
+    )
     return (
         rs.join(root_comps, rs.r0 == root_comps.node, "left")
         .select(

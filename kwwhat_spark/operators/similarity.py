@@ -259,6 +259,8 @@ def ivf_topk(
     n_probe: int = 2,
     centroid_vecs: list[list[float]] | None = None,
     replayable_hash: bool = False,
+    block_salt: int | None = None,
+    float32_shuffle: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     `n_cells` cells (centroids = a deterministic hash-ordered sample of
@@ -292,17 +294,46 @@ def ivf_topk(
     n_probe = n_cells degenerates to exact brute force (useful as the
     correctness oracle). Queries ride a shuffle keyed by cell — query
     count never lands on the driver.
+
+    block_salt sub-partitions each cell for the re-rank cogroup: the
+    corpus side is salted by hash(corpus_id) % S and each probe row is
+    replicated S× so every (cell, salt) block still sees all its
+    probing queries. Without it, re-rank parallelism is capped at
+    n_cells (measured: the 8-cell exact gate ran 8 tasks on 32 cores —
+    9.2 s vs 6.5 s for the same work at 64 cells), and a hot skewed
+    cell becomes one straggler task — IVF cells are never balanced, so
+    this is the applyInPandas analogue of AQE skew-split. Exactness is
+    unchanged: any global top-k member of a cell is top-k within its
+    own block, and the final window re-ranks the union. Default: scale
+    S so n_cells·S covers the cluster's default parallelism; pass 1 to
+    disable.
+
+    float32_shuffle ships __vec/__qvec through the re-rank shuffle as
+    float32 (half the dominant shuffle bytes). ONLY exact when the
+    caller's doubles are float32-representable — true for all the
+    embeddings-table entries (the parquet column IS float32; the load
+    casts to double losslessly, and downcast→upcast is the identity on
+    float32-exact values). Norms and all arithmetic stay float64.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window as W
     from pyspark.sql import types as T
 
+    if float32_shuffle:
+        # Downcast BEFORE widen: the repair repartition and the Arrow
+        # feed into assignment then move half the bytes. Exact under
+        # the flag's contract (values are float32-representable); all
+        # math still runs float64 after the numpy upcast. Norms are
+        # computed on an explicit double cast so the fold matches the
+        # oracle's double arithmetic.
+        corpus = corpus.withColumn(vec_col, F.col(vec_col).cast("array<float>"))
+        queries = queries.withColumn(vec_col, F.col(vec_col).cast("array<float>"))
     corpus = widen(corpus)
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("c_norm"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("c_norm"),
     )
     if centroid_vecs is not None:
         # Caller-provided (e.g. train_centroids' k-means) — norms in Python.
@@ -328,7 +359,15 @@ def ivf_topk(
     n_cells_eff = len(centroids)
     cent_mat = np.array([list(vec) for vec, _ in centroids], dtype=np.float64)
     cent_norms = np.array([n for _, n in centroids], dtype=np.float64)
-    bc = queries.sparkSession.sparkContext.broadcast((cent_mat, cent_norms))
+    sc = queries.sparkSession.sparkContext
+    bc = sc.broadcast((cent_mat, cent_norms))
+    if block_salt is None:
+        dp = sc.defaultParallelism
+        n_salt = max(1, min(16, -(-dp // max(n_cells_eff, 1))))
+    else:
+        n_salt = max(1, block_salt)
+    vec_np = np.float32 if float32_shuffle else np.float64
+    vec_spark = T.FloatType() if float32_shuffle else T.DoubleType()
 
     def _cell_sims(vecs: "np.ndarray") -> "np.ndarray":
         m, nn = bc.value
@@ -342,7 +381,7 @@ def ivf_topk(
     assign_schema = T.StructType(
         [
             cid_field,
-            T.StructField("__vec", T.ArrayType(T.DoubleType())),
+            T.StructField("__vec", T.ArrayType(vec_spark)),
             T.StructField("__norm", T.DoubleType()),
             T.StructField("cell", T.IntegerType()),
         ]
@@ -361,7 +400,7 @@ def ivf_topk(
             yield pd.DataFrame(
                 {
                     corpus_id: pdf[corpus_id],
-                    "__vec": list(vecs),
+                    "__vec": list(vecs.astype(vec_np)),
                     "__norm": np.linalg.norm(vecs, axis=1),
                     "cell": cell.astype(np.int32),
                 }
@@ -372,7 +411,7 @@ def ivf_topk(
     probe_schema = T.StructType(
         [
             qid_field,
-            T.StructField("__qvec", T.ArrayType(T.DoubleType())),
+            T.StructField("__qvec", T.ArrayType(vec_spark)),
             T.StructField("__qnorm", T.DoubleType()),
             T.StructField("cell", T.IntegerType()),
         ]
@@ -392,7 +431,7 @@ def ivf_topk(
                 )[:n_probe]
                 for cl in order:
                     ids.append(pdf[query_id].iloc[r])
-                    qv.append(vecs[r])
+                    qv.append(vecs[r].astype(vec_np))
                     qn.append(norms[r])
                     cells.append(cl)
             yield pd.DataFrame(
@@ -434,9 +473,22 @@ def ivf_topk(
              "cosine_sim": out_s}
         )
 
+    if n_salt > 1:
+        assigned = assigned.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(corpus_id).cast("string")), F.lit(n_salt))
+            .cast("int"),
+        )
+        probes = probes.withColumn(
+            "__salt",
+            F.explode(F.array(*[F.lit(i) for i in range(n_salt)])),
+        )
+        group_keys = ["cell", "__salt"]
+    else:
+        group_keys = ["cell"]
     candidates = (
-        assigned.groupBy("cell")
-        .cogroup(probes.groupBy("cell"))
+        assigned.groupBy(*group_keys)
+        .cogroup(probes.groupBy(*group_keys))
         .applyInPandas(lambda key, c_, q_: rerank(key, c_, q_), schema=out_schema)
     )
     w = W.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id).asc())

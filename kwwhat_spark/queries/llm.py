@@ -607,9 +607,12 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
     from kwwhat_spark.operators.similarity import ivf_topk
 
+    # float32_shuffle is exact here: the embeddings parquet column is
+    # float32, so the load's cast to double is lossless and the re-rank
+    # shuffle can ship the float32 image of every vector bit-exactly.
     return ivf_topk(
         queries, corpus, "query_id", "corpus_id", "embedding",
-        k=5, n_cells=16, n_probe=3,
+        k=5, n_cells=16, n_probe=3, float32_shuffle=True,
     )
 
 
@@ -690,6 +693,7 @@ def similarity_ivf_multiprobe_replayable(spark: SparkSession, sf_dir: str) -> Da
     return ivf_topk(
         queries, corpus, "query_id", "corpus_id", "embedding",
         k=5, n_cells=16, n_probe=3, replayable_hash=True,
+        float32_shuffle=True,  # exact: embeddings parquet is float32
     )
 
 
@@ -726,6 +730,7 @@ def similarity_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         queries, corpus, "query_id", "corpus_id", "embedding",
         k=5, n_cells=8, n_probe=8,
+        float32_shuffle=True,  # exact: embeddings parquet is float32
     )
 
 

@@ -27,8 +27,17 @@ def _union_find(edges):
 
 def _check(spark, edges):
     df = spark.createDataFrame(edges, "a long, b long")
+    want = _union_find(edges)
+    # Default path: small graphs take the bounded-driver union-find.
     got = {r.node: r.component for r in connected_components(df, "a", "b").collect()}
-    assert got == _union_find(edges)
+    assert got == want
+    # Distributed pointer-jumping path (the >threshold scale path),
+    # forced by disabling the local closure.
+    got_dist = {
+        r.node: r.component
+        for r in connected_components(df, "a", "b", local_max_edge_rows=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_chain_ring_and_triangles(spark):
@@ -136,9 +145,15 @@ def test_star_components_matches_union_find_on_random_buckets(spark):
         edges += [(m, r) for m in members if m != r]
     edges = sorted(set(edges))
     df = spark.createDataFrame(edges, "doc long, root long")
+    want = _union_find(edges)
     got = {r.node: r.component
            for r in star_components(df, "doc", "root").collect()}
-    assert got == _union_find(edges)
+    assert got == want
+    got_dist = {
+        r.node: r.component
+        for r in star_components(df, "doc", "root", local_max_edge_rows=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_star_components_relabels_unseen_root_through_member_path(spark):
