@@ -54,19 +54,12 @@ def read_ocpp_stream(
 
 def stage_stream(raw: DataFrame, vars: PipelineVars = VARS) -> DataFrame:
     """Envelope split — value-identical to batch stg_ocpp_logs
-    (stg_ocpp_logs.sql:14-36) via the same one-pass from_json envelope
-    parse (models/staging.py r10); row-wise, so streaming-safe."""
-    msg_type = F.get("__env", 0)
-    return raw.withColumn("__env", F.from_json("msg", "array<string>")).select(
-        F.col("timestamp").cast("timestamp").alias("ingested_timestamp"),
-        F.col("id").cast("string").alias("charger_id"),
-        F.col("action").cast("string").alias("action"),
-        msg_type.cast("string").alias("message_type_id"),
-        F.get("__env", 1).cast("string").alias("unique_id"),
-        F.when(msg_type == vars.call_message_type_id, F.get("__env", 3))
-        .when(msg_type == vars.callresult_message_type_id, F.get("__env", 2))
-        .alias("payload"),
-    )
+    (stg_ocpp_logs.sql:14-36) by construction: both twins build their
+    columns from models/staging.envelope_columns (regex fast path with
+    per-row JSON-parse fallback, r12); row-wise, so streaming-safe."""
+    from kwwhat_spark.models.staging import split_envelope
+
+    return split_envelope(raw, vars)
 
 
 def stream_request_confirmations(
