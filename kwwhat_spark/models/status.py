@@ -93,11 +93,30 @@ def int_status_changes(p: Pipeline) -> DataFrame:
     )
 
     connectors = p.ref("int_connectors").select("charger_id", "connector_id", "port_id")
-    conf = ocpp_logs.filter(
-        F.col("message_type_id") == p.vars.callresult_message_type_id
-    ).select(
-        F.col("unique_id").alias("conf_unique_id"),
-        F.col("ingested_timestamp").alias("confirmation_ingested_ts"),
+    # Exact-duplicate confirmations collapse BEFORE the window join (the
+    # r11 preparing/transactions treatment, extended here): a CALLRESULT
+    # contributes only (unique_id, ingested_ts), so copies of that pair
+    # — at-least-once redelivery, or dense shared-id regimes where many
+    # chargers reuse one correlation id at one timestamp — multiply the
+    # join's pair count without adding information. The reference's own
+    # join fans them out and its change filter then drops every fanout
+    # copy as a non-change (previous_status = status), so collapsing
+    # first is semantically inert: identical rows in, identical change
+    # rows out (dbt units ×3, DAG property harness incl. injected
+    # duplicate deliveries, full oracle gate). dropDuplicates here is
+    # map-side combinable on the join key; pair count drops n² → n on
+    # the shared-id bomb regime. Distinct-timestamp retries of one uid
+    # are NOT collapsed — their (rare, tie-broken) fanout matches the
+    # reference row-for-row.
+    conf = (
+        ocpp_logs.filter(
+            F.col("message_type_id") == p.vars.callresult_message_type_id
+        )
+        .select(
+            F.col("unique_id").alias("conf_unique_id"),
+            F.col("ingested_timestamp").alias("confirmation_ingested_ts"),
+        )
+        .dropDuplicates(["conf_unique_id", "confirmation_ingested_ts"])
     )
 
     from kwwhat_spark.operators.temporal import uid_window_join

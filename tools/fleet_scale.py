@@ -39,9 +39,10 @@ SEED = "/root/reference/demo/seeds"
 # older builder (e.g. the pre-r11 one whose notif-* correlation ids
 # stayed shared across replicas) is rebuilt instead of silently reused.
 BUILDER_VERSION = "2-replica-unique-uids"
+BOMB_VERSION = "bomb-shared-notif-uids"
 
 
-def build(n: int, dst: str) -> None:
+def build(n: int, dst: str, bomb: bool = False) -> None:
     import duckdb
 
     os.makedirs(dst, exist_ok=True)
@@ -70,6 +71,16 @@ def build(n: int, dst: str) -> None:
     retag_msg = (
         "regexp_replace(msg, '^(\\[[0-9]+, \")', " f"'\\1' || {rep} || '-')"
     )
+    if bomb:
+        # ADVERSARIAL fixture: reproduce the pre-r11 regime on purpose —
+        # retag only uuid-shaped uids, leaving the short notif-* ids (the
+        # high-multiplicity ones) SHARED across all replicas, so the
+        # request<->confirmation joins face the n² shared-id fanout. Used
+        # to measure dense-fanout survival, never for clean scaling.
+        retag_msg = (
+            "regexp_replace(msg, '^(\\[[0-9]+, \")([0-9a-f]{8}-)', "
+            f"'\\1' || {rep} || '-' || '\\2')"
+        )
     con.execute(
         f"""COPY (
           SELECT timestamp, {retag_id} AS id, action, {retag_msg} AS msg
@@ -104,7 +115,7 @@ def build(n: int, dst: str) -> None:
         f"SELECT COUNT(*) FROM read_csv('{dst}/ocpp_1_6_synthetic_logs_14d.csv', header=true, all_varchar=true)"
     ).fetchone()[0]
     with open(os.path.join(dst, "_builder_version"), "w") as fh:
-        fh.write(BUILDER_VERSION)
+        fh.write(BOMB_VERSION if bomb else BUILDER_VERSION)
     print(json.dumps({"step": "build", "n": n, "log_rows": rows, "dst": dst}))
 
 
@@ -357,6 +368,9 @@ def main() -> None:
         # no-op'd a rebuild after the uid-retag fix (r11) and three
         # measurement rounds ran on the stale seed.
         build(n, dst)
+        return
+    if what == "build-bomb":
+        build(n, f"/tmp/fleet_{n}x_bomb", bomb=True)
         return
     if what == "all" and (
         not os.path.exists(os.path.join(dst, "connectors.csv"))
