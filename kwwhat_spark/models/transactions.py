@@ -97,13 +97,27 @@ def int_transactions(p: Pipeline) -> DataFrame:
     # same-uuid CALLRESULTs at the 500× fleet), so a post-join parse
     # runs once per COPY. Parsing all 4.4M CALLRESULTs once, then
     # joining the two extracted scalars, measured 25.0 -> 5.1 s (5×).
-    conf_parsed = conf.withColumn(
-        "__conf_pj", parsed_payload("conf_payload")
-    ).select(
-        "conf_unique_id",
-        "conf_ingested_ts",
-        F.col("__conf_pj.transactionId").alias("__conf_txn_id"),
-        F.col("__conf_pj.idTagInfo.status").alias("__conf_id_tag_status"),
+    conf_parsed = (
+        conf.withColumn("__conf_pj", parsed_payload("conf_payload"))
+        .select(
+            "conf_unique_id",
+            "conf_ingested_ts",
+            F.col("__conf_pj.transactionId").alias("__conf_txn_id"),
+            F.col("__conf_pj.idTagInfo.status").alias("__conf_id_tag_status"),
+        )
+        # Exact-duplicate confirmations collapse BEFORE the correlation
+        # join (the status/preparing treatment): a CALLRESULT contributes
+        # only these four values, so verbatim copies — at-least-once
+        # redelivery, dense shared-id regimes — multiply join pair count
+        # and skew the shuffle key without adding information. Inert
+        # downstream: the transaction rollup is min/max/collect_set only,
+        # so the reference's fanout copies collapse there anyway (dbt
+        # units, DAG property harness, full-vs-incremental replays).
+        # Map-side combinable; distinct-value confs are NOT collapsed.
+        .dropDuplicates(
+            ["conf_unique_id", "conf_ingested_ts",
+             "__conf_txn_id", "__conf_id_tag_status"]
+        )
     )
     # Only StartTransaction consumes confirmation values (__conf_txn_id,
     # __conf_id_tag_status are gated on action == 'StartTransaction' in
