@@ -117,7 +117,15 @@ def main() -> None:
         # measurement (bench.py measured the same pathology:
         # dedup_substring_spans 11.7 s mid-run vs 1.1 s isolated).
         spark.catalog.clearCache()
+    # spark.stop() alone is NOT enough to clear the box for phase 2: the
+    # py4j gateway JVM stays alive until this python process exits, and a
+    # stopped 64g-heap JVM was measured squatting 32 GB RSS and ~4 cores
+    # (GC churn) through an entire DuckDB window. Terminate it explicitly.
+    gateway = spark.sparkContext._gateway
     spark.stop()
+    proc = getattr(gateway, "proc", None)
+    if proc is not None:
+        proc.terminate()
 
     for rec in results:
         name = rec["entry"]
