@@ -9,7 +9,13 @@ scale some all-pairs oracles are expected to DNF, and that is itself the
 measurement (the Spark plan is the one that survives the decade).
 
 Usage: python tools/sf100_llmops.py [SF_DIR] [ENTRY ...]
+       python tools/sf100_llmops.py merge [JSONL] [NOTE]
 Writes JSONL to /tmp/sf100_llmops.jsonl (append).
+
+`merge` consolidates the JSONL into the repo-root artifact (last record
+per entry wins). Needed when entries are swept one-per-process for
+window isolation — each process's artifact write would otherwise keep
+only its own entries.
 """
 
 from __future__ import annotations
@@ -157,24 +163,32 @@ def main() -> None:
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
+    _write_artifact(results, q_has_oracle, sf_dir)
+
+
+def _artifact_entry(r: dict, has_oracle: bool) -> dict:
+    return {
+        "spark_s": r.get("spark_hot"),
+        "spark_trials": r.get("spark_trials"),
+        **({"duckdb_s": r["duck_hot"], "duck_trials": r["duck_trials"],
+            "ratio_hot": r.get("ratio_hot")} if "duck_hot" in r else {}),
+        **({"duck_verdict": r["duck_verdict"],
+            "duck_rc": r.get("duck_rc"),
+            "duck_dnf_s": r.get("duck_dnf_s")} if "duck_verdict" in r else {}),
+        **({} if has_oracle else {"rows_only": True}),
+    }
+
+
+def _write_artifact(results: list[dict], q_has_oracle: dict, sf_dir: str,
+                    note: str | None = None) -> None:
     # Consolidated BENCH-style artifact for the repo root: one object per
     # entry with {spark_s, duckdb_s | verdict}.
     artifact = {
         "sf_dir": sf_dir,
-        "entries": {
-            r["entry"]: {
-                "spark_s": r.get("spark_hot"),
-                "spark_trials": r.get("spark_trials"),
-                **({"duckdb_s": r["duck_hot"], "duck_trials": r["duck_trials"],
-                    "ratio_hot": r.get("ratio_hot")} if "duck_hot" in r else {}),
-                **({"duck_verdict": r["duck_verdict"],
-                    "duck_rc": r.get("duck_rc"),
-                    "duck_dnf_s": r.get("duck_dnf_s")} if "duck_verdict" in r else {}),
-                **({} if q_has_oracle.get(r["entry"]) else {"rows_only": True}),
-            }
-            for r in results
-        },
+        "entries": {r["entry"]: _artifact_entry(r, q_has_oracle.get(r["entry"], False))
+                    for r in results},
         "loadavg_end": os.getloadavg(),
+        **({"note": note} if note else {}),
     }
     dst = os.environ.get("LLMOPS_ARTIFACT",
                          os.path.join(os.path.dirname(os.path.dirname(
@@ -184,5 +198,27 @@ def main() -> None:
     print("artifact ->", dst)
 
 
+def merge_main() -> None:
+    jsonl = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf100_llmops.jsonl"
+    note = sys.argv[3] if len(sys.argv) > 3 else None
+    from kwwhat_spark.queries import REGISTRY
+
+    by_entry: dict[str, dict] = {}
+    with open(jsonl) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rec = json.loads(line)
+                by_entry[rec["entry"]] = rec  # last record per entry wins
+    results = list(by_entry.values())
+    q_has_oracle = {n: bool(REGISTRY[n].oracle) for n in by_entry}
+    sf_dirs = {r.get("sf_dir") for r in results}
+    _write_artifact(results, q_has_oracle, sf_dirs.pop() if len(sf_dirs) == 1
+                    else ",".join(sorted(str(s) for s in sf_dirs)), note)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "merge":
+        merge_main()
+    else:
+        main()
