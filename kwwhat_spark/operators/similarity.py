@@ -261,6 +261,7 @@ def ivf_topk(
     replayable_hash: bool = False,
     block_salt: int | None = None,
     float32_shuffle: bool = False,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     `n_cells` cells (centroids = a deterministic hash-ordered sample of
@@ -314,6 +315,22 @@ def ivf_topk(
     embeddings-table entries (the parquet column IS float32; the load
     casts to double losslessly, and downcast→upcast is the identity on
     float32-exact values). Norms and all arithmetic stay float64.
+
+    broadcast_queries (opt-in) is the broadcast-join analogue for ANN:
+    when the probing batch is small (ad-hoc search, a gate's 20-query
+    panel — NOT a full kNN-graph build), the cell shuffle moves the
+    entire corpus (vector-width × corpus rows; ~2 GB at sf100) to
+    answer questions a single corpus scan can already answer. This path
+    collects the probe rows (query vector + probed cells, bounded,
+    guarded), broadcasts them, and fuses assignment + re-rank into ONE
+    narrow mapInPandas pass over the corpus: per Arrow batch, assign
+    cells, mask each query's non-probed rows, per-batch top-k; the
+    global window then ranks ≤ k·batches candidates per query. Zero
+    corpus shuffle — the plan a 1000-executor cluster wants for a
+    small query batch against a decade-scale corpus. Exactness:
+    identical rounded math; any global top-k member is top-k within
+    its scan batch (the block_salt argument, with Arrow batches as the
+    blocks).
     """
     import numpy as np
     import pandas as pd
@@ -473,24 +490,84 @@ def ivf_topk(
              "cosine_sim": out_s}
         )
 
-    if n_salt > 1:
-        assigned = assigned.withColumn(
-            "__salt",
-            F.pmod(F.xxhash64(F.col(corpus_id).cast("string")), F.lit(n_salt))
-            .cast("int"),
+    if broadcast_queries:
+        probe_rows = probes.collect()
+        if len(probe_rows) > 100_000:
+            raise ValueError(
+                f"broadcast_queries collected {len(probe_rows)} probe rows; "
+                "the path is for small query batches — use the cogroup "
+                "shuffle path (broadcast_queries=False) for bulk probing"
+            )
+        by_q: dict = {}
+        for r in probe_rows:
+            e = by_q.setdefault(
+                r[query_id],
+                [np.asarray(r["__qvec"], dtype=np.float64), r["__qnorm"], set()],
+            )
+            e[2].add(r["cell"])
+        q_ids = list(by_q)
+        qmat = np.stack([by_q[i][0] for i in q_ids]) if q_ids else np.zeros((0, 1))
+        qnorms = np.array([by_q[i][1] for i in q_ids], dtype=np.float64)
+        qnorms[qnorms == 0.0] = 1.0
+        probe_mask = np.zeros((len(q_ids), n_cells_eff), dtype=bool)
+        for r_i, qid_val in enumerate(q_ids):
+            for cl in by_q[qid_val][2]:
+                probe_mask[r_i, cl] = True
+        bq = sc.broadcast((q_ids, qmat, qnorms, probe_mask))
+
+        def scan_rerank(batches):
+            b_qids, b_qmat, b_qnorms, b_mask = bq.value
+            for pdf in batches:
+                if len(pdf) == 0 or not b_qids:
+                    continue
+                vecs = np.stack(pdf["c_vec"].to_numpy()).astype(np.float64)
+                csims = _cell_sims(vecs)
+                cell = n_cells_eff - 1 - np.argmax(csims[:, ::-1], axis=1)
+                cn = np.linalg.norm(vecs, axis=1)
+                cn[cn == 0.0] = 1.0
+                sims = _round6_half_up(
+                    (b_qmat @ vecs.T) / (b_qnorms[:, None] * cn[None, :])
+                )
+                allowed = b_mask[:, cell]
+                cids = pdf[corpus_id].to_numpy()
+                out_q, out_c, out_s = [], [], []
+                for r in range(len(b_qids)):
+                    ok = np.nonzero(allowed[r])[0]
+                    if ok.size == 0:
+                        continue
+                    row = sims[r]
+                    sel = ok[np.lexsort((cids[ok], -row[ok]))[: min(k, ok.size)]]
+                    out_q.extend([b_qids[r]] * len(sel))
+                    out_c.extend(cids[sel])
+                    out_s.extend(row[sel])
+                yield pd.DataFrame(
+                    {out_schema.fields[0].name: out_q,
+                     out_schema.fields[1].name: out_c,
+                     "cosine_sim": out_s}
+                )
+
+        candidates = c.select(corpus_id, "c_vec").mapInPandas(
+            scan_rerank, schema=out_schema
         )
-        probes = probes.withColumn(
-            "__salt",
-            F.explode(F.array(*[F.lit(i) for i in range(n_salt)])),
-        )
-        group_keys = ["cell", "__salt"]
     else:
-        group_keys = ["cell"]
-    candidates = (
-        assigned.groupBy(*group_keys)
-        .cogroup(probes.groupBy(*group_keys))
-        .applyInPandas(lambda key, c_, q_: rerank(key, c_, q_), schema=out_schema)
-    )
+        if n_salt > 1:
+            assigned = assigned.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(F.col(corpus_id).cast("string")), F.lit(n_salt))
+                .cast("int"),
+            )
+            probes = probes.withColumn(
+                "__salt",
+                F.explode(F.array(*[F.lit(i) for i in range(n_salt)])),
+            )
+            group_keys = ["cell", "__salt"]
+        else:
+            group_keys = ["cell"]
+        candidates = (
+            assigned.groupBy(*group_keys)
+            .cogroup(probes.groupBy(*group_keys))
+            .applyInPandas(lambda key, c_, q_: rerank(key, c_, q_), schema=out_schema)
+        )
     w = W.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id).asc())
     return (
         candidates.withColumn("rank", F.row_number().over(w))

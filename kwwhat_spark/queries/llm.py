@@ -731,6 +731,13 @@ def similarity_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, "query_id", "corpus_id", "embedding",
         k=5, n_cells=8, n_probe=8,
         float32_shuffle=True,  # exact: embeddings parquet is float32
+        # 20 queries probing the whole corpus: broadcast the queries and
+        # scan — the cell shuffle moved the entire 2 GB corpus at sf100
+        # (7.2 s hot) for work one narrow pass does in 3.5 s (DuckDB
+        # same-window 2.8 s). The cogroup shuffle path keeps its own
+        # value-hash gate via similarity_ivf_multiprobe_replayable and
+        # the prod topk entry.
+        broadcast_queries=True,
     )
 
 

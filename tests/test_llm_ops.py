@@ -199,6 +199,50 @@ def test_ivf_topk_full_probe_equals_brute_force(spark, sf_dir):
     assert full == bf
 
 
+def test_ivf_topk_broadcast_queries_path_parity(spark, sf_dir):
+    """The zero-shuffle broadcast-queries scan must equal the cogroup
+    shuffle path row-for-row — full probe (exact regime) AND partial
+    probe (identical cell structure ⇒ identical candidate sets), with
+    and without the float32 shuffle flag."""
+    from kwwhat_spark.operators.similarity import ivf_topk
+    from kwwhat_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 7).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+
+    def rows(**kw):
+        return {
+            (r["query_id"], r["rank"]): (r["corpus_id"], r["cosine_sim"])
+            for r in ivf_topk(q, c, k=5, n_cells=8, **kw).collect()
+        }
+
+    for probe_kw in ({"n_probe": 8}, {"n_probe": 3}):
+        for f32 in (False, True):
+            shuffled = rows(broadcast_queries=False, float32_shuffle=f32, **probe_kw)
+            scanned = rows(broadcast_queries=True, float32_shuffle=f32, **probe_kw)
+            assert scanned == shuffled, (probe_kw, f32)
+
+
+def test_ivf_topk_broadcast_queries_guard(spark, sf_dir):
+    import pytest as _pytest
+
+    from kwwhat_spark.operators.similarity import ivf_topk
+    from kwwhat_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    big_q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with _pytest.raises(ValueError, match="probe rows"):
+        # 500 queries × 250 probed cells = 125k probe rows > the guard.
+        ivf_topk(big_q, c, k=5, n_cells=250, n_probe=250,
+                 broadcast_queries=True)
+
+
 def test_ivf_topk_partial_probe_recall(spark, sf_dir):
     from kwwhat_spark.operators.similarity import ivf_topk
     from kwwhat_spark.sources.testdata import load_table
