@@ -346,6 +346,27 @@ def ivf_topk(
         # oracle's double arithmetic.
         corpus = corpus.withColumn(vec_col, F.col(vec_col).cast("array<float>"))
         queries = queries.withColumn(vec_col, F.col(vec_col).cast("array<float>"))
+    if broadcast_queries and n_probe >= n_cells:
+        # n_probe ≥ n_cells makes the probe structure a CONSTANT: every
+        # query probes every cell whatever the centroids are, so the
+        # centroid sample (a full corpus scan: orderBy(hash).limit —
+        # ~1 s of the 3.5 s sf100 wall) and the probe job constant-fold
+        # away and the operator IS exact brute force — which is this
+        # degenerate regime's own documented semantics. Delegate to the
+        # one tested scan implementation rather than duplicating it.
+        # Non-degenerate probing (cell structure load-bearing) keeps
+        # its value-hash gate via similarity_ivf_multiprobe_replayable
+        # and the scan≡cogroup partial-probe parity test.
+        return brute_force_topk(queries, corpus, query_id, corpus_id, vec_col, k)
+
+    # widen() is a repartition — right for the cogroup path (the shuffle
+    # is paid anyway and assignment wants full parallelism), WRONG for
+    # the broadcast scan path, whose whole point is zero corpus movement:
+    # brute_force_topk's docstring records the same lesson (widen 2-8×
+    # slower for a BLAS-light scan). The scan branch reads the pre-widen
+    # frame; the widened frame still feeds centroid sampling and the
+    # cogroup machinery (identical values, so identical centroids).
+    corpus_prewiden = corpus
     corpus = widen(corpus)
     c = corpus.select(
         F.col(corpus_id),
@@ -513,22 +534,33 @@ def ivf_topk(
         for r_i, qid_val in enumerate(q_ids):
             for cl in by_q[qid_val][2]:
                 probe_mask[r_i, cl] = True
-        bq = sc.broadcast((q_ids, qmat, qnorms, probe_mask))
+        # All-true mask ⇒ cell assignment cannot change the output: every
+        # corpus row is allowed for every query regardless of its cell.
+        # Decide once on the driver and skip the per-batch centroid
+        # matmul + argmax entirely (dead-work elimination for the
+        # full-probe regime; assignment math stays value-hash-gated via
+        # the cogroup path's multiprobe entry and the partial-probe
+        # parity test).
+        all_cells_probed = bool(probe_mask.all()) if len(q_ids) else False
+        bq = sc.broadcast((q_ids, qmat, qnorms, probe_mask, all_cells_probed))
 
         def scan_rerank(batches):
-            b_qids, b_qmat, b_qnorms, b_mask = bq.value
+            b_qids, b_qmat, b_qnorms, b_mask, b_full = bq.value
             for pdf in batches:
                 if len(pdf) == 0 or not b_qids:
                     continue
                 vecs = np.stack(pdf["c_vec"].to_numpy()).astype(np.float64)
-                csims = _cell_sims(vecs)
-                cell = n_cells_eff - 1 - np.argmax(csims[:, ::-1], axis=1)
                 cn = np.linalg.norm(vecs, axis=1)
                 cn[cn == 0.0] = 1.0
                 sims = _round6_half_up(
                     (b_qmat @ vecs.T) / (b_qnorms[:, None] * cn[None, :])
                 )
-                allowed = b_mask[:, cell]
+                if b_full:
+                    allowed = np.ones((len(b_qids), len(vecs)), dtype=bool)
+                else:
+                    csims = _cell_sims(vecs)
+                    cell = n_cells_eff - 1 - np.argmax(csims[:, ::-1], axis=1)
+                    allowed = b_mask[:, cell]
                 cids = pdf[corpus_id].to_numpy()
                 out_q, out_c, out_s = [], [], []
                 for r in range(len(b_qids)):
@@ -546,9 +578,9 @@ def ivf_topk(
                      "cosine_sim": out_s}
                 )
 
-        candidates = c.select(corpus_id, "c_vec").mapInPandas(
-            scan_rerank, schema=out_schema
-        )
+        candidates = corpus_prewiden.select(
+            F.col(corpus_id), F.col(vec_col).alias("c_vec")
+        ).mapInPandas(scan_rerank, schema=out_schema)
     else:
         if n_salt > 1:
             assigned = assigned.withColumn(

@@ -530,9 +530,12 @@ def dedup_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
+    # No array<double> cast: brute_force_topk does its math in numpy
+    # float64 after an exact upcast, so feeding the parquet's native
+    # float32 column halves the scan→Arrow→python bytes for identical
+    # values (the ivf fullprobe entry measured the same feed at sf100:
+    # 2.5 s double-fed → 1.86 s float-fed, vs DuckDB 1.9 s).
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -238,8 +238,11 @@ def test_ivf_topk_broadcast_queries_guard(spark, sf_dir):
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
     big_q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     with _pytest.raises(ValueError, match="probe rows"):
-        # 500 queries × 250 probed cells = 125k probe rows > the guard.
-        ivf_topk(big_q, c, k=5, n_cells=250, n_probe=250,
+        # 500 queries × 249 probed cells = 124.5k probe rows > the
+        # guard. n_probe must stay < n_cells here: the full-probe
+        # degenerate constant-folds to brute_force_topk (its own guard)
+        # before the probe collect ever happens.
+        ivf_topk(big_q, c, k=5, n_cells=250, n_probe=249,
                  broadcast_queries=True)
 
 
