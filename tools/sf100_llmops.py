@@ -36,6 +36,7 @@ DEFAULT_ENTRIES = [
     "semdedup_clustered",
     "similarity_topk",
     "similarity_ivf_fullprobe",
+    "similarity_ivf_multiprobe_replayable",
     # spark-only (rows-only prod paths)
     "dedup_minhash_components",
     "pipeline_clean_corpus_scalable",
