@@ -131,9 +131,18 @@ def _status_change_fn(
     (int_status_changes.sql:164-189). State = last seen (status, ts)."""
     last_status, last_ts = state.get if state.exists else (None, None)
     out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ingested_ts")
-        for row in pdf.itertuples(index=False):
+    # Materialize ALL of this key's chunks before sorting: a key whose
+    # batch data exceeds the Arrow batch size arrives as MULTIPLE pdfs
+    # in arbitrary post-shuffle order, so sorting each chunk
+    # independently does not establish per-key time order (regression:
+    # tests/test_streaming.py multi-chunk case). Memory is bounded by
+    # one key's rows per micro-batch — the same bound _visit_fn and
+    # _chain_fn already accept for their cross-chunk sorts.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        merged = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        merged = merged.sort_values("ingested_ts", kind="mergesort")
+        for row in merged.itertuples(index=False):
             if row.status != last_status:
                 out.append(
                     (

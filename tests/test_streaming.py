@@ -245,3 +245,53 @@ def test_stream_visits_parity_equals_batch_mart(spark):
             .count()
             == 0
         )
+
+
+def test_stream_status_changes_multichunk_out_of_order(spark, tmp_path):
+    """A key whose micro-batch data spans MULTIPLE Arrow chunks must
+    still be processed in per-key time order: chunks arrive in
+    arbitrary post-shuffle order, so per-chunk sorting is not enough
+    (regression — the old per-pdf sort emitted phantom change points
+    when a later-time chunk was delivered first). The file is written
+    in REVERSE time order with the Arrow batch size forced below the
+    key's row count, so any chunked processing that doesn't merge
+    before sorting sees time going backwards across chunks."""
+    import csv as _csv
+    import datetime as _dt
+    import json as _json
+
+    n, phase = 120, 60  # two status phases -> exactly 2 change points
+    base = _dt.datetime(2025, 10, 2, 6, 0, 0)
+    rows = []
+    for i in range(n):
+        ts = (base + _dt.timedelta(seconds=i)).isoformat(timespec="milliseconds") + "Z"
+        status = "Available" if i < phase else "Charging"
+        rows.append(
+            (ts, "CH-MC", "StatusNotification",
+             _json.dumps([2, f"mc-{i:04d}", "StatusNotification",
+                          {"connectorId": 1, "status": status,
+                           "errorCode": "NoError"}]))
+        )
+    d = tmp_path / "mc_stream"
+    d.mkdir()
+    with open(d / "logs.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["timestamp", "id", "action", "msg"])
+        for r in reversed(rows):  # newest first
+            w.writerow(r)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "40")
+    try:
+        staged = stage_stream(read_ocpp_stream(spark, str(d)))
+        out = _run_stream(
+            spark, stream_status_changes(staged), "stream_mc_changes", "append"
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        spark.catalog.dropTempView("stream_mc_changes")
+
+    got = sorted((r["ingested_ts"], r["status"], r["previous_status"]) for r in out)
+    assert len(got) == 2, got
+    assert got[0][1] == "Available" and got[0][2] is None
+    assert got[1][1] == "Charging" and got[1][2] == "Available"
