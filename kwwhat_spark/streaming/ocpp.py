@@ -171,7 +171,16 @@ def _status_change_fn(
 
 def stream_status_changes(staged: DataFrame, vars: PipelineVars = VARS) -> DataFrame:
     """Stateful status change-points per connector. Arrow-batched state
-    function; state size = one (status, ts) pair per connector."""
+    function; state size = one (status, ts) pair per connector.
+
+    Ordering contract: rows are time-sorted per key WITHIN each
+    micro-batch (across all Arrow chunks); ACROSS batches rows process
+    in arrival order, so exact parity with the batch lag() compile
+    holds when per-key arrival is batch-monotone (true for file
+    replays and the fleet harnesses). A row arriving after a
+    later-timestamped row of its key in an earlier batch is treated as
+    a change-point on arrival — the standard on-arrival semantics;
+    late-data tolerance belongs to the watermarked operators."""
     events = staged.filter(
         (F.col("action") == "StatusNotification")
         & (F.col("message_type_id") == vars.call_message_type_id)
