@@ -76,10 +76,32 @@ def ngram_jaccard_pairs(
     # Shingling is CPU-dense; bytes-sized scans of small text files arrive
     # as 1 partition (see operators/scaling.py) — widen before the map.
     df = widen(df)
+    # Shingles are hashed to 64-bit longs BEFORE the sort: every
+    # downstream consumer (global sort order for the prefix filter, the
+    # posting join key, array_intersect verification) only needs set
+    # identity plus a consistent total order, never the shingle text, so
+    # the sort compares 8-byte longs instead of ~25-byte strings and the
+    # prefix/posting exchange carries long keys (guide §2.3 "narrower
+    # types"). Jaccard over the hashed sets equals Jaccard over the
+    # string sets up to xxhash64 collisions (P ≈ |set|²/2⁶⁵ per doc —
+    # vanishing; same argument as minhash_lsh_pairs' verify join), and
+    # the prefix filter stays lossless under ANY fixed global element
+    # order, hash order included. Measured r12 (sf0.1, interleaved
+    # same-window A/B): prefix path 2.74 → 1.72 s; full path parity;
+    # output rows identical at both thresholds.
+    from kwwhat_spark.functions.text import let_
+
     base = df.select(
         F.col(id_col).alias("doc_id"),
         *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
-        F.array_sort(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingles"),
+        F.array_sort(
+            F.array_distinct(
+                let_(
+                    word_shingles(F.col(text_col), k),
+                    lambda sh: F.transform(sh, lambda s: F.xxhash64(s)),
+                )
+            )
+        ).alias("shingles"),
     ).withColumn("shingle_count", F.size("shingles"))
     if persist_shingles:
         # base feeds three consumers (prefix index + both sides of the
