@@ -410,6 +410,55 @@ def test_minhash_replayable_matches_xxhash_pairs(spark, sf_dir):
     assert xx and xx == md
 
 
+def test_xxh64_sig_mapper_matches_expression(spark):
+    """The vectorized numpy signature (operators/dedup._xxh64_sig_fn)
+    must be bit-identical to the Catalyst expression form
+    min_j(xxhash64(shingle_j, lit(i))) — it replicates Spark's XxHash64
+    (8-byte round for the long child, 4-byte round for the IntegerType
+    seed literal). Random longs incl. sign/overflow edges."""
+    import random
+
+    from pyspark.sql import functions as F, types as T
+
+    from kwwhat_spark.operators.dedup import _xxh64_sig_fn
+
+    rng = random.Random(99)
+    rows = [
+        (i, [rng.randint(-(2**63), 2**63 - 1) for _ in range(rng.randint(1, 40))])
+        for i in range(50)
+    ]
+    rows[0] = (0, [0, 1, -1, 2**63 - 1, -(2**63)])
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<long>")
+    num_hashes = 16
+    def seeded(i):
+        # Factory, NOT a two-param lambda: F.transform binds a second
+        # lambda parameter to the ARRAY INDEX (the minhash_from_hashed
+        # trap), which would silently hash every seed identically.
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    expr_sig = df.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("shingles"), seeded(i)))
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    numpy_sig = df.mapInPandas(
+        _xxh64_sig_fn(num_hashes),
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("sig", T.ArrayType(T.LongType())),
+            ]
+        ),
+    )
+    a = {r.doc_id: list(r.sig) for r in expr_sig.collect()}
+    b = {r.doc_id: list(r.sig) for r in numpy_sig.collect()}
+    assert a == b
+
+
 def test_minhash_from_hashed_validations(spark):
     """ADVICE r9: custom seed_hash families must raise (not be silently
     swapped for md5_52), and num_hashes > 52 must raise (the rotation
