@@ -589,6 +589,7 @@ def strip_duplicate_spans(
     k: int = 8,
     min_count: int = 2,
     persist_tokens: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact substring deduplication in the style of Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better"),
@@ -600,23 +601,44 @@ def strip_duplicate_spans(
 
     Plan shape (suffix arrays are replaced by a distributed
     posting-count): (1) explode positional k-grams — a narrow row
-    multiplier; (2) count occurrences per gram text hash (map-side
+    multiplier; (2) count occurrences per gram hash (map-side
     combinable shuffle); (3) join postings to the ≥min_count grams on
     the hash; (4) ONE per-document aggregation folds covered positions
     with collect_list(sequence) → flatten → distinct (bounded by doc
-    length); (5) equi-join back to documents. Grams are keyed by md5 of
-    the span text so the DuckDB oracle replays bit-for-bit; a
-    production run at 100 TB would key on xxhash64 (8-byte shuffle keys,
-    same plan).
+    length); (5) equi-join back to documents.
+
+    Grams are keyed by xxhash64 of the sliced TOKEN ARRAY (r12, guide
+    §2.3 "narrower types" + §1.2 per-task work): tokens come from a
+    \\s+ split so they contain no spaces, making concat_ws(" ")
+    injective — array equality ⟺ span-text equality — and the hash
+    expression skips the md5 path's string build + crypto digest + hex
+    encode entirely (the gram key is evaluated once per posting on BOTH
+    the count side and the join side). The count exchange carries
+    8-byte longs instead of 32-char md5 strings. Gram-group identity
+    holds up to xxhash64 collisions (P ≈ |grams|²/2⁶⁵ corpus-wide —
+    the same documented argument as ngram_jaccard_pairs' posting key;
+    a collision can only merge two gram groups, i.e. over-mark a span
+    as duplicated). The DuckDB oracle still groups by md5 of the span
+    text — gate-green means the rewrite is value-identical. Measured
+    r12: output rows identical at sf0.01/sf0.1 (tools/probe_span_key.py
+    same-session compare); sf0.1 A/B parity (the query is
+    exchange/latency-bound there); sf1 interleaved stash A/B, 3 windows,
+    min-of-3 each: 2.35 → 2.09 s, faster in every window.
 
     persist_tokens caches the tokenized stage: it feeds the posting
     explode AND the final reconstruction join, and any upstream filter
     (e.g. a quality gate with per-document signals) would otherwise be
     re-evaluated for both consumers. On a cluster prefer checkpoint for
     very large corpora — the cache holds token arrays, ~1× corpus size.
+
+    carry_cols: extra columns of `df` carried through to the output
+    row. They ride the persisted token stage only — the posting explode
+    projects them away before its exchange — so a caller that needs
+    them downstream avoids a second corpus scan plus a re-attach join.
     """
     toks = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("__t"),
     )
     base = toks.withColumn("__n", F.size("__t"))
@@ -631,7 +653,7 @@ def strip_duplicate_spans(
     ).select(
         id_col,
         "__pos",
-        F.md5(F.concat_ws(" ", F.slice(F.col("__t"), F.col("__pos"), k))).alias("__gh"),
+        F.xxhash64(F.slice(F.col("__t"), F.col("__pos"), k)).alias("__gh"),
     )
     dup_grams = (
         posts.groupBy("__gh")
@@ -659,6 +681,7 @@ def strip_duplicate_spans(
     idxs = F.coalesce(F.col("__idxs"), F.array().cast("array<int>"))
     return joined.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.col("__n").alias("n_tokens"),
         F.coalesce(F.col("n_dup_starts"), F.lit(0)).alias("n_dup_starts"),
         F.when(F.col("__n") > 0, F.size(idxs) / F.col("__n"))

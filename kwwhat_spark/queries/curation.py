@@ -357,12 +357,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # families) evaluated per row — 4.7 s vs 0.8 s for the single
     # signal at sf0.1 (functions/text.dup_gram_frac docstring).
     gated = docs.filter(dup_gram_frac("text", 3) <= 0.01)
-    stripped = strip_duplicate_spans(gated, k=8, min_count=2)
+    # carry_cols rides source/lang through the strip's persisted token
+    # stage: the old join-back to a second `documents` scan re-read and
+    # re-gated the corpus just to recover two small columns (guide §2.4
+    # — remove the join, and with it one full corpus scan).
+    stripped = strip_duplicate_spans(
+        gated, k=8, min_count=2, carry_cols=("source", "lang")
+    )
     n_cov = F.round(F.col("dup_span_frac") * F.col("n_tokens")).cast("long")
     sized = (
         stripped.withColumn("n_tokens_clean", F.col("n_tokens") - n_cov)
         .filter((F.col("dup_span_frac") <= 0.5) & (F.col("n_tokens_clean") >= 20))
-        .join(docs.select("doc_id", "source", "lang"), "doc_id")
         .select(
             "doc_id", "source", "lang", "n_tokens_clean", "dup_span_frac", "cleaned_text"
         )

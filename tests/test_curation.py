@@ -133,6 +133,31 @@ def test_strip_duplicate_spans_cross_document(spark):
     assert out[4]["n_dup_starts"] == 0 and out[4]["cleaned_text"] == "solo words only"
 
 
+def test_strip_duplicate_spans_carry_cols(spark):
+    """carry_cols must ride columns through unchanged — same rows and
+    span results as the no-carry form plus a join-back on doc_id (the
+    shape curation_pipeline replaced with carry_cols)."""
+    from kwwhat_spark.operators.corpus import strip_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "web", "en", "a b c d e"),
+            (2, "web", "de", "x a b c y"),
+            (3, "books", "en", "p q r p q r"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    carried = strip_duplicate_spans(df, k=3, carry_cols=("source", "lang"))
+    joined = strip_duplicate_spans(df, k=3).join(
+        df.select("doc_id", "source", "lang"), "doc_id"
+    )
+    cols = ["doc_id", "source", "lang", "n_tokens", "n_dup_starts",
+            "dup_span_frac", "cleaned_text"]
+    assert sorted(carried.select(*cols).collect()) == sorted(
+        joined.select(*cols).collect()
+    )
+
+
 def test_semdedup_removes_within_cluster_duplicates_only(spark):
     from kwwhat_spark.operators.similarity import semdedup
 
