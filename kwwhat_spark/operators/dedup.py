@@ -400,6 +400,18 @@ def minhash_lsh_pairs(
                 "band_idx", "band_hash"
             ),
         )
+    # Persist the banded rows: the self-join below consumes `banded` on
+    # BOTH sides, and without a cache each side recomputes the signature
+    # (the mapInPandas node — CacheManager only reuses the `shingled`
+    # cache underneath it; the committed r12 plan showed two MapInPandas
+    # nodes). Banded rows are (doc_id, band_idx, band_hash) — bands×3
+    # longs per doc, far narrower than the shingle cache that already
+    # exists. Interleaved A/B (r12, quiet rig): sf0.1 0.99 → 0.80 s min,
+    # sf1 4.08 → 3.77 s with visibly tighter spread (one signature pass
+    # instead of two). Gated on persist_shingles so the fully-lazy mode
+    # stays available.
+    if persist_shingles:
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
