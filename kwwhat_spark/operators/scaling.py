@@ -16,14 +16,50 @@ where bytes-based splitting yields thousands of partitions).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+# Bytes of (compressed) input per widened partition. 64 KB reflects the
+# measured CPU density of the operators widen() serves — shingling runs
+# ~3 s/MB of compressed documents (r11: 1.7 s single-core at sf0.1's
+# 594 KB), so a 64 KB slice is ~0.2 s of CPU, comfortably above the
+# per-task overhead it buys. Env-tunable for corpora with a different
+# CPU/byte profile; the DEFAULT is what the driver's bench sees.
+_WIDEN_CHUNK_BYTES = int(os.environ.get("SPARK_GRAFT_WIDEN_CHUNK_BYTES", 64 * 1024))
 
 
 def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition `df` up to `min_partitions` (default: the session's
-    defaultParallelism) if its current plan yields fewer partitions.
-    Never narrows an already-wide input."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    """Repartition `df` up to a size-derived target if its current plan
+    yields fewer partitions. Never narrows an already-wide input.
+
+    The target is ``min(defaultParallelism, ceil(input_bytes / 64 KB))``
+    (guide §2: derive partitioning from input size, not from a constant
+    tuned to one rig). At cluster scale the bytes term dwarfs the core
+    count, so the cap binds and behaviour is identical to the old
+    ``repartition(defaultParallelism)``; at bench scale (594 KB of
+    documents at sf0.1) it stops fanning KB-sized inputs into 32 tasks
+    whose fixed cost exceeds the CPU they unlock — measured r12,
+    interleaved same-session mins: curation_pipeline 1.92 → 1.25 s,
+    dedup_substring_spans 1.28 → 0.78 s at local[32], while the
+    identical formula leaves sf1+ targets at the parallelism cap.
+    ``min_partitions`` still overrides the derived target entirely.
+    Plans without usable size statistics fall back to the parallelism
+    cap (the old behaviour).
+    """
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    if min_partitions is not None:
+        target = min_partitions
+    else:
+        target = dp
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            if 0 < size < dp * _WIDEN_CHUNK_BYTES:
+                target = max(1, -(-size // _WIDEN_CHUNK_BYTES))
+        except Exception:
+            pass
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
