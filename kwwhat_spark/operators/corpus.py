@@ -645,7 +645,9 @@ def strip_duplicate_spans(
     if persist_tokens:
         from pyspark import StorageLevel
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        from kwwhat_spark.operators.cachescope import track
+
+        base = track(base.persist(StorageLevel.MEMORY_AND_DISK))
     posts = base.filter(F.col("__n") >= k).select(
         id_col,
         F.explode(F.sequence(F.lit(1), F.col("__n") - (k - 1))).alias("__pos"),

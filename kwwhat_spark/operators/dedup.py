@@ -111,7 +111,9 @@ def ngram_jaccard_pairs(
         # shingle table).
         from pyspark.storagelevel import StorageLevel
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        from kwwhat_spark.operators.cachescope import track
+
+        base = track(base.persist(StorageLevel.MEMORY_AND_DISK))
 
     counts = base.select("doc_id", "shingle_count")
     if strategy == "prefix":
@@ -324,7 +326,9 @@ def minhash_lsh_pairs(
         ).alias("shingles"),
     )
     if persist_shingles:
-        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+        from kwwhat_spark.operators.cachescope import track
+
+        shingled = track(shingled.persist(StorageLevel.MEMORY_AND_DISK))
 
     # Band rows carry (doc_id, band_idx, band_hash) ONLY — the shingle
     # arrays never enter the 8×-exploded shuffle. At 100 TB the bucket
@@ -411,7 +415,9 @@ def minhash_lsh_pairs(
     # instead of two). Gated on persist_shingles so the fully-lazy mode
     # stays available.
     if persist_shingles:
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        from kwwhat_spark.operators.cachescope import track
+
+        banded = track(banded.persist(StorageLevel.MEMORY_AND_DISK))
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
