@@ -6,11 +6,14 @@ auto-parametrized oracle gate in test_catalog_oracle.py.)
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kwwhat_spark.queries import REGISTRY
 
 
+@pytest.mark.full
 def test_sketch_error_bounds(spark, sf_dir):
     # Round 4: the entry emits exact counts + boolean bound assertions
     # (the oracle-gateable form); the sketch error bounds are now IN the

@@ -11,6 +11,10 @@ from pathlib import Path
 
 import duckdb
 import pytest
+
+# Slow tier (r13 suite split): BI routing over the mart cache (heavy session fixture).
+# Default runs exclude it (pytest.ini addopts); run with -m full.
+pytestmark = pytest.mark.full
 import yaml
 from pyspark.sql import functions as F
 

@@ -58,6 +58,7 @@ def _ref_bpe(texts: list[str], n_merges: int):
 WORDS = ["low", "lower", "lowest", "newer", "wider", "new", "widest", "er", "zz"]
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_learned_merges_match_reference(spark, seed):
     rng = random.Random(seed)
@@ -122,6 +123,7 @@ BYTE_WORDS = [
 ]
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_byte_level_merges_match_reference(spark, seed):
     rng = random.Random(1000 + seed)

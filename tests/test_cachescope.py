@@ -15,10 +15,12 @@ def _n_persistent(spark) -> int:
 
 
 def test_release_tracked_after_two_entry_composition(spark, sf_dir):
-    # Start from a clean slate: other tests share this session.
+    # Start from a known baseline: other tests share this session and
+    # may hold non-SQL persistent RDDs (eager localCheckpoints from the
+    # model layer) that clearCache does not and should not touch.
     release_tracked(blocking=True)
     spark.catalog.clearCache()
-    assert _n_persistent(spark) == 0
+    baseline = _n_persistent(spark)
 
     # Two cache-holding entries composed in ONE session, both
     # materialized (the r12 verdict's composition scenario: minhash
@@ -26,11 +28,11 @@ def test_release_tracked_after_two_entry_composition(spark, sf_dir):
     for name in ("dedup_minhash_lsh", "dedup_substring_spans"):
         df = REGISTRY[name].spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-    assert _n_persistent(spark) > 0  # the intra-query caches exist...
+    assert _n_persistent(spark) > baseline  # the intra-query caches exist...
 
     n = release_tracked(blocking=True)
     assert n >= 3  # ...all of them were tracked (shingled, banded, tokens)
-    assert _n_persistent(spark) == 0  # ...and release drops every one
+    assert _n_persistent(spark) == baseline  # ...and release drops every one
 
 
 def test_release_tracked_idempotent(spark):

@@ -10,6 +10,10 @@ from pathlib import Path
 
 import duckdb
 import pytest
+
+# Slow tier (r13 suite split): reference-SQL compares over the mart cache.
+# Default runs exclude it (pytest.ini addopts); run with -m full.
+pytestmark = pytest.mark.full
 import yaml
 
 from kwwhat_spark.catalog import register_marts

@@ -5,6 +5,10 @@ from __future__ import annotations
 
 import pytest
 
+# Slow tier (r13 suite split): per-entry DuckDB oracle compares; tools/gate_check.py (156/156) is the correctness authority.
+# Default runs exclude it (pytest.ini addopts); run with -m full.
+pytestmark = pytest.mark.full
+
 from kwwhat_spark.queries import REGISTRY
 from tests.oracle_harness import compare, duckdb_connection
 

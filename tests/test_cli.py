@@ -2,6 +2,12 @@
 
 from __future__ import annotations
 
+import pytest
+
+# Slow tier (r13 suite split): CLI end-to-end runs (incremental stores, metrics, BI).
+# Default runs exclude it (pytest.ini addopts); run with -m full.
+pytestmark = pytest.mark.full
+
 from types import SimpleNamespace
 
 from kwwhat_spark.__main__ import cmd_build, cmd_check, cmd_incremental, cmd_metrics

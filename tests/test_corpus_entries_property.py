@@ -18,6 +18,10 @@ import duckdb
 import pandas as pd
 import pytest
 
+# Slow tier (r13 suite split): generated-corpora oracle property harness.
+# Default runs exclude it (pytest.ini addopts); run with -m full.
+pytestmark = pytest.mark.full
+
 from kwwhat_spark.queries import REGISTRY
 from tests.oracle_harness import compare
 

@@ -5,6 +5,8 @@ covered by the oracle gate in test_catalog_oracle.py.)"""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kwwhat_spark.functions.text import redact_pii
@@ -250,6 +252,7 @@ def test_materialize_packed_bins_exact_budget(spark, sf_dir):
     assert total_tokens == src
 
 
+@pytest.mark.full
 def test_incremental_exact_dedup_across_batches(spark, sf_dir, tmp_path):
     from kwwhat_spark.operators.corpus import incremental_exact_dedup
     from kwwhat_spark.plans.incremental import ParquetStateStore
@@ -299,6 +302,7 @@ def test_quantize_int8_error_bound_and_normalize(spark, sf_dir):
         assert abs(n - 1.0) < 1e-9
 
 
+@pytest.mark.full
 def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     from kwwhat_spark.operators.dedup import incremental_minhash_dedup
     from kwwhat_spark.plans.incremental import ParquetStateStore

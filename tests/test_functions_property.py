@@ -48,6 +48,7 @@ def _batch_compare(spark, duck, rows, spark_expr, duck_sql_per_row):
     assert got == want, list(zip(rows, got, want))
 
 
+@pytest.mark.full
 @settings(**_SETTINGS)
 @given(st.lists(st.tuples(TS, TS), min_size=1, max_size=20))
 def test_datediff_minute_matches_duckdb(spark, duck, pairs):
@@ -58,6 +59,7 @@ def test_datediff_minute_matches_duckdb(spark, duck, pairs):
     )
 
 
+@pytest.mark.full
 @settings(**_SETTINGS)
 @given(st.lists(st.tuples(TS, TS), min_size=1, max_size=20))
 def test_datediff_second_matches_duckdb(spark, duck, pairs):
@@ -68,6 +70,7 @@ def test_datediff_second_matches_duckdb(spark, duck, pairs):
     )
 
 
+@pytest.mark.full
 @settings(**_SETTINGS)
 @given(st.lists(st.tuples(TS, TS), min_size=1, max_size=20))
 def test_datediff_day_matches_duckdb(spark, duck, pairs):
@@ -78,6 +81,7 @@ def test_datediff_day_matches_duckdb(spark, duck, pairs):
     )
 
 
+@pytest.mark.full
 @settings(**_SETTINGS)
 @given(st.lists(TS, min_size=1, max_size=20))
 def test_bucket_15min_matches_reference_formula(spark, duck, stamps):
@@ -105,6 +109,7 @@ def test_bucket_15min_matches_reference_formula(spark, duck, stamps):
         max_size=20,
     )
 )
+@pytest.mark.full
 def test_surrogate_key_matches_dbt_formula(spark, duck, rows):
     df = spark.createDataFrame(rows, "a string, b long")
     got = [r["v"] for r in df.select(surrogate_key("a", "b").alias("v")).collect()]
@@ -129,6 +134,7 @@ _TEXT_ALPHABET = st.sampled_from(
 _PII_TEXT = st.lists(_TEXT_ALPHABET, min_size=0, max_size=12).map(" ".join)
 
 
+@pytest.mark.full
 @settings(**_SETTINGS)
 @given(st.lists(_PII_TEXT, min_size=1, max_size=15))
 def test_redact_pii_matches_duckdb(spark, duck, texts):
@@ -204,6 +210,7 @@ def _py_signals(text: str):
         min_size=1, max_size=8,
     )
 )
+@pytest.mark.full
 @settings(**_SETTINGS)
 def test_repetition_signals_match_python_reference(spark, texts):
     from kwwhat_spark.functions.text import repetition_signals

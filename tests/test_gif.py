@@ -61,6 +61,7 @@ def test_gif_rejects_non_gif_and_corrupt():
         decode_gif(payload[: len(payload) // 2])  # truncated mid-stream
 
 
+@pytest.mark.full
 def test_gif_feature_dispatch(spark):
     from kwwhat_spark.operators.multimodal import extract_features, synthesize_media
 

@@ -3,6 +3,8 @@ shapes the dedup data doesn't exercise (long chains, rings, isolates)."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from kwwhat_spark.operators.graph import connected_components, dedup_keepers
@@ -40,6 +42,7 @@ def _check(spark, edges):
     assert got_dist == want
 
 
+@pytest.mark.full
 def test_chain_ring_and_triangles(spark):
     chain = [(i, i + 1) for i in range(0, 20)]          # diameter 20
     ring = [(100 + i, 100 + (i + 1) % 7) for i in range(7)]
@@ -47,6 +50,7 @@ def test_chain_ring_and_triangles(spark):
     _check(spark, chain + ring + triangle)
 
 
+@pytest.mark.full
 def test_random_graph_matches_union_find(spark):
     rng = random.Random(7)
     edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]

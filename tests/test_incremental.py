@@ -16,6 +16,10 @@ from pathlib import Path
 
 import pytest
 
+# Slow tier (r13 suite split): incremental convergence harness (1300+s); engine smoke stays via test_cli/test_delta_store_mock.
+# Default runs exclude it (pytest.ini addopts); run with -m full.
+pytestmark = pytest.mark.full
+
 from kwwhat_spark.config import VARS
 from kwwhat_spark.models import Pipeline
 from tests.dbt_unit_harness import (

@@ -164,6 +164,7 @@ def test_simhash_identical_docs_hamming_zero(docs):
     assert pairs[(1, 2)] == 0
 
 
+@pytest.mark.full
 def test_lsh_topk_subset_of_brute_force_universe(spark, sf_dir):
     from kwwhat_spark.sources.testdata import load_table
 
@@ -199,6 +200,7 @@ def test_ivf_topk_full_probe_equals_brute_force(spark, sf_dir):
     assert full == bf
 
 
+@pytest.mark.full
 def test_ivf_topk_broadcast_queries_path_parity(spark, sf_dir):
     """The zero-shuffle broadcast-queries scan must equal the cogroup
     shuffle path row-for-row — full probe (exact regime) AND partial
@@ -226,6 +228,7 @@ def test_ivf_topk_broadcast_queries_path_parity(spark, sf_dir):
             assert scanned == shuffled, (probe_kw, f32)
 
 
+@pytest.mark.full
 def test_ivf_topk_broadcast_queries_guard(spark, sf_dir):
     import pytest as _pytest
 
@@ -322,6 +325,7 @@ def test_multimodal_feature_plumbing(spark):
     assert all(again[r["media_id"]] == r["content_sha256"] for r in feats)
 
 
+@pytest.mark.full
 def test_multimodal_frame_sample(spark):
     from kwwhat_spark.operators.multimodal import frame_sample
 
@@ -394,6 +398,7 @@ def test_minhash_seed_family_is_actually_seeded(spark):
     assert len(set(got)) >= 3, got
 
 
+@pytest.mark.full
 def test_minhash_replayable_matches_xxhash_pairs(spark, sf_dir):
     """The md5_52 and xxhash64 hash families must find the same verified
     near-dup pairs on the documents table (banding recall may differ in
@@ -410,6 +415,7 @@ def test_minhash_replayable_matches_xxhash_pairs(spark, sf_dir):
     assert xx and xx == md
 
 
+@pytest.mark.full
 def test_xxh64_sig_mapper_matches_expression(spark):
     """The vectorized numpy signature (operators/dedup._xxh64_sig_fn)
     must be bit-identical to the Catalyst expression form
@@ -459,6 +465,7 @@ def test_xxh64_sig_mapper_matches_expression(spark):
     assert a == b
 
 
+@pytest.mark.full
 def test_minhash_from_hashed_validations(spark):
     """ADVICE r9: custom seed_hash families must raise (not be silently
     swapped for md5_52), and num_hashes > 52 must raise (the rotation

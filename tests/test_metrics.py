@@ -5,6 +5,10 @@ cross-checked against direct DataFrame aggregation."""
 from __future__ import annotations
 
 import pytest
+
+# Slow tier (r13 suite split): all-metrics sweep over the mart cache.
+# Default runs exclude it (pytest.ini addopts); run with -m full.
+pytestmark = pytest.mark.full
 from pyspark.sql import functions as F
 
 from kwwhat_spark.metrics import METRICS, query_metrics

@@ -33,6 +33,10 @@ import random
 import duckdb
 import pytest
 
+# Slow tier (r13 suite split): generated adversarial fleet DAG property harness.
+# Default runs exclude it (pytest.ini addopts); run with -m full.
+pytestmark = pytest.mark.full
+
 from kwwhat_spark.models import Pipeline
 from kwwhat_spark.queries.ocpp_pipeline import (
     _MART_NAMES,

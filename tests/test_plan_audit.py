@@ -94,6 +94,7 @@ def test_spans_gram_keys_are_xxhash(spark, sf_dir):
     assert _numbered_nodes(plan).count("Exchange") <= 3
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_nested_loop_plans(spark, sf_dir, name):
     plan = (

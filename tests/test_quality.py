@@ -64,6 +64,7 @@ def load_reference_checks() -> list[Check]:
     return checks
 
 
+@pytest.mark.full
 def test_reference_schema_tests_pass(spark):
     checks = load_reference_checks()
     assert len(checks) > 200, f"expected 200+ reference checks, parsed {len(checks)}"

@@ -61,6 +61,7 @@ def test_stream_status_changes_matches_batch(spark, stream_dir, batch_pipe):
     assert stream_rows == batch_rows
 
 
+@pytest.mark.full
 def test_stream_request_confirmations_matches_batch(spark, stream_dir, batch_pipe):
     staged = stage_stream(read_ocpp_stream(spark, stream_dir))
     out = _run_stream(
@@ -193,6 +194,7 @@ def test_stream_interval_data_matches_batch(spark, stream_dir, batch_pipe):
     assert stream_map == batch_map
 
 
+@pytest.mark.full
 def test_stream_visits_parity_equals_batch_mart(spark):
     """The chained stateful visit stream (stream_visit_chains ->
     stream_visit_parity) must reproduce the batch fact_visits mart

@@ -4,6 +4,10 @@ equivalent (same enrichment expressions, exact dedup, quality gate)."""
 from __future__ import annotations
 
 import pytest
+
+# Slow tier (r13 suite split): availableNow streaming corpus pipelines.
+# Default runs exclude it (pytest.ini addopts); run with -m full.
+pytestmark = pytest.mark.full
 from pyspark.sql import functions as F
 
 from kwwhat_spark.sources.testdata import load_table

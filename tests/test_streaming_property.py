@@ -84,6 +84,7 @@ def _gen_frame(seed: int) -> pd.DataFrame:
     return pdf
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("seed", [11, 23, 47])
 def test_streaming_entries_match_oracle_on_generated_streams(spark, seed):
     pdf = _gen_frame(seed)
