@@ -25,10 +25,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def run_once(spark, timings: dict[str, float]) -> int:
     from kwwhat_spark.plans.incremental import (  # noqa: E402
-        IncrementalRunner,
         PartitionedStateStore,
     )
     from kwwhat_spark.queries.ocpp_pipeline import (  # noqa: E402
+        _CHAIN_SKIP_COLS,
         _INC_CUTOFF,
         _staged_cutoff,
         _staged_logs,
@@ -54,7 +54,6 @@ def run_once(spark, timings: dict[str, float]) -> int:
     state_dir = tempfile.mkdtemp(prefix="kwh-prof-chain-")
     try:
         store = PartitionedStateStore(spark, state_dir)
-        runner = IncrementalRunner(spark, store)
         batch1 = {
             **sources,
             "raw_ocpp_logs": sources["raw_ocpp_logs"].filter(
@@ -99,7 +98,7 @@ def run_once(spark, timings: dict[str, float]) -> int:
 
         out = mart_projection(
             "fact_charge_attempts", store.read("fact_charge_attempts")
-        ).drop("previous_status", "next_status", "incremental_ts")
+        ).drop(*_CHAIN_SKIP_COLS)
         n = out.localCheckpoint(eager=True).count()
         mark("final_checkpoint", t0)
         return n
