@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kwwhat_spark.functions.text import minhash_signature, simhash64, word_shingles
+from kwwhat_spark.functions.text import simhash64, word_shingles
 from kwwhat_spark.operators.scaling import widen
 
 
@@ -262,6 +262,103 @@ def _xxh64_sig_fn(num_hashes: int):
     return sig_batches
 
 
+def _simhash64_votes_fn():
+    """mapInPandas body: (doc_id, toks: array<long>) -> (doc_id, simhash).
+    Bit b of the simhash is set iff strictly more than half of the token
+    hashes have bit b set — votes = ones - zeros > 0, exactly the
+    expression form's `bit_vote(mask) > 0` (functions/text.simhash64),
+    so the longs are bit-identical, not merely equivalent. Empty token
+    arrays yield simhash 0 (aggregate over an empty array = init 0).
+
+    Why not the expression form: simhash64 runs SIXTY-FOUR F.aggregate
+    HOF passes per doc in Catalyst's INTERPRETED evaluator — the same
+    pathology the r12 MinHash signature fix removed. Here the whole
+    batch is 64 vectorized shift-and-reduceat passes. Same-window
+    canary-gated A/B at sf0.1 (r13, tools/ab_simhash_r13.py): signature
+    stage 1.71 s -> 0.28 s min-of-5, identical output. Parity pinned by
+    tests/test_llm_ops.py::test_simhash_votes_mapper_matches_expression."""
+    import numpy as np
+    import pandas as pd
+
+    def votes(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lists = pdf["toks"].to_numpy()
+            lens = np.fromiter(
+                (len(x) for x in lists), dtype=np.int64, count=len(lists)
+            )
+            out = np.zeros(len(lists), dtype=np.uint64)
+            nonempty = lens > 0
+            if nonempty.any():
+                # np.add.reduceat misreads zero-length segments (it
+                # returns a[offs[i]] when offs[i] == offs[i+1]), so the
+                # vote matrix is built over non-empty docs only.
+                flat = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in lists if len(x)]
+                ).view(np.uint64)
+                lens_ne = lens[nonempty]
+                offs = np.zeros(len(lens_ne), dtype=np.int64)
+                np.cumsum(lens_ne[:-1], out=offs[1:])
+                acc = np.zeros(len(lens_ne), dtype=np.uint64)
+                one = np.uint64(1)
+                for b in range(64):
+                    ones = np.add.reduceat((flat >> np.uint64(b)) & one, offs)
+                    bit = (2 * ones > lens_ne.view(np.uint64)).astype(np.uint64)
+                    acc |= bit << np.uint64(b)
+                out[nonempty] = acc
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": out.view(np.int64)}
+            )
+
+    return votes
+
+
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int, shingle_hash
+) -> DataFrame:
+    """(doc_id, distinct hashed shingle array) — the shared front stage
+    of minhash_lsh_pairs AND minhash_dedup_plan. One helper so both
+    build the IDENTICAL logical plan: Spark's CacheManager matches
+    cached plans structurally, so when the pairs operator persists this
+    stage, the dedup plan's signature scan reads the same cache instead
+    of re-shingling the batch.
+
+    Shingle+MinHash is the CPU hot spot; widen narrow scans first
+    (measured 1.7 s single-core shingle pass at sf0.1 without this).
+    let_ binds the shingle array before transform maps the hash over
+    it — without the binding Catalyst re-evaluates the whole shingling
+    expression per element (the let_ pitfall; measured 6× here)."""
+    from kwwhat_spark.functions.text import let_
+
+    return widen(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            let_(
+                word_shingles(F.col(text_col), k),
+                lambda sh: F.transform(sh, lambda s: shingle_hash(s)),
+            )
+        ).alias("shingles"),
+    )
+
+
+def _xxh64_sig_df(shingled: DataFrame, num_hashes: int) -> "DataFrame":
+    """(doc_id, sig) via the vectorized numpy signature over a
+    _hashed_shingles stage — the production signature shape shared by
+    minhash_lsh_pairs and minhash_dedup_plan."""
+    from pyspark.sql import types as T
+
+    return shingled.mapInPandas(
+        _xxh64_sig_fn(num_hashes),
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", shingled.schema["doc_id"].dataType),
+                T.StructField("sig", T.ArrayType(T.LongType())),
+            ]
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -299,7 +396,7 @@ def minhash_lsh_pairs(
     (~3× smaller candidate payload, same at 100 TB)."""
     from pyspark.storagelevel import StorageLevel
 
-    from kwwhat_spark.functions.text import md5_52, minhash_from_hashed
+    from kwwhat_spark.functions.text import let_, md5_52, minhash_from_hashed
 
     if replayable_hash:
         shingle_hash = md5_52
@@ -308,23 +405,7 @@ def minhash_lsh_pairs(
         shingle_hash = F.xxhash64
         combine_hash = F.xxhash64
 
-    # Shingle+MinHash is the CPU hot spot; widen narrow scans first
-    # (measured 1.7 s single-core shingle pass at sf0.1 without this).
-    df = widen(df)
-    from kwwhat_spark.functions.text import let_
-
-    # let_ binds the shingle array before transform maps the hash over
-    # it — without the binding Catalyst re-evaluates the whole shingling
-    # expression per element (the let_ pitfall; measured 6× here).
-    shingled = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(
-            let_(
-                word_shingles(F.col(text_col), k),
-                lambda sh: F.transform(sh, lambda s: shingle_hash(s)),
-            )
-        ).alias("shingles"),
-    )
+    shingled = _hashed_shingles(df, id_col, text_col, k, shingle_hash)
     if persist_shingles:
         from kwwhat_spark.operators.cachescope import track
 
@@ -384,17 +465,7 @@ def minhash_lsh_pairs(
         # sf0.1 wall). Bit-exact vs F.xxhash64 (validated + pinned by
         # tests/test_llm_ops.py parity), so candidates and verified
         # pairs are unchanged.
-        from pyspark.sql import types as T
-
-        sig_src = shingled.mapInPandas(
-            _xxh64_sig_fn(num_hashes),
-            schema=T.StructType(
-                [
-                    T.StructField("doc_id", shingled.schema["doc_id"].dataType),
-                    T.StructField("sig", T.ArrayType(T.LongType())),
-                ]
-            ),
-        )
+        sig_src = _xxh64_sig_df(shingled, num_hashes)
         # sig is materialized by the Python node (CollapseProject cannot
         # inline through MapInPandas), so the 8 band references read the
         # computed array, not 8 recomputations.
@@ -467,12 +538,48 @@ def simhash_pairs(
     for hamming ≤ 3), verified by bit_count(xor). replayable_hash uses
     the 52-bit md5 token-hash family so the sketch replays in DuckDB
     (top chunk then carries 4 bits; pigeonhole completeness over 4
-    chunks is unaffected)."""
+    chunks is unaffected).
+
+    The production (xxhash64) simhash runs its 64 bit votes vectorized
+    in numpy via mapInPandas over the JVM-computed token hashes
+    (_simhash64_votes_fn — bit-identical to the expression form, 6× the
+    stage at sf0.1); the replayable family stays a pure expression so
+    the DuckDB oracle replays the identical SQL integers.
+
+    `base` is persisted: the chunk self-join consumes it on BOTH sides,
+    and without the cache each side recomputes the whole simhash stage
+    (two MapInPandas nodes / two 52-pass md5 evaluations — the minhash
+    banded-persist lesson, r12 change 7). The cached rows are two longs
+    per doc. Same-window canary-gated A/B at sf0.1 (r13, min-of-5, full
+    pairs op): expr-nopersist 2.40 s (r12 ship) -> numpy 0.72 ->
+    numpy+persist 0.62; the replayable family alone gains 2.40 -> 2.09."""
+    from pyspark.storagelevel import StorageLevel
+
+    from kwwhat_spark.operators.cachescope import track
+
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    base = widen(df).select(
-        F.col(id_col).alias("doc_id"),
-        simhash64(toks, replayable=replayable_hash).alias("simhash"),
-    )
+    if replayable_hash:
+        base = widen(df).select(
+            F.col(id_col).alias("doc_id"),
+            simhash64(toks, replayable=True).alias("simhash"),
+        )
+    else:
+        from pyspark.sql import types as T
+
+        hashed = widen(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(toks, lambda t: F.xxhash64(t)).alias("toks"),
+        )
+        base = hashed.mapInPandas(
+            _simhash64_votes_fn(),
+            schema=T.StructType(
+                [
+                    T.StructField("doc_id", hashed.schema["doc_id"].dataType),
+                    T.StructField("simhash", T.LongType()),
+                ]
+            ),
+        )
+    base = track(base.persist(StorageLevel.MEMORY_AND_DISK))
 
     chunks = base.select(
         "doc_id",
@@ -685,14 +792,23 @@ def minhash_dedup_plan(
     exclusion makes a replayed batch reproduce its original survivor
     set instead of dropping every doc as a duplicate of itself.
     """
-    from kwwhat_spark.functions.text import let_, minhash_signature, word_shingles
-
-    sigd = widen(batch).select(
-        F.col(id_col),
-        minhash_signature(
-            F.array_distinct(word_shingles(F.col(text_col), k)), num_hashes
-        ).alias("__sig"),
-    ).persist()
+    # The stored signature rides the SAME hashed-shingle stage and numpy
+    # signature as minhash_lsh_pairs below (r13): the old expression form
+    # re-shingled the batch and ran num_hashes interpreted-HOF passes per
+    # doc for values the pairs operator was already computing — identical
+    # longs either way (hash-then-distinct vs distinct-then-hash yields
+    # the same value set, so the same per-seed minimum; numpy≡expression
+    # pinned by tests/test_llm_ops.py parity). Because _hashed_shingles
+    # builds a structurally identical plan, the CacheManager serves this
+    # scan from the pairs operator's persisted shingle stage — one
+    # shingle pass and one signature pass per batch instead of two.
+    sigd = (
+        _xxh64_sig_df(
+            _hashed_shingles(batch, id_col, text_col, k, F.xxhash64), num_hashes
+        )
+        .select(F.col("doc_id").alias(id_col), F.col("sig").alias("__sig"))
+        .persist()
+    )
 
     # In-batch near-dup: drop any doc with a smaller-id verified pair.
     pairs = minhash_lsh_pairs(

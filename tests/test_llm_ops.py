@@ -465,6 +465,89 @@ def test_xxh64_sig_mapper_matches_expression(spark):
     assert a == b
 
 
+def test_simhash_votes_mapper_matches_expression(spark):
+    """The vectorized SimHash bit votes (operators/dedup
+    ._simhash64_votes_fn) must be bit-identical to the expression form
+    (functions/text.simhash64 over xxhash64 token hashes): votes are
+    exact integer sums, a bit is set iff votes > 0 (strictly — ties
+    stay 0), and an empty token array yields simhash 0. Random token
+    hash arrays incl. sign/overflow edges and empty docs."""
+    import random
+
+    from pyspark.sql import functions as F, types as T
+
+    from kwwhat_spark.functions.text import simhash64
+    from kwwhat_spark.operators.dedup import _simhash64_votes_fn
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.randint(-(2**63), 2**63 - 1) for _ in range(rng.randint(0, 30))])
+        for i in range(60)
+    ]
+    rows[0] = (0, [0, 1, -1, 2**63 - 1, -(2**63)])
+    rows[1] = (1, [])  # aggregate over empty array = 0 votes = simhash 0
+    rows[2] = (2, [3, 3])  # even count: every vote a tie or ±2, ties stay 0
+    df = spark.createDataFrame(rows, "doc_id long, toks array<long>")
+
+    # Expression form expects TOKEN STRINGS and hashes them itself; feed
+    # it a pre-hashed identity by comparing at the from_hashed level:
+    # simhash64 = let_(transform(tokens, xxhash64), from_hashed), so the
+    # expression equivalent over already-hashed longs is simhash64 over
+    # tokens whose xxhash64 is our longs. Instead compare both paths on
+    # the same STRING tokens end-to-end.
+    str_rows = [
+        (i, " ".join(rng.choice(["a", "b", "cc", "ddd", "e f"]) for _ in
+                     range(rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    sdf = spark.createDataFrame(str_rows, "doc_id long, text string")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    expr_out = {
+        r.doc_id: r.simhash
+        for r in sdf.select("doc_id", simhash64(toks).alias("simhash")).collect()
+    }
+    hashed = sdf.select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("toks")
+    )
+    numpy_out = {
+        r.doc_id: r.simhash
+        for r in hashed.mapInPandas(
+            _simhash64_votes_fn(),
+            schema=T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("simhash", T.LongType()),
+                ]
+            ),
+        ).collect()
+    }
+    assert expr_out == numpy_out
+
+    # And the mapper over raw long arrays vs a direct per-row vote in
+    # Python (independent reference, covers the full 64-bit range).
+    def ref(hs: list[int]) -> int:
+        out = 0
+        for b in range(64):
+            ones = sum((h >> b) & 1 for h in (x & (2**64 - 1) for x in hs))
+            if 2 * ones > len(hs):
+                out |= 1 << b
+        return out - 2**64 if out >= 2**63 else out
+
+    mapped = {
+        r.doc_id: r.simhash
+        for r in df.mapInPandas(
+            _simhash64_votes_fn(),
+            schema=T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("simhash", T.LongType()),
+                ]
+            ),
+        ).collect()
+    }
+    assert mapped == {i: ref(hs) for i, hs in rows}
+
+
 @pytest.mark.full
 def test_minhash_from_hashed_validations(spark):
     """ADVICE r9: custom seed_hash families must raise (not be silently

@@ -33,44 +33,7 @@ from kwwhat_spark.sources.testdata import load_table  # noqa: E402
 from tools.ab_spans_r13 import wait_settled  # noqa: E402
 
 
-def _simhash64_votes_fn():
-    """mapInPandas body: (doc_id, toks: array<long>) -> (doc_id, simhash).
-    Bit b of the simhash is set iff strictly more than half of the token
-    hashes have bit b set (votes = ones - zeros > 0), matching the
-    expression form's `bit_vote(mask) > 0` exactly. Empty token arrays
-    yield simhash 0 (aggregate over empty array = init 0)."""
-    import numpy as np
-    import pandas as pd
-
-    def votes(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            lists = pdf["toks"].to_numpy()
-            lens = np.fromiter(
-                (len(x) for x in lists), dtype=np.int64, count=len(lists)
-            )
-            out = np.zeros(len(lists), dtype=np.uint64)
-            nonempty = lens > 0
-            if nonempty.any():
-                flat = np.concatenate(
-                    [np.asarray(x, dtype=np.int64) for x in lists if len(x)]
-                ).view(np.uint64)
-                lens_ne = lens[nonempty]
-                offs = np.zeros(len(lens_ne), dtype=np.int64)
-                np.cumsum(lens_ne[:-1], out=offs[1:])
-                acc = np.zeros(len(lens_ne), dtype=np.uint64)
-                one = np.uint64(1)
-                for b in range(64):
-                    ones = np.add.reduceat((flat >> np.uint64(b)) & one, offs)
-                    bit = (2 * ones > lens_ne.view(np.uint64)).astype(np.uint64)
-                    acc |= bit << np.uint64(b)
-                out[nonempty] = acc
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "simhash": out.view(np.int64)}
-            )
-
-    return votes
+from kwwhat_spark.operators.dedup import _simhash64_votes_fn  # noqa: E402
 
 
 def simhash_stage_expr(df, id_col="doc_id", text_col="text"):
