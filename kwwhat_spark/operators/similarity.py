@@ -161,6 +161,92 @@ def brute_force_topk(
     )
 
 
+def all_pairs_cosine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    *,
+    keep_sim: bool = False,
+    sim_col: str = "cosine_sim",
+) -> DataFrame:
+    """Exact all-pairs cosine pairs (id_a < id_b, round(sim,6) >=
+    threshold) via ONE corpus scan against the broadcast matrix — the
+    brute_force_topk Arrow/BLAS pattern applied to the self-join shape.
+
+    The expression form (a JOIN b ON id_a < id_b + the aggregate/
+    zip_with cosine) evaluates three interpreted HOF passes per PAIR —
+    O(n²·d) interpreted work that dominated semantic_dedup (r13 profile:
+    1.65 s of the 2.6 s sf0.01 entry; 12.3 s pair stage at sf0.1, the
+    recorded r9 31× pathology). Here each Arrow batch computes one
+    (batch × n) BLAS matmul and emits only surviving pairs; no join, no
+    shuffle, no pair materialization.
+
+    Exactness (the brute_force_topk contract): similarities are rounded
+    HALF_UP to 6 decimals (_round6_half_up — matches Spark round() and
+    DuckDB) BEFORE the threshold compare, so the survivor set equals the
+    expression form's except on measure-zero rounding boundaries;
+    numpy-vs-expression parity is pinned by
+    tests/test_llm_ops.py::test_all_pairs_cosine_matches_expression at
+    threshold 0 (every pair's rounded sim compared, not just
+    survivors). Zero-norm vectors: the expression form propagates
+    NaN through Spark's NaN-greatest ordering (NaN >= t is TRUE); this
+    path defines sim over zero norms as 0/0 = NaN and EXCLUDES it —
+    divergent only for zero-norm inputs, which the embeddings testdata
+    provably lacks (r13: zero zero-norm rows at every SF) and the
+    docstring contract forbids.
+
+    Like brute_force_topk the corpus must fit the driver/broadcast
+    (bounded collect guard); the all-pairs O(n²) output contract already
+    implies a bounded corpus — the scale paths are cosine_near_dup_pairs
+    / knn_graph.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    max_rows = 2_000_000
+    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"all_pairs_cosine corpus exceeds {max_rows} rows; this "
+            "operator broadcasts the corpus matrix — use "
+            "cosine_near_dup_pairs (LSH-blocked) or knn_graph at scale"
+        )
+    out_fields = [
+        T.StructField("id_a", df.schema[id_col].dataType),
+        T.StructField("id_b", df.schema[id_col].dataType),
+    ]
+    if keep_sim:
+        out_fields.append(T.StructField(sim_col, T.DoubleType()))
+    schema = T.StructType(out_fields)
+    if not rows:
+        return df.sparkSession.createDataFrame([], schema)
+    all_ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    bc = df.sparkSession.sparkContext.broadcast((all_ids, mat, norms))
+
+    def pairs(batches):
+        ids_b, m, n = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            avecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            aids = pdf[id_col].to_numpy()
+            an = np.linalg.norm(avecs, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = _round6_half_up((avecs @ m.T) / (an[:, None] * n[None, :]))
+            keep = (sims >= threshold) & (aids[:, None] < ids_b[None, :])
+            ai, bi = np.nonzero(keep)
+            cols = {"id_a": aids[ai], "id_b": ids_b[bi]}
+            if keep_sim:
+                cols[sim_col] = sims[ai, bi]
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, vec_col).mapInPandas(pairs, schema=schema)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

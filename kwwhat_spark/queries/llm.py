@@ -30,8 +30,8 @@ from kwwhat_spark.operators.dedup import (
 from kwwhat_spark.operators.multimodal import extract_features, synthesize_media
 from kwwhat_spark.operators.similarity import (
     _hyperplanes,
+    all_pairs_cosine,
     brute_force_topk,
-    cosine,
     lsh_topk,
 )
 from kwwhat_spark.queries.catalog import query
@@ -487,23 +487,16 @@ def dedup_simhash_twin_exact_recall(spark: SparkSession, sf_dir: str) -> DataFra
     cite="LLM-ops: embedding-cosine near-dup (exact)",
 )
 def dedup_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kwwhat_spark.operators.scaling import widen
-
-    emb = widen(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-        )
-    )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= 0.95)
+    # One scan × broadcast BLAS matmul instead of the O(n²) interpreted
+    # HOF self-join (all_pairs_cosine; r13 — same rounded-to-6 doubles,
+    # parity pinned at threshold 0). embeddings parquet is float32; the
+    # operator upcasts in numpy, so no array<double> scan cast needed.
+    return all_pairs_cosine(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        0.95,
+        keep_sim=True,
     )
 
 
@@ -1877,24 +1870,19 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kwwhat_spark.operators.graph import dedup_keepers
-    from kwwhat_spark.operators.scaling import widen
 
     docs = load_table(spark, sf_dir, "documents")
     text_pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", block_col="lang", k=3, threshold=0.8
     ).select("doc_a", "doc_b")
-    emb = widen(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-        )
-    )
-    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
-    cos_pairs = (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.95)
-        .select("doc_a", "doc_b")
-    )
+    # One scan × broadcast BLAS matmul instead of the O(n²) interpreted
+    # HOF self-join (all_pairs_cosine; r13 profile: the HOF pair stage
+    # was 1.65 s of this entry's 2.6 s at sf0.01). Same rounded-to-6
+    # doubles, parity pinned at threshold 0; embeddings stay native
+    # float32 on the scan (numpy upcasts).
+    cos_pairs = all_pairs_cosine(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.95
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     return dedup_keepers(text_pairs.union(cos_pairs), "doc_a", "doc_b")
 
 

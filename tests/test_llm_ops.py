@@ -465,6 +465,61 @@ def test_xxh64_sig_mapper_matches_expression(spark):
     assert a == b
 
 
+def test_all_pairs_cosine_matches_expression(spark):
+    """all_pairs_cosine (broadcast BLAS matmul) must reproduce the
+    expression form (self-join + aggregate/zip_with cosine, rounded
+    HALF_UP to 6) pair-for-pair. Compared at threshold -1.0 so EVERY
+    pair's rounded sim is checked (the 0.95 entries emit few/no rows at
+    test scale), plus the thresholded survivor set, plus empty input."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kwwhat_spark.operators.similarity import all_pairs_cosine, cosine
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    # Near-duplicate + identical + antipodal pairs to stress the
+    # threshold and the rounding boundary region.
+    rows[1] = (1, list(rows[0][1]))
+    rows[2] = (2, [x + 1e-7 for x in rows[0][1]])
+    rows[3] = (3, [-x for x in rows[0][1]])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    expr = {
+        (r.id_a, r.id_b): r.sim
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+        )
+        .collect()
+    }
+    blas = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in all_pairs_cosine(
+            df, "vec_id", "embedding", -1.0, keep_sim=True
+        ).collect()
+    }
+    assert expr == blas
+
+    thresholded = {
+        (r.id_a, r.id_b)
+        for r in all_pairs_cosine(df, "vec_id", "embedding", 0.95).collect()
+    }
+    assert thresholded == {k for k, v in expr.items() if v >= 0.95}
+    assert (1, 2) not in thresholded or expr[(1, 2)] >= 0.95  # sanity
+    assert (0, 1) in thresholded  # identical vectors survive
+
+    empty = all_pairs_cosine(
+        df.filter(F.lit(False)), "vec_id", "embedding", 0.5, keep_sim=True
+    )
+    assert empty.count() == 0 and empty.columns == ["id_a", "id_b", "cosine_sim"]
+
+
 def test_simhash_votes_mapper_matches_expression(spark):
     """The vectorized SimHash bit votes (operators/dedup
     ._simhash64_votes_fn) must be bit-identical to the expression form

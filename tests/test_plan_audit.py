@@ -34,13 +34,14 @@ def _numbered_nodes(plan: str) -> list[str]:
 # query -> reason the nested loop is acceptable
 WHITELIST = {
     # (similarity_topk left the list: the Arrow/BLAS partial-top-k
-    # rewrite eliminated its cross join.)
-    "dedup_cosine_exact": "deliberate exact baseline (scale: cosine_near_dup_pairs)",
+    # rewrite eliminated its cross join. dedup_cosine_exact and
+    # semantic_dedup left in r13: all_pairs_cosine replaced their
+    # non-equi self-joins with one broadcast-matmul scan — a
+    # reintroduced cartesian there should fail this audit.)
     "tpch_q22_sales_opportunity": "single-row global-average build side",
     "tpch_q11_important_stock": "single-row cutoff build side",
     "funnel_conversion": "single-row stage totals cross-join",
     "tfidf_top_terms": "single-row corpus-size build side",
-    "semantic_dedup": "exact cosine pair side is the deliberate baseline (scale: cosine_near_dup_pairs)",
     "ocpp_chat_bi_entities": "five single-row metric partials cross-joined "
     "into one row (the BI module's whitelisted scalar-combine pattern)",
     "knn_graph_quantized_replayable": "oracle-twin shape: all-pairs over a "
