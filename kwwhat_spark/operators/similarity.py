@@ -161,6 +161,12 @@ def brute_force_topk(
     )
 
 
+# One sims row-block of all_pairs_cosine holds this many float64s
+# (block_rows = this // corpus_rows) — 4M doubles = 32 MB. Module-level
+# so the parity test can shrink it to force the multi-block path.
+_ALL_PAIRS_BLOCK_DOUBLES = 4 << 20
+
+
 def all_pairs_cosine(
     df: DataFrame,
     id_col: str,
@@ -205,6 +211,7 @@ def all_pairs_cosine(
     import pandas as pd
     from pyspark.sql import types as T
 
+    block_doubles = _ALL_PAIRS_BLOCK_DOUBLES
     max_rows = 2_000_000
     rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
     if len(rows) > max_rows:
@@ -229,20 +236,31 @@ def all_pairs_cosine(
 
     def pairs(batches):
         ids_b, m, n = bc.value
+        ncorp = len(ids_b)
+        # Row-block each Arrow batch so one sims block stays ~32 MB
+        # (block × ncorp float64) no matter the corpus size — the
+        # semdedup batch_rows lesson; without it per-batch memory is
+        # O(batch × ncorp) and a corpus near the guard bound would OOM
+        # the worker. At test scales block ≥ the whole batch (no-op).
+        block = max(1, block_doubles // max(1, ncorp))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             avecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             aids = pdf[id_col].to_numpy()
             an = np.linalg.norm(avecs, axis=1)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = _round6_half_up((avecs @ m.T) / (an[:, None] * n[None, :]))
-            keep = (sims >= threshold) & (aids[:, None] < ids_b[None, :])
-            ai, bi = np.nonzero(keep)
-            cols = {"id_a": aids[ai], "id_b": ids_b[bi]}
-            if keep_sim:
-                cols[sim_col] = sims[ai, bi]
-            yield pd.DataFrame(cols)
+            for lo in range(0, len(aids), block):
+                hi = min(lo + block, len(aids))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = _round6_half_up(
+                        (avecs[lo:hi] @ m.T) / (an[lo:hi, None] * n[None, :])
+                    )
+                keep = (sims >= threshold) & (aids[lo:hi, None] < ids_b[None, :])
+                ai, bi = np.nonzero(keep)
+                cols = {"id_a": aids[lo:hi][ai], "id_b": ids_b[bi]}
+                if keep_sim:
+                    cols[sim_col] = sims[ai, bi]
+                yield pd.DataFrame(cols)
 
     return df.select(id_col, vec_col).mapInPandas(pairs, schema=schema)
 

@@ -519,6 +519,23 @@ def test_all_pairs_cosine_matches_expression(spark):
     )
     assert empty.count() == 0 and empty.columns == ["id_a", "id_b", "cosine_sim"]
 
+    # Force the multi-block path (block_rows = block_doubles // n -> 2
+    # rows per sims block for n=40): identical output.
+    import kwwhat_spark.operators.similarity as sim_mod
+
+    old_block = sim_mod._ALL_PAIRS_BLOCK_DOUBLES
+    sim_mod._ALL_PAIRS_BLOCK_DOUBLES = 80
+    try:
+        blocked = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in all_pairs_cosine(
+                df, "vec_id", "embedding", -1.0, keep_sim=True
+            ).collect()
+        }
+    finally:
+        sim_mod._ALL_PAIRS_BLOCK_DOUBLES = old_block
+    assert blocked == expr
+
 
 def test_simhash_votes_mapper_matches_expression(spark):
     """The vectorized SimHash bit votes (operators/dedup
